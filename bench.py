@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes its full physical plan into the noop sink (no driver
+collection), so the number measures engine work: scan + shuffle + compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry import (
+        all_queries,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="qopcfdr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = sorted(all_queries().items())
+
+    # Warmup at the smallest SF: amortizes one-time JVM/codegen costs so the
+    # timed pass measures engine work, not JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for _name, (fn, _sql) in qs:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in qs:
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

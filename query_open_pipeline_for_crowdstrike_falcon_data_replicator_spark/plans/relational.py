@@ -1,0 +1,478 @@
+"""Relational query surface.
+
+The reference implements zero relational operators itself — it delegates all
+querying to Amazon Athena/Trino over the tables it writes (reference
+README.md:48, SURVEY.md §2.4).  In the Spark-native engine that surface is
+Catalyst: joins (broadcast/sort-merge/semi/anti), aggregations (hash,
+rollup/cube), window functions, sorts/limits and set operations, all
+expressed with the DataFrame API so predicate pushdown, column pruning and
+whole-stage codegen apply.
+
+Every entry returns a DataFrame whose column names match the paired DuckDB
+oracle SQL exactly (the driver compares order-insensitive value hashes).
+Floating-point aggregates are rounded on both sides: double summation order
+differs between engines, rounding makes results bit-identical.
+
+Scale notes (100 TB design):
+- dimension joins (region/nation/supplier/customer-ish sizes) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for small dims;
+- fact-fact joins shuffle on the join key; AQE handles skew;
+- all filters are plain column predicates -> pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _r2(c):  # round to cents; kills cross-engine double summation noise
+    return F.round(c, 2)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics over the driver tables
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-aggregate (hash agg with partial/map-side combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(charge)).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join (broadcast dim) + agg + deterministic top-k."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: two broadcast dims + key-colocated fact joins."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure pushed-down scan filter + global agg (no shuffle beyond final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.09
+  AND l_quantity < 24
+"""
+
+
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via ROLLUP (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via CUBE."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(_r2(F.sum("o_totalprice")).alias("sum_price"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n_rows
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: deterministic top-3 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", _r2(F.col("o_totalprice")).alias("totalprice"), "rn")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running revenue per customer over order date."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — also the reference's 'unmapped events'
+    side-channel pattern (SURVEY.md §2.5-E2)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT over the nation keys of customers vs suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).withColumn("op", F.lit("both"))
+    cust_only = cust.subtract(supp).withColumn("op", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+SETOPS_SQL = """
+SELECT nationkey, 'both' AS op
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS op
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (the `events` table stands in for an event feed)
+# --------------------------------------------------------------------------
+
+def events_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily tumbling aggregation (batch form of the streaming
+    windowed agg; event-day partitioning semantics of reference
+    create_qopcfdr_firehoses.py:147-163)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _r2(F.sum("value")).alias("total_value"))
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via gaps-and-islands —
+    the batch equivalent of a session window in Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tsec", F.col("ts").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag(F.col("tsec")).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            (F.max("tsec") - F.min("tsec")).alias("duration_secs"),
+        )
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH ep AS (
+  SELECT user_id, event_id, ts,
+         datediff('second', TIMESTAMP '1970-01-01', ts) AS tsec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tsec,
+         CASE WHEN tsec - lag(tsec) OVER w IS NULL
+                OR tsec - lag(tsec) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM ep
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, tsec,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(event_id) AS first_event_id,
+       CAST(max(tsec) - min(tsec) AS BIGINT) AS duration_secs
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def events_ocsf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's normalization shape applied to the generic event feed:
+    discriminator coalesce (P1), decode map (X2), ``type_uid =
+    class_uid*100 + activity_id`` (X3), event-day derivation (S8) and
+    residual JSON-prop extraction — all JVM-side column expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    name = F.coalesce(F.col("event_type"), F.lit("unknown"))
+    activity = (
+        F.when(name == "click", 1)
+        .when(name == "view", 2)
+        .when(name == "purchase", 3)
+        .when(name == "signup", 4)
+        .when(name == "error", 5)
+        .otherwise(99)
+        .cast("long")
+    )
+    class_uid = F.lit(6003).cast("long")
+    return ev.select(
+        F.col("event_id"),
+        name.alias("activity_source"),
+        activity.alias("activity_id"),
+        class_uid.alias("class_uid"),
+        (class_uid * 100 + activity).alias("type_uid"),
+        F.concat(F.lit("Event Feed: "), F.initcap(name)).alias("type_name"),
+        F.when(name == "error", "High").otherwise("Informational").alias("severity"),
+        F.when(name == "error", F.lit(4)).otherwise(F.lit(1)).cast("long").alias("severity_id"),
+        F.col("ts").alias("time"),
+        F.date_format("ts", "yyyyMMdd").alias("event_day"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+EVENTS_ENVELOPE_SQL = """
+SELECT event_id,
+       coalesce(event_type, 'unknown') AS activity_source,
+       CAST(CASE coalesce(event_type, 'unknown')
+              WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+              WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 99 END AS BIGINT) AS activity_id,
+       CAST(6003 AS BIGINT) AS class_uid,
+       CAST(6003 * 100 + CASE coalesce(event_type, 'unknown')
+              WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+              WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 99 END AS BIGINT) AS type_uid,
+       'Event Feed: ' || upper(substr(coalesce(event_type, 'unknown'), 1, 1))
+                      || substr(coalesce(event_type, 'unknown'), 2) AS type_name,
+       CASE WHEN coalesce(event_type, 'unknown') = 'error' THEN 'High'
+            ELSE 'Informational' END AS severity,
+       CAST(CASE WHEN coalesce(event_type, 'unknown') = 'error' THEN 4 ELSE 1 END AS BIGINT) AS severity_id,
+       ts AS time,
+       strftime(ts, '%Y%m%d') AS event_day,
+       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "agg_rollup_returns": (agg_rollup_returns, ROLLUP_SQL),
+    "agg_cube_orders": (agg_cube_orders, CUBE_SQL),
+    "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_TOPK_SQL),
+    "window_running_revenue": (window_running_revenue, WINDOW_RUNNING_SQL),
+    "semi_join_urgent_customers": (semi_join_urgent_customers, SEMI_SQL),
+    "anti_join_customers_without_orders": (anti_join_customers_without_orders, ANTI_SQL),
+    "set_ops_nations": (set_ops_nations, SETOPS_SQL),
+    "events_daily_agg": (events_daily_agg, EVENTS_DAILY_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
+    "events_ocsf_envelope": (events_ocsf_envelope, EVENTS_ENVELOPE_SQL),
+}

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]``; the same configuration is
+what we would ship to a multi-executor cluster: AQE on (runtime coalesce +
+skew-join handling), shuffle partitions sized to the parallelism, UTC
+session timezone (the reference normalizes timestamps in a UTC Lambda,
+qopcfdr_stream_loader.py:216-225).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "qopcfdr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core avoids tiny-task
+        # overhead; on a real cluster this is set to ~2-3x total cores and
+        # AQE coalesces down.
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.compression.codec", "gzip")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # some input parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,62 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+These are the relational-surface inputs; the FDR/OCSF pipeline has its own
+source module (``sources.fdr``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Make query results independent of the caller's session defaults.
+
+    The driver hands us its own SparkSession; these must hold regardless of
+    how it was built (both are runtime-settable SQL confs):
+    - UTC session timezone: event-time day boundaries must match the UTC
+      oracle (and the reference normalized in a UTC Lambda);
+    - nanosAsLong: the events table stores TIMESTAMP(NANOS), which the
+      vectorized parquet reader otherwise rejects.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) parquet read via nanosAsLong -> convert to
+        # microsecond TimestampType (truncation, same as DuckDB ns->us)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` works over them —
+    the Spark-native replacement for the reference's Athena/Glue catalog
+    (reference README.md:48)."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
