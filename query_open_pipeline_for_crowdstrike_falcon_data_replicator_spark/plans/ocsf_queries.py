@@ -1,0 +1,51 @@
+"""Driver-contract entries for the FDR->OCSF pipeline itself.
+
+The pipeline's inputs are gzip NDJSON FDR events, not the driver's parquet
+tables, so these entries synthesize a deterministic in-memory batch of raw
+events (the FIXTURES.md shapes), run the full classify->normalize path and
+return flattened envelope results.  Not SQL-expressible over the
+pre-registered views -> rows-only checks (no oracle entry)."""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fixture_lines() -> list[str]:
+    from ..sources.sample import FIXTURES
+
+    return [json.dumps(e) for e in FIXTURES]
+
+
+def ocsf_pipeline_envelopes(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Full pipeline over the fixture batch; returns every class's envelope
+    (class_name, class_uid, type_uid, activity, status, time, eventDay)."""
+    from ..operators.router import classify, normalized_tables
+    from ..sources.fdr import parse_fdr_lines
+
+    lines = spark.createDataFrame([(l,) for l in _fixture_lines()], ["value"])
+    classified = classify(parse_fdr_lines(lines), spark)
+    out = None
+    for _key, df in normalized_tables(classified).items():
+        part = df.select(
+            "class_name",
+            "class_uid",
+            "type_uid",
+            "activity_id",
+            "activity_name",
+            "status_id",
+            "time",
+            F.date_format("time", "yyyyMMdd").alias("event_day"),
+            F.col("metadata.log_name").alias("log_name"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
+}

@@ -1,0 +1,105 @@
+"""End-to-end batch pipeline: gzip NDJSON -> 13 OCSF parquet tables +
+quarantine, schemas conforming to ocsf.schemas, event-time partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.ocsf.schemas import (
+    OCSF_SCHEMAS,
+    TABLE_KEYS,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.pipeline import (
+    run_batch,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.parquet import (
+    register_ocsf_tables,
+)
+
+from .fdr_fixtures import EXPECTED_COUNTS, write_fixture_files
+
+
+@pytest.fixture(scope="module")
+def ocsf_out(spark, tmp_path_factory):
+    src = write_fixture_files(str(tmp_path_factory.mktemp("fdr_raw")))
+    out = str(tmp_path_factory.mktemp("ocsf"))
+    run_batch(spark, src, out, region="us-east-1", account_id="123456789012", mode="overwrite")
+    return out
+
+
+def test_row_counts(spark, ocsf_out):
+    for key, expected in EXPECTED_COUNTS.items():
+        n = spark.read.parquet(f"{ocsf_out}/{key}").count()
+        assert n == expected, f"{key}: {n} != {expected}"
+
+
+def test_schemas_conform(spark, ocsf_out):
+    for key in TABLE_KEYS:
+        df = spark.read.parquet(f"{ocsf_out}/{key}")
+        expected = OCSF_SCHEMAS[key][2]
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for f in expected.fields:
+            assert got.get(f.name) == f.dataType.simpleString(), (
+                f"{key}.{f.name}: {got.get(f.name)} != {f.dataType.simpleString()}"
+            )
+        for p in ("region", "accountId", "eventDay"):
+            assert p in got, f"{key} missing partition col {p}"
+
+
+def test_envelope_invariant(spark, ocsf_out):
+    """type_uid == class_uid*100 + activity_id on every row (SURVEY.md X3)."""
+    for key in TABLE_KEYS:
+        df = spark.read.parquet(f"{ocsf_out}/{key}")
+        bad = df.filter(
+            F.col("type_uid") != F.col("class_uid") * 100 + F.col("activity_id")
+        ).count()
+        assert bad == 0, key
+
+
+def test_event_day_partitioning(spark, ocsf_out):
+    df = spark.read.parquet(f"{ocsf_out}/process_activity")
+    days = {str(r.eventDay) for r in df.select("eventDay").distinct().collect()}
+    assert days == {"20240610"}
+    # sentinel timestamp lands in the 1998 partition (load-bearing default)
+    dc = spark.read.parquet(f"{ocsf_out}/device_config_state")
+    days = {str(r.eventDay) for r in dc.select("eventDay").distinct().collect()}
+    assert "19980424" in days
+
+
+def test_quarantine(spark, ocsf_out):
+    corrupt = spark.read.parquet(f"{ocsf_out}/_quarantine/corrupt_lines")
+    assert corrupt.count() == 1
+    nodisc = spark.read.parquet(f"{ocsf_out}/_quarantine/no_discriminator")
+    assert nodisc.count() == 1
+    unmapped = spark.read.parquet(f"{ocsf_out}/_quarantine/unmapped_events")
+    rows = unmapped.collect()
+    assert len(rows) == 1 and rows[0].event_name == "SomeFutureEvent"
+
+
+def test_register_and_query(spark, ocsf_out):
+    registered = register_ocsf_tables(spark, ocsf_out)
+    assert "ocsf_all" in registered
+    # the Phase-1 flagship query (SURVEY.md §7): SQL over the OCSF tables,
+    # with partition pruning on eventDay
+    out = spark.sql(
+        "SELECT device.uid AS device_uid, count(*) AS n FROM process_activity "
+        "WHERE eventDay = '20240610' GROUP BY device.uid"
+    ).collect()
+    assert out and all(r.n >= 1 for r in out)
+    total = spark.sql("SELECT count(*) AS n FROM ocsf_all").collect()[0].n
+    assert total == sum(EXPECTED_COUNTS.values())
+
+
+def test_unmapped_residual(spark, ocsf_out):
+    row = (
+        spark.read.parquet(f"{ocsf_out}/process_activity")
+        .filter(F.col("metadata.uid") == "evt-0001")
+        .select("unmapped")
+        .collect()[0]
+    )
+    # consumed keys are gone; the discriminator and unknown keys remain
+    assert row.unmapped == {
+        "event_simpleName": "ProcessRollup2",
+        "SomeUnmappedKey": "v1",
+    }
