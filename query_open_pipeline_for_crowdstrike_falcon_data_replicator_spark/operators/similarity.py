@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline.  Query set x full
+  candidate scan; all math JVM-side via zip_with/aggregate in double
+  precision.  O(Q*N) — fine for a bounded query set, the yardstick for
+  approximate methods.
+- random-hyperplane LSH top-k: the scale path.  16 deterministic
+  hyperplanes -> 16-bit bucket signature; candidates share a bucket (or a
+  probe bucket at Hamming distance 1), then exact cosine re-ranks.  No
+  full cross join; bucket join shuffles only on the signature.
+- embedding near-dup pairs: label-blocked exact cosine (the IVF-style
+  'within partition' pattern).
+
+Hyperplane components are +-1 derived from md5 at plan-build time (pure
+Python, deterministic) — no RNG, reproducible across engines/runs."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 20  # vec_id < 20 form the query set
+N_PLANES = 8  # 256 buckets; with 1-bit multi-probe ~ (N/256)*9 candidates/query
+DIM = 64
+COSINE_NEARDUP_THRESHOLD = 0.9
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: sign of md5(f'{plane}:{dim}')."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _vec() -> Column:
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file parquet -> repartition so the dot-product work fans out
+    par = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "label", _vec().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the query subset, deterministic tie-break
+    (rounded similarity desc, candidate id asc)."""
+    emb = _embedded(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cosine
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket(v: Column) -> Column:
+    """16-bit hyperplane-sign signature."""
+    planes = _planes()
+    sig = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in row])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("int")
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates from same-or-adjacent (Hamming<=1)
+    hyperplane buckets, exact cosine re-rank.  The scale path — shuffle on
+    16-bit bucket keys instead of a full cross join."""
+    emb = _embedded(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))).persist()
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    # multi-probe: the query's bucket plus every bucket one bit away
+    probes = F.array(*(
+        [F.col("qb")] + [F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    ))
+    qp = q.select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    scored = (
+        qp.join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF pattern:
+    compare only within a coarse partition, never all-pairs)."""
+    emb = _embedded(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", F.col("label_a").alias("label"), sim.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_NEARDUP_THRESHOLD)
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
+    "ann_topk_lsh": (ann_topk_lsh, None),  # approximate; recall-tested vs brute force
+    "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
+}

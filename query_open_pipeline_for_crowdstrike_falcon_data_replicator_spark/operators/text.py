@@ -1,0 +1,143 @@
+"""Text-analysis operators over the ``documents`` table: token stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side column expressions (split/filter/transform/md5) — no Python
+UDFs — so they scale linearly with a parquet scan.  Each query has an
+exact DuckDB oracle; md5 makes fingerprints engine-portable."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# tiny per-language stopword marker lists for the n-gram/stopword-vote
+# heuristic (the synthetic corpus is English-shaped regardless of its lang
+# label, so the mechanics matter, not the vocabulary)
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def _tokens():
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length, distinct-token ratio,
+    mean token length) + md5 fingerprint of the normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct.cast("double") / n_tokens, 4).alias("distinct_ratio"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / n_tokens, 4).alias("avg_token_len"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id, lang,
+       length(text) AS len_chars,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+       round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+             / len(string_split(lower(text), ' ')), 4) AS distinct_ratio,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(string_split(lower(text), ' ')), 4) AS avg_token_len,
+       md5(lower(text)) AS fingerprint
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic precedence (en > es >
+    de > unknown on ties with zero votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    def _vote(markers):
+        return F.size(F.filter(t, lambda x: x.isin(*markers)))
+
+    votes = {lang: _vote(markers) for lang, markers in LANG_MARKERS.items()}
+    v_en, v_es, v_de = votes["en"], votes["es"], votes["de"]
+    predicted = (
+        F.when((v_en >= v_es) & (v_en >= v_de) & (v_en > 0), "en")
+        .when((v_es >= v_de) & (v_es > 0), "es")
+        .when(v_de > 0, "de")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        v_en.alias("votes_en"),
+        v_es.alias("votes_es"),
+        v_de.alias("votes_de"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+_V = {
+    lang: "len(list_filter(string_split(lower(text), ' '), x -> x IN ({})))".format(
+        ", ".join(f"'{m}'" for m in markers)
+    )
+    for lang, markers in LANG_MARKERS.items()
+}
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_V['en']} AS votes_en,
+       {_V['es']} AS votes_es,
+       {_V['de']} AS votes_de,
+       CASE WHEN {_V['en']} >= {_V['es']} AND {_V['en']} >= {_V['de']} AND {_V['en']} > 0 THEN 'en'
+            WHEN {_V['es']} >= {_V['de']} AND {_V['es']} > 0 THEN 'es'
+            WHEN {_V['de']} > 0 THEN 'de'
+            ELSE 'unknown' END AS predicted_lang
+FROM documents
+"""
+
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality rollup per source: the filter-and-report pass a
+    training-data pipeline runs before sampling."""
+    stats = text_stats(spark, sf_dir)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            F.sum(F.when(F.col("n_tokens") >= 30, 1).otherwise(0)).alias("n_long_docs"),
+        )
+    )
+
+
+QUALITY_BY_SOURCE_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL})
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(distinct_ratio), 4) AS avg_distinct_ratio,
+       CAST(sum(CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
+FROM stats
+GROUP BY lang
+"""
+
+
+TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_lang_id": (lang_id, LANG_ID_SQL),
+    "text_quality_by_lang": (quality_by_source, QUALITY_BY_SOURCE_SQL),
+}
