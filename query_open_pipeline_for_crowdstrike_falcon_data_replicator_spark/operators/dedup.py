@@ -6,17 +6,18 @@ Four families, each a first-class scale-out design:
 - n-gram Jaccard: token-3-gram shingles -> inverted-index self-join ->
               exact Jaccard (the verification oracle; O(sum of posting
               list^2) — use on candidates, not the full corpus, at scale);
-- MinHash+LSH: 32 portable md5-based min-hashes -> 16 banded buckets ->
+- MinHash+LSH: 32 xxhash64-based min-hashes -> 16 banded buckets ->
               bucket self-join for candidates -> exact-Jaccard verify.
               This is the 100 TB path: no O(n^2) anywhere, shuffles are
               on band keys and candidate pairs only;
 - SimHash:    60-bit signature via token-hash bit votes; 4 banded 15-bit
               buckets -> candidates -> Hamming-distance filter.
 
-All hashing is md5-based so signatures are engine-portable: the MinHash
-signature is ``min(md5(seed || shingle))`` lexicographically, identical in
-Spark and DuckDB, which lets LSH results be oracled against the exact
-Jaccard SQL."""
+MinHash signatures are xxhash64 longs (whole-stage-codegen JVM path, ~20x
+cheaper than md5 hex strings); signature portability to the oracle is not
+needed because the oracle compares the *verified* exact-Jaccard pair set,
+which the banded LSH recalls with probability 1-(1-j^2)^16 (~1-8e-8 at
+j=0.8)."""
 
 from __future__ import annotations
 
@@ -162,23 +163,27 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------- #
 # MinHash + LSH (banded) with exact-Jaccard verification
 # --------------------------------------------------------------------- #
-def minhash_signatures(postings: DataFrame) -> DataFrame:
-    """32 portable min-hashes per doc: min(md5('k|' || shingle)) as 32
-    partial-aggregating min()s over the flat postings — map-side combine
-    shrinks the shuffle to one row per doc before the exchange."""
+def minhash_profiles(postings: DataFrame) -> DataFrame:
+    """Per-doc LSH profile in ONE shuffle: 32 min(xxhash64(seed, shingle))
+    signatures + the exact shingle set, fused into a single groupBy so the
+    min()s partial-aggregate map-side and ride the collect_set exchange.
+    xxhash64 longs stay inside whole-stage codegen (vs md5's hex-string
+    digest + string min comparisons — ~20x cheaper per posting)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"sig{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"sig{k}")
         for k in range(NUM_MINHASHES)
     ]
-    return postings.groupBy("doc_id").agg(*aggs)
+    return postings.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shingles"), *aggs
+    )
 
 
 def lsh_bands(signed: DataFrame) -> DataFrame:
-    """Band keys: md5 over each pair of adjacent signature rows."""
+    """Band keys: xxhash64 over each pair of adjacent signature rows."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias("key"),
+            F.xxhash64(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}")).alias("key"),
         )
         for b in range(BANDS)
     ])
@@ -189,10 +194,13 @@ def lsh_bands(signed: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates from banded-LSH bucket join, verified by exact Jaccard
-    over the candidates' shingle sets only (never all pairs)."""
-    postings = shingle_postings(spark, sf_dir).persist()
-    signed = minhash_signatures(postings)
-    bands = lsh_bands(signed)
+    over the candidates' shingle sets only (never all pairs).
+
+    Join order puts the tiny candidate-pair set on the build side (AQE
+    broadcasts it), so the heavy per-doc shingle arrays are scanned from
+    the persisted profile without an extra exchange."""
+    profiles = minhash_profiles(shingle_postings(spark, sf_dir)).persist()
+    bands = lsh_bands(profiles)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -205,7 +213,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrays = postings.groupBy("doc_id").agg(F.collect_set("sh").alias("shingles"))
+    arrays = profiles.select("doc_id", "shingles")
     sa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))

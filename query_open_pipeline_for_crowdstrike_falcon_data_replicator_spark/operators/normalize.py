@@ -52,7 +52,15 @@ from ..functions.timeparse import fdr_timestamp
 from ..ocsf.schemas import OCSF_SCHEMAS
 
 
+# Normalizer column lists are pure unresolved expressions (no normalizer
+# touches its input df except through the final select), so building them —
+# thousands of py4j Column constructions, ~1s per class — need happen only
+# once per process.  _finish populates the cache; normalize_class reuses it.
+_COLS_CACHE: dict[str, list[Column]] = {}
+
+
 def _finish(df: DataFrame, cols: list[Column], table_key: str) -> DataFrame:
+    _COLS_CACHE[table_key] = cols
     schema = OCSF_SCHEMAS[table_key][2]
     return df.select(*cols).to(schema)
 
@@ -955,4 +963,7 @@ NORMALIZERS: dict[str, Callable[[DataFrame], DataFrame]] = {
 
 def normalize_class(df: DataFrame, table_key: str) -> DataFrame:
     """Apply the class normalizer to an already-classified DataFrame."""
+    cols = _COLS_CACHE.get(table_key)
+    if cols is not None:
+        return df.select(*cols).to(OCSF_SCHEMAS[table_key][2])
     return NORMALIZERS[table_key](df)

@@ -26,9 +26,21 @@ def ocsf_pipeline_envelopes(spark: SparkSession, _sf_dir: str) -> DataFrame:
     (class_name, class_uid, type_uid, activity, status, time, eventDay)."""
     from ..operators.router import classify, normalized_tables
     from ..sources.fdr import parse_fdr_lines
+    from ..sources.tables import ensure_runtime_conf
 
-    lines = spark.createDataFrame([(l,) for l in _fixture_lines()], ["value"])
-    classified = classify(parse_fdr_lines(lines), spark)
+    ensure_runtime_conf(spark)
+
+    # 29 fixture rows: one partition, or the 13-way union scans the
+    # parallelized source as 13 x defaultParallelism near-empty tasks.
+    # repartition, NOT coalesce: CoalescedRDD inherits locality prefs from
+    # the parallelized parent and single tasks then sit out the scheduler's
+    # locality wait (~4.5s); the 29-row round-robin shuffle is free.
+    lines = spark.createDataFrame(
+        [(l,) for l in _fixture_lines()], ["value"]
+    ).repartition(1)
+    # persist: the 13-way union would otherwise re-run parse+classify
+    # (including the repartition exchange) once per class branch
+    classified = classify(parse_fdr_lines(lines), spark).persist()
     out = None
     for _key, df in normalized_tables(classified).items():
         part = df.select(

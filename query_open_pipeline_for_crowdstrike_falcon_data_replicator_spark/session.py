@@ -44,6 +44,10 @@ def get_spark(
         # some input parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # single-JVM mode: locality waiting only delays task launch (no
+        # network to save), and short single-task stages would otherwise
+        # sit out up to 3s/level
+        .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -38,6 +38,10 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NB: spark.locality.wait is a core conf (not runtime-settable); plans
+    # that would create single-task stages over parallelized data use
+    # repartition (shuffle outputs carry no locality prefs) so they never
+    # sit out the wait under a caller-built session either.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
