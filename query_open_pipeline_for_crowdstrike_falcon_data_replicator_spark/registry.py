@@ -22,6 +22,13 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(RELATIONAL_QUERIES)
 
     try:
+        from .plans.tpch_extra import TPCH_EXTRA_QUERIES
+
+        merged.update(TPCH_EXTRA_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from .operators.dedup import DEDUP_QUERIES
 
         merged.update(DEDUP_QUERIES)
