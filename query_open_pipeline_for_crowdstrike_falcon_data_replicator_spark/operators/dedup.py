@@ -6,18 +6,20 @@ Four families, each a first-class scale-out design:
 - n-gram Jaccard: token-3-gram shingles -> inverted-index self-join ->
               exact Jaccard (the verification oracle; O(sum of posting
               list^2) — use on candidates, not the full corpus, at scale);
-- MinHash+LSH: 32 xxhash64-based min-hashes -> 16 banded buckets ->
-              bucket self-join for candidates -> exact-Jaccard verify.
-              This is the 100 TB path: no O(n^2) anywhere, shuffles are
-              on band keys and candidate pairs only;
+- MinHash+LSH: 32 min-hashes -> 16 banded buckets -> bucket self-join for
+              candidates -> exact-Jaccard verify.  This is the 100 TB
+              path: no O(n^2) anywhere, shuffles are on band keys and
+              candidate pairs only;
 - SimHash:    60-bit signature via token-hash bit votes; 4 banded 15-bit
               buckets -> candidates -> Hamming-distance filter.
 
-MinHash signatures are xxhash64 longs (whole-stage-codegen JVM path, ~20x
-cheaper than md5 hex strings); signature portability to the oracle is not
-needed because the oracle compares the *verified* exact-Jaccard pair set,
-which the banded LSH recalls with probability 1-(1-j^2)^16 (~1-8e-8 at
-j=0.8)."""
+Shingles are hashed to 64-bit longs at creation (xxhash64 over the token
+triple — no shingle strings are materialized), so every downstream stage
+(signatures, band keys, collect_set shuffles, array_intersect verify)
+moves 8-byte longs.  The DuckDB oracles still compute string-shingle
+Jaccard: hashed-set Jaccard equals it up to 64-bit collisions
+(P ~ |doc|^2/2^64 per pair), and the banded LSH recalls a j=0.8 pair with
+probability 1-(1-j^2)^16 (~1-8e-8)."""
 
 from __future__ import annotations
 
@@ -33,54 +35,60 @@ NUM_MINHASHES = 32
 BANDS = 16  # rows-per-band = 2; P[candidate] at j=0.8 is 1-(1-0.64)^16 ~ 0.9999
 
 
-def _shingles_of(t: Column) -> Column:
-    """Distinct token 3-gram shingles from a *materialized* tokens column.
-
-    t MUST be a bound column (behind an exchange), not an inline split()
-    expression: expressions referenced inside Catalyst lambdas are inlined
-    per use, so an inline split would re-evaluate ~3x per shingle."""
+def _hashed_shingles_of(t: Column) -> Column:
+    """Distinct token-3-gram shingles, each hashed straight to a 64-bit
+    long: ``xxhash64(tok[i], tok[i+1], tok[i+2])`` — no concatenated
+    shingle string is ever built.  Downstream (min-hash, band keys, set
+    intersection, shuffle payloads) then works on 8-byte longs instead of
+    ~30-byte strings.  Jaccard over hashed shingles equals string-shingle
+    Jaccard up to 64-bit collisions (P ~ |doc|^2 / 2^64 per pair)."""
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        lambda i: F.xxhash64(
+            F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
         ),
     )
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<bigint>")
     )
 
 
 def token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + tokens, repartitioned: the documents table arrives as one
-    parquet file -> one task, and the downstream shingle/md5 work is
-    CPU-bound, so spread it first.  The repartition doubles as a
-    projection barrier: tokens are materialized once by the shuffle, so
-    later lambda expressions index a bound array instead of re-splitting."""
+    """doc_id + tokens, tokenized AFTER a repartition of the raw text: the
+    documents table arrives as one parquet file -> one scan task, and
+    split/lower/hash are the CPU-bound steps, so spread the rows first.
+    (On a real lake the source has many files/row-groups and the scan
+    itself is parallel; the repartition is then unnecessary but harmless —
+    one corpus-sized shuffle.)"""
     par = spark.sparkContext.defaultParallelism
     return (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .select("doc_id", "text")
         .repartition(par, "doc_id")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
     )
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + array of hashed shingles.  The tokens projection stays a
+    SEPARATE select from the shingle transform: CollapseProject declines to
+    merge them because ``toks`` is referenced 4x, so split() runs once per
+    row instead of being inlined into every lambda use."""
     return token_docs(spark, sf_dir).select(
-        "doc_id", _shingles_of(F.col("toks")).alias("shingles")
+        "doc_id", _hashed_shingles_of(F.col("toks")).alias("shingles")
     )
 
 
 def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index postings (doc_id, shingle), one row per distinct
+    """Inverted-index postings (doc_id, shingle_hash), one row per distinct
     shingle per doc.
 
     explode_outer + post-filter instead of explode: plain explode makes
     the optimizer infer a `size(shingles) > 0` filter and push it below
-    the exchange, where the whole shingle expression (with its inlined
-    splits) gets re-evaluated per row on the raw text — a >10x slowdown.
-    explode_outer infers no filter; dropping the NULL rows afterwards is
-    one cheap post-exchange predicate."""
+    the exchange, where the whole shingle expression gets re-evaluated per
+    row on the raw text.  explode_outer infers no filter; dropping the
+    NULL rows afterwards is one cheap post-exchange predicate."""
     return (
         shingled_docs(spark, sf_dir)
         .select("doc_id", F.explode_outer("shingles").alias("sh"))
@@ -164,11 +172,12 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 # MinHash + LSH (banded) with exact-Jaccard verification
 # --------------------------------------------------------------------- #
 def minhash_profiles(postings: DataFrame) -> DataFrame:
-    """Per-doc LSH profile in ONE shuffle: 32 min(xxhash64(seed, shingle))
-    signatures + the exact shingle set, fused into a single groupBy so the
-    min()s partial-aggregate map-side and ride the collect_set exchange.
-    xxhash64 longs stay inside whole-stage codegen (vs md5's hex-string
-    digest + string min comparisons — ~20x cheaper per posting)."""
+    """Per-doc LSH profile in ONE shuffle: 32 min(xxhash64(seed, sh))
+    signatures + the exact hashed-shingle set, fused into a single groupBy
+    so the min()s partial-aggregate map-side and ride the collect_set
+    exchange.  Everything is 8-byte longs end to end (seeded re-hash of
+    the shingle hash), so the shuffle payload and the min comparisons stay
+    inside whole-stage codegen."""
     aggs = [
         F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"sig{k}")
         for k in range(NUM_MINHASHES)
