@@ -45,12 +45,17 @@ def main() -> None:
             except Exception:
                 pass
 
+    # drop caches the warmup pass persisted: queries must not inherit each
+    # other's cached RDDs (cross-query interference skews per-query times)
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in qs:
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

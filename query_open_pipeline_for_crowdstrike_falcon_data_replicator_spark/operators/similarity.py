@@ -182,8 +182,104 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_NEARDUP_THRESHOLD}
 """
 
 
+# ------------------------------------------------------------------ #
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
+# ------------------------------------------------------------------ #
+IVF_CELLS = 16
+IVF_ITERS = 2
+IVF_NPROBE = 3
+
+
+def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
+    """argmin over the centroid list via array_min on (dist, cell) structs
+    (struct comparison is lexicographic, so ties break to the lower cell).
+    Centroids are plan literals: K x DIM doubles — model state, not data."""
+    entries = []
+    for k, c in enumerate(cents):
+        cv = F.lit(c)
+        entries.append(F.struct((-_dot(u, cv)).alias("d"), F.lit(k).alias("c")))
+    return F.array_min(F.array(*entries))["c"]
+
+
+def _ivf_train(emb: DataFrame, spark: SparkSession) -> list[list[float]]:
+    """Lloyd's iterations, Spark-distributed: assignment is a plan literal
+    expression, the centroid update is a two-level (cell, dim) mean — the
+    only driver-side data is the K x DIM centroid matrix itself."""
+    seed = (
+        emb.filter(F.col("vec_id") < IVF_CELLS)
+        .orderBy("vec_id")
+        .select("u")
+        .collect()
+    )
+    cents = [list(r["u"]) for r in seed]
+    for _ in range(IVF_ITERS):
+        assigned = emb.select(_nearest_cell(F.col("u"), cents).alias("cell"), "u")
+        means = (
+            assigned.select("cell", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for k in range(IVF_CELLS):
+            if k in by_cell:
+                cents[k] = [by_cell[k][i] for i in range(len(cents[k]))]
+    return cents
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells as the coarse quantizer, queries probe their
+    IVF_NPROBE nearest cells, exact cosine re-ranks inside the probed
+    cells.  At scale the assignment table is written partitioned by cell,
+    so a probe reads ~nprobe/K of the corpus (partition pruning) and the
+    join shuffles only on the small cell key."""
+    emb = (
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .persist()
+    )
+    # quantizer trains on a deterministic ~20% sample (standard IVF
+    # practice — centroid quality converges long before full-corpus cost)
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        _nearest_cell(F.col("u"), cents).alias("cell"),
+    )
+    probe_entries = [
+        F.struct(
+            (-_dot(F.col("u"), F.lit(c))).alias("d"),
+            F.lit(k).alias("c"),
+        )
+        for k, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("qu"),
+            F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+        )
+    )
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    scored = (
+        q.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, None),  # approximate; recall-tested vs brute force
+    "ann_topk_ivf": (ann_topk_ivf, None),  # iterative k-means; recall-tested
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

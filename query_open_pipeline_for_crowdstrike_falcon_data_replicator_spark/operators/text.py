@@ -136,8 +136,56 @@ GROUP BY lang
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the split shape GPT-2-style byte-pair encoders apply before merges
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# rolling hash: tokens -> 60-bit md5-derived values -> left fold
+# (acc*131 + v) mod (2^31-1).  md5 keeps the per-token value engine-
+# portable; the modulus keeps every intermediate product within int64 so
+# the fold is overflow-free under ANSI semantics in both engines.
+_FP_MOD = 2_147_483_647
+_FP_BASE = 131
+
+
+def token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and a rolling-hash
+    document fingerprint, all as one parquet-scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    bpe = F.regexp_extract_all(lower, F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.aggregate(
+            F.transform(
+                _tokens(),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+                % _FP_MOD,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * _FP_BASE + v) % _FP_MOD,
+        ).alias("rolling_fp"),
+    )
+
+
+TOKEN_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_FP_MOD})),
+         (acc, v) -> (acc * {_FP_BASE} + v) % {_FP_MOD}) AS rolling_fp
+FROM documents
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_quality_by_lang": (quality_by_source, QUALITY_BY_SOURCE_SQL),
+    "text_token_fingerprint": (token_fingerprint, TOKEN_FINGERPRINT_SQL),
 }

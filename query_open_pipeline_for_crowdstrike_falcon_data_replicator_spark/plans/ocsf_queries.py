@@ -58,6 +58,38 @@ def ocsf_pipeline_envelopes(spark: SparkSession, _sf_dir: str) -> DataFrame:
     return out
 
 
+N_THROUGHPUT = 100_000
+
+
+def ocsf_normalize_100k(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Normalization throughput probe: 100k synthetic FDR events (the 29
+    fixture shapes cycled JVM-side via spark.range — no driver-side data)
+    pushed through parse -> classify -> all 13 normalizers; returns
+    per-class envelope counts.  The reference's design ceiling is 2,000
+    events/s per stream (QOPCFDR_DataCollectionSupport_CFN.yaml:34); this
+    entry's bench time measures our events/s at the same work."""
+    from ..operators.router import classify, normalized_tables
+    from ..sources.fdr import parse_fdr_lines
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
+    lines = spark.range(N_THROUGHPUT).select(
+        F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
+        .alias("value")
+    )
+    classified = classify(parse_fdr_lines(lines), spark).persist()
+    out = None
+    for key, df in normalized_tables(classified).items():
+        part = df.groupBy("class_name", "class_uid").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.date_format("time", "yyyyMMdd")).alias("n_event_days"),
+        ).withColumn("sink", F.lit(key))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
+    "ocsf_normalize_100k": (ocsf_normalize_100k, None),
 }

@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # OCSF rows have hundreds of *nested* leaf fields; the default
+        # maxFields=100 silently drops whole-stage codegen for every
+        # normalizer projection (~2x slower interpreted eval)
+        .config("spark.sql.codegen.maxFields", "2000")
         .config("spark.sql.parquet.compression.codec", "gzip")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

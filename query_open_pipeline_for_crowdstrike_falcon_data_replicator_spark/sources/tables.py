@@ -38,6 +38,9 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # perf: nested OCSF schemas exceed the default codegen maxFields=100,
+    # which silently disables whole-stage codegen for wide projections
+    spark.conf.set("spark.sql.codegen.maxFields", "2000")
     # NB: spark.locality.wait is a core conf (not runtime-settable); plans
     # that would create single-task stages over parallelized data use
     # repartition (shuffle outputs carry no locality prefs) so they never

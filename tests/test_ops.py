@@ -23,6 +23,7 @@ from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
     TOP_K,
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
 )
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
@@ -87,6 +88,28 @@ def test_ann_lsh_recall(spark, sf_dir):
     for r in lsh:
         if (r.query_id, r.neighbor_id) in bf_cos:
             assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=3/16 cells must keep solid recall against brute
+    force, with exact cosine agreement on overlapping pairs."""
+    bf = ann_topk_bruteforce(spark, sf_dir).collect()
+    ivf = ann_topk_ivf(spark, sf_dir).collect()
+    bf_sets, ivf_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        assert 1 <= r.rank <= TOP_K
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & ivf_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    assert hits / total >= 0.5, f"IVF recall collapsed: {hits}/{total}"
+    bf_cos = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            # bf divides by norms, ivf pre-normalizes: the two roundings
+            # can land one ulp of the 4th decimal apart
+            assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) <= 1e-4 + 1e-9
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
