@@ -29,6 +29,12 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         pass
 
     try:
+        from .operators.temporal import TEMPORAL_QUERIES
+
+        merged.update(TEMPORAL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from .operators.dedup import DEDUP_QUERIES
 
         merged.update(DEDUP_QUERIES)
