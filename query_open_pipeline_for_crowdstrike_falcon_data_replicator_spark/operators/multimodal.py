@@ -123,7 +123,103 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("resized_bytes", LongType()),
+    StructField("resized_head_hex", StringType()),
+])
+
+
+def resize_images(
+    bin_df: DataFrame, width: int = 16, height: int = 16, *,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched resize.  The real path would decode -> resample ->
+    re-encode (decode_image_batch stub); the deterministic fake nearest-
+    neighbor-samples the payload bytes to exactly width*height bytes, so
+    batch shape, output schema and partitioning behave like the real op."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            if not deterministic_fake:
+                decode_image_batch(pdf["payload"])
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                idx = (np.arange(target) * len(buf) // target) % max(len(buf), 1)
+                out = buf[idx] if len(buf) else np.zeros(target, dtype=np.uint8)
+                rows.append(
+                    (int(doc_id), width, height, int(out.size), out[:4].tobytes().hex())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "resized_bytes", "resized_head_hex"],
+            )
+
+    return bin_df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_bytes", LongType()),
+    StructField("frame_head_hex", StringType()),
+])
+
+FRAME_SIZE = 64  # fake codec: fixed-size frames
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def sample_frames(
+    bin_df: DataFrame, *, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling: 1 input row -> N frame rows (the row-expanding
+    mapInPandas shape).  The fake codec treats the payload as fixed-size
+    frames and emits every ``stride``-th one; a real decoder slots into the
+    same generator."""
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not deterministic_fake:
+                decode_image_batch(pdf["payload"])
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max((len(raw) + frame_size - 1) // frame_size, 1)
+                for f in range(0, n_frames, stride):
+                    chunk = raw[f * frame_size : (f + 1) * frame_size]
+                    rows.append((int(doc_id), f, len(chunk), chunk[:4].hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_head_hex"]
+            )
+
+    return bin_df.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the corpus then aggregate per doc (frames sampled,
+    bytes covered) — exercises the 1->N Arrow expansion plus a downstream
+    shuffle over the expanded rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs).repartition("doc_id"))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum("frame_bytes").alias("bytes_sampled"),
+        F.min("frame_head_hex").alias("min_head_hex"),
+    )
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, None),  # Pandas-UDF path
+    "multimodal_frames": (multimodal_frames, None),  # 1->N Arrow expansion
 }

@@ -460,7 +460,39 @@ FROM events
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pre-training data-quality pass): row counts,
+    exact distincts, null counts, ranges — one scan, one partial-agg
+    shuffle.  The HLL approx variant is accuracy-tested in tests
+    (approx results can't hash-match a DuckDB oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_prices"),
+        _r2(F.min("o_totalprice")).alias("min_price"),
+        _r2(F.max("o_totalprice")).alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "profile_orders": (profile_orders, PROFILE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

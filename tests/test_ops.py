@@ -126,6 +126,45 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert out[doc_id].byte_mean == pytest.approx(round(float(arr.mean()), 3))
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        FRAME_SIZE,
+        FRAME_STRIDE,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    bin_df = with_binary_payload(docs)
+    resized = {r.doc_id: r for r in resize_images(bin_df, 8, 8).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(resized) == set(texts)
+    for r in resized.values():
+        assert r.resized_bytes == 64 and r.width == 8 and r.height == 8
+
+    frames = sample_frames(bin_df).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_idx % FRAME_STRIDE == 0
+        assert 0 < r.frame_bytes <= FRAME_SIZE
+    for doc_id, text in texts.items():
+        n_frames = max((len(text.encode()) + FRAME_SIZE - 1) // FRAME_SIZE, 1)
+        expected = len(range(0, n_frames, FRAME_STRIDE))
+        assert len(by_doc[doc_id]) == expected, doc_id
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL sketch (approx_count_distinct) stays within its documented
+    relative error vs the exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count_distinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
 def test_decode_stub_raises(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         decode_image_batch(None)
