@@ -406,6 +406,55 @@ GROUP BY user_id, session_seq
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (30-min gap) — the same operator
+    Structured Streaming uses for stateful session aggregation; here in
+    batch with an exact gaps-and-islands oracle.  One shuffle on
+    (user_id, merged session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# oracle: session boundaries via gaps-and-islands; session_end is
+# last event + the 30-minute gap (Spark's session_window end semantics)
+EVENTS_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN datediff('second', lag(ts) OVER w, ts) IS NULL
+                OR datediff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 def events_ocsf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's normalization shape applied to the generic event feed:
     discriminator coalesce (P1), decode map (X2), ``type_uid =
@@ -506,5 +555,6 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "set_ops_nations": (set_ops_nations, SETOPS_SQL),
     "events_daily_agg": (events_daily_agg, EVENTS_DAILY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
+    "events_session_window": (events_session_window, EVENTS_SESSION_WINDOW_SQL),
     "events_ocsf_envelope": (events_ocsf_envelope, EVENTS_ENVELOPE_SQL),
 }

@@ -1,10 +1,15 @@
 """Structured Streaming driver: same normalizers, foreachBatch fan-out,
-availableNow catch-up trigger (SURVEY.md §3.1 / Phase 3)."""
+availableNow catch-up trigger (SURVEY.md §3.1 / Phase 3); stateful
+session-window aggregation with watermark."""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+    load_table,
+)
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming import (
     run_stream,
 )
@@ -33,3 +38,48 @@ def test_stream_availablenow(spark, tmp_path, max_files):
     q2.awaitTermination(120)
     n = spark.read.parquet(f"{out}/process_activity").count()
     assert n == EXPECTED_COUNTS["process_activity"]
+
+
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    """Stateful streaming sessionization (session_window + watermark over a
+    file stream) produces exactly the batch session result."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    src = str(tmp_path / "stream_src")
+    ev.select("event_id", "ts", "user_id", "value").repartition(4).write.json(src)
+
+    schema = spark.read.json(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {
+        (r.user_id, r.w.start, r.w.end): r.n_events
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    # batch expectation from the SAME files (JSON serialization truncates
+    # timestamps to millis; the comparison must share that input)
+    expected = {
+        (r.user_id, r.w.start, r.w.end): r.n_events
+        for r in spark.read.schema(schema)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
