@@ -183,12 +183,17 @@ def consumed_keys(pairs: list[tuple[str, Column]]) -> Column:
 
 
 def residual_unmapped(raw: Column, consumed: Column) -> Column:
-    """Everything not consumed -> unmapped map<string,string> (SURVEY.md X7)."""
-    return F.map_filter(
-        raw,
-        lambda k, _v: (~k.isin(*COMMON_CONSUMED_KEYS))
-        & (F.size(F.filter(consumed, lambda x: x == k)) == 0),
-    )
+    """Everything not consumed -> unmapped map<string,string> (SURVEY.md X7).
+
+    array_except instead of map_filter: expressions referenced inside a
+    higher-order-function lambda are inlined per ELEMENT, so a map_filter
+    predicate touching the dynamic ``consumed`` array would rebuild it
+    (with all its when()/map-lookup conditions) once per map entry.
+    array_except evaluates ``consumed`` once per ROW; the remaining
+    per-element work is a plain map lookup."""
+    gone = F.concat(F.array(*[F.lit(k) for k in COMMON_CONSUMED_KEYS]), consumed)
+    keep = F.array_except(F.map_keys(raw), gone)
+    return F.map_from_arrays(keep, F.transform(keep, lambda k: F.element_at(raw, k)))
 
 
 def envelope_cols(
