@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (broadcast dims, parquet filter pushdown, no cartesian
+blowups) must survive refactors — a correct-but-shuffle-heavy plan is a
+regression even when results match."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.skew import (
+    salted_join,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+    load_table,
+)
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_to_scan(spark, sf_dir):
+    plan = _formatted(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_comment" not in plan
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    plan = _formatted(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every base filter is pushed
+    assert plan.count("PushedFilters: [") >= 3
+    assert "PushedFilters: []" not in plan
+
+
+def test_q5_no_shuffle_for_dims(spark, sf_dir):
+    plan = _formatted(q5_local_supplier_volume(spark, sf_dir))
+    # nation/region/supplier/customer all broadcast; only the fact-fact
+    # join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    build = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = {
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(build, "o_custkey").collect()
+    }
+    salted = {
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(orders, build, "o_custkey", salt_n=8).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_scatters_hot_key(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hot = orders.withColumn("o_custkey", F.lit(7))  # everything one key
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+        .filter(F.col("o_custkey") == 7)
+    )
+    joined = salted_join(hot, build, "o_custkey", salt_n=8)
+    # the probe side fans the hot key across all 8 salt buckets
+    p = hot.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8)).cast("int"),
+    )
+    n_buckets = p.select("_salt").distinct().count()
+    assert n_buckets == 8
+    assert joined.count() == hot.count()
