@@ -455,6 +455,35 @@ GROUP BY user_id, sid
 """
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts, one column per event type.  The value
+    list is declared (not discovered) so the pivot is a single pass —
+    Spark otherwise runs an extra distinct-collect job to find the pivot
+    values, a full scan to avoid at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+"""
+
+
 def events_ocsf_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's normalization shape applied to the generic event feed:
     discriminator coalesce (P1), decode map (X2), ``type_uid =
@@ -556,5 +585,6 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_daily_agg": (events_daily_agg, EVENTS_DAILY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
     "events_session_window": (events_session_window, EVENTS_SESSION_WINDOW_SQL),
+    "events_pivot_daily": (events_pivot_daily, EVENTS_PIVOT_SQL),
     "events_ocsf_envelope": (events_ocsf_envelope, EVENTS_ENVELOPE_SQL),
 }
