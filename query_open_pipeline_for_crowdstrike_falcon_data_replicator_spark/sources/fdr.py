@@ -44,10 +44,20 @@ def parse_fdr_lines(text_df: DataFrame) -> DataFrame:
     )
 
 
-def read_fdr(spark: SparkSession, path: str) -> DataFrame:
+def read_fdr(
+    spark: SparkSession, path: str, *, ignore_corrupt_files: bool = False
+) -> DataFrame:
     """Batch reader: ``path`` may be a file, directory or glob of .gz/.json
-    NDJSON (the README.md:78 'copy objects' replay workflow, native)."""
-    return parse_fdr_lines(spark.read.text(path))
+    NDJSON (the README.md:78 'copy objects' replay workflow, native).
+
+    ignore_corrupt_files=False (default) aborts on a corrupt gzip member —
+    the reference's object-level BadGzipFile behavior (E1,
+    qopcfdr_stream_loader.py:102-110); True skips the bad object and
+    processes the rest (per-read ``ignoreCorruptFiles`` datasource option)."""
+    reader = spark.read
+    if ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return parse_fdr_lines(reader.text(path))
 
 
 def read_fdr_stream(

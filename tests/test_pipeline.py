@@ -103,3 +103,23 @@ def test_unmapped_residual(spark, ocsf_out):
         "event_simpleName": "ProcessRollup2",
         "SomeUnmappedKey": "v1",
     }
+
+
+def test_corrupt_gzip_file_aborts_and_skips(spark, tmp_path):
+    """E1: a corrupt gzip member aborts the read by default (the
+    reference's object-level BadGzipFile behavior); with
+    ignore_corrupt_files=True the bad object is skipped and every line
+    from the healthy objects survives."""
+    import pytest as _pytest
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.fdr import (
+        read_fdr,
+    )
+
+    from .fdr_fixtures import FIXTURES, write_fixture_files
+
+    src = write_fixture_files(str(tmp_path / "raw"), with_corrupt_file=True)
+    with _pytest.raises(Exception):
+        read_fdr(spark, src).count()
+    n = read_fdr(spark, src, ignore_corrupt_files=True).count()
+    assert n == len(FIXTURES) + 1  # all fixture lines + the corrupt LINE
