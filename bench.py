@@ -49,13 +49,20 @@ def main() -> None:
     # other's cached RDDs (cross-query interference skews per-query times)
     spark.catalog.clearCache()
 
+    # min of 2 runs per query: a single run is hostage to transient
+    # machine load (this box runs a round driver alongside); the minimum
+    # is the standard load-insensitive estimator for warm wall time
     timings: dict[str, float] = {}
     for name, (fn, _sql) in qs:
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
