@@ -24,6 +24,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry import (
+        BENCH_EXCLUDE,
         all_queries,
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
@@ -33,7 +34,9 @@ def main() -> None:
     spark = get_spark(app_name="qopcfdr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = sorted(all_queries().items())
+    qs = sorted(
+        (n, v) for n, v in all_queries().items() if n not in BENCH_EXCLUDE
+    )
 
     # Warmup at the smallest SF: amortizes one-time JVM/codegen costs so the
     # timed pass measures engine work, not JIT.

@@ -89,7 +89,50 @@ def ocsf_normalize_100k(spark: SparkSession, _sf_dir: str) -> DataFrame:
     return out
 
 
+N_ETL = 50_000  # at sf0.1; scaled down linearly for smaller sf dirs
+
+
+def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's core job end-to-end, including the SINK: 50k synthetic
+    FDR events (scaled by the sf in ``sf_dir`` so warmup/correctness runs
+    stay cheap) -> classify -> 13 normalizers -> partitioned
+    (region/accountId/eventDay) GZIP-parquet writes + quarantines -> read
+    the lake back and report per-sink row/partition counts.  This is the
+    Spark replacement for the reference's entire S3->...->Firehose->S3
+    path measured as one number."""
+    import re
+    import tempfile
+
+    from ..pipeline import process_batch
+    from ..sinks.parquet import PARTITION_COLS
+    from ..sources.fdr import parse_fdr_lines
+    from ..sources.tables import ensure_runtime_conf
+    from ..ocsf.schemas import TABLE_KEYS
+
+    ensure_runtime_conf(spark)
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.1
+    n = max(int(N_ETL * min(sf / 0.1, 1.0)), 1000)
+    fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
+    lines = spark.range(n).select(
+        F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
+        .alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="qopcfdr_etl_")
+    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
+    out = None
+    for key in TABLE_KEYS:
+        df = spark.read.parquet(f"{base}/{key}")
+        part = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*PARTITION_COLS).alias("n_partitions"),
+        ).select(F.lit(key).alias("sink"), "n_rows", "n_partitions")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
     "ocsf_normalize_100k": (ocsf_normalize_100k, None),
+    "ocsf_etl_50k": (ocsf_etl_50k, None),
 }

@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Driver-visible queries that bench.py should not TIME: ocsf_etl_50k runs
+# 29 jobs (13 partitioned writes + quarantines + read-backs) whose fixed
+# orchestration overhead (~10s regardless of rows at local scale) would
+# swamp the per-query timings; its correctness still runs every round and
+# the write path is exercised by tests/test_pipeline.py.
+BENCH_EXCLUDE = {"ocsf_etl_50k"}
+
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans.relational import RELATIONAL_QUERIES

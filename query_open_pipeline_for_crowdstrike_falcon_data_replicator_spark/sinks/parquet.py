@@ -39,11 +39,24 @@ def write_ocsf_tables(
     account_id: str = "000000000000",
     mode: str = "append",
     max_records_per_file: int = 5_000_000,
+    concurrency: int = 13,
 ) -> None:
-    """13 partitioned GZIP-parquet writes.  ``maxRecordsPerFile`` plays the
-    Firehose 128 MB buffer's file-sizing role (~1.5 kB/record average,
-    QOPCFDR_SchemaTransformation_CFN.yaml:295)."""
-    for key, df in tables.items():
+    """13 partitioned GZIP-parquet writes, submitted CONCURRENTLY from
+    driver threads (the reference's 13 Firehose streams also ran in
+    parallel): wall time ≈ the slowest sink instead of the sum, and the
+    scheduler interleaves the small per-sink jobs across idle cores.
+    ``maxRecordsPerFile`` plays the Firehose 128 MB buffer's file-sizing
+    role (~1.5 kB/record average, QOPCFDR_SchemaTransformation_CFN.yaml:295)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item):
+        # Direct dynamic-partition write, no pre-shuffle: clustering rows
+        # by target partition first (repartition on the partition cols)
+        # measured ~2x SLOWER here — the extra exchange moves fully-built
+        # nested rows and adds a stage per sink.  Small-files control is
+        # maxRecordsPerFile plus the fact that a micro-batch's rows land
+        # in few eventDay partitions anyway.
+        key, df = item
         (
             with_partition_cols(df, region, account_id)
             .write.partitionBy(*PARTITION_COLS)
@@ -52,6 +65,9 @@ def write_ocsf_tables(
             .mode(mode)
             .parquet(os.path.join(base_path, key))
         )
+
+    with ThreadPoolExecutor(max_workers=max(concurrency, 1)) as pool:
+        list(pool.map(_write, tables.items()))
 
 
 def register_ocsf_tables(
