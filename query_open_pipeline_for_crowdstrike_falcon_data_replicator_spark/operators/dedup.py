@@ -311,9 +311,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash oracle: the signature is md5-derived (portable via DuckDB's
+# CAST('0x'||hex AS BIGINT)), so the ENTIRE banded pipeline — bit votes,
+# 60-bit signature, 4x15-bit band buckets, Hamming<=3 — mirrors exactly.
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range({SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, b.b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band.p AS band,
+         (simhash >> (band.p * 15)) & 32767 AS key
+  FROM sigs, (SELECT unnest(range({SIMHASH_BANDS})) AS p) band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_PAIRS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash, None),  # signature not SQL-portable
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -66,6 +67,10 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("head_hex", StringType()),
     StructField("features", ArrayType(FloatType())),
+    # byte_mean ALSO as float64: the float32 features array is the
+    # realistic embedding payload, but the oracle-checked scalar must not
+    # round-trip through float32
+    StructField("byte_mean", DoubleType()),
 ])
 
 
@@ -95,16 +100,26 @@ def extract_features(bin_df: DataFrame, *, deterministic_fake: bool = True) -> D
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload)[:256], dtype=np.uint8).astype(np.float32)
+                # moments accumulate in float64: integer-valued sums stay
+                # exact, so the rounded mean is engine-reproducible
                 feats = [
-                    float(arr.mean()),
-                    float(arr.std()),
+                    float(arr.mean(dtype=np.float64)),
+                    float(arr.std(dtype=np.float64)),
                     float(arr.min()),
                     float(arr.max()),
                 ]
                 rows.append(
-                    (int(doc_id), len(bytes(payload)), bytes(payload)[:4].hex(), feats)
+                    (
+                        int(doc_id),
+                        len(bytes(payload)),
+                        bytes(payload)[:4].hex(),
+                        feats,
+                        feats[0],
+                    )
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "head_hex", "features"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "head_hex", "features", "byte_mean"]
+            )
 
     return bin_df.mapInPandas(_extract, FEATURE_SCHEMA)
 
@@ -115,12 +130,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bin_df = with_binary_payload(docs).repartition("doc_id")
     feats = extract_features(bin_df)
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        "head_hex",
-        F.round(F.element_at("features", 1).cast("double"), 3).alias("byte_mean"),
-    )
+    # no rounding: the mean is an exact integer sum over one IEEE division,
+    # bit-identical in every engine — rounding would ADD divergence at
+    # decimal half-way points (BigDecimal vs C rounding)
+    return feats.select("doc_id", "n_bytes", "head_hex", "byte_mean")
 
 
 RESIZE_SCHEMA = StructType([
@@ -218,8 +231,30 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle for the Pandas-UDF feature path: the corpus is pure ASCII, so
+# byte values == character code points and DuckDB can recompute the fake
+# decoder's first-256-byte mean + head hex without blob support
+MULTIMODAL_FEATURES_SQL = """
+WITH heads AS (
+  SELECT doc_id, substr(text, 1, 256) AS head,
+         octet_length(encode(text)) AS n_bytes,
+         lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, unicode(substr(head, i.i + 1, 1)) AS code
+  FROM heads, (SELECT unnest(range(256)) AS i) i
+  WHERE i.i < length(head)
+)
+SELECT h.doc_id, h.n_bytes, h.head_hex,
+       avg(c.code) AS byte_mean
+FROM heads h JOIN chars c ON h.doc_id = c.doc_id
+GROUP BY h.doc_id, h.n_bytes, h.head_hex
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
-    "multimodal_features": (multimodal_features, None),  # Pandas-UDF path
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": (multimodal_frames, None),  # 1->N Arrow expansion
 }

@@ -123,7 +123,7 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float32)
         assert out[doc_id].n_bytes == len(payload)
         assert out[doc_id].head_hex == payload[:4].hex()
-        assert out[doc_id].byte_mean == pytest.approx(round(float(arr.mean()), 3))
+        assert out[doc_id].byte_mean == pytest.approx(float(arr.mean()), abs=1e-4)
 
 
 def test_multimodal_resize_and_frames(spark, sf_dir):
