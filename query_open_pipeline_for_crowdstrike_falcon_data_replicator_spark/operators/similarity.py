@@ -277,9 +277,48 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+def _lsh_oracle_sql() -> str:
+    """The LSH path is deterministic (md5-derived hyperplanes are plan
+    literals), so DuckDB can replay it exactly: same sign buckets, same
+    Hamming-1 multi-probe, same cosine re-rank."""
+    plane_rows = ",\n    ".join(
+        "({}, {})".format(p, "[" + ", ".join(str(x) for x in row) + "]")
+        for p, row in enumerate(_planes())
+    )
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(p, pv) AS (VALUES
+    {plane_rows}
+),
+sigs AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN (1 << planes.p) ELSE 0 END) AS INTEGER) AS bucket
+  FROM e, planes GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM sigs WHERE vec_id < {N_QUERIES}),
+probes AS (SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q),
+scored AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv, c.v), 4) AS cosine
+  FROM probes JOIN sigs c USING (bucket)
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
-    "ann_topk_lsh": (ann_topk_lsh, None),  # approximate; recall-tested vs brute force
+    "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, None),  # iterative k-means; recall-tested
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }
