@@ -253,8 +253,38 @@ GROUP BY h.doc_id, h.n_bytes, h.head_hex
 """
 
 
+# oracle for the frame-sampling path: the fake codec's frame geometry is
+# pure arithmetic over the (ASCII) payload length, and frame head bytes
+# are substrings — DuckDB replays the sampled-frame aggregate exactly
+MULTIMODAL_FRAMES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+         greatest(CAST(ceil(octet_length(encode(text)) / {FRAME_SIZE}.0) AS BIGINT), 1) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS f,
+         n_bytes
+  FROM docs
+),
+sized AS (
+  SELECT d.doc_id, f.f,
+         least({FRAME_SIZE}, f.n_bytes - f.f * {FRAME_SIZE}) AS frame_bytes,
+         lower(hex(encode(substr(d.text, f.f * {FRAME_SIZE} + 1, 4)))) AS frame_head_hex
+  FROM frames f JOIN docs d ON f.doc_id = d.doc_id
+)
+SELECT doc_id,
+       count(*) AS n_frames_sampled,
+       CAST(sum(frame_bytes) AS BIGINT) AS bytes_sampled,
+       min(frame_head_hex) AS min_head_hex
+FROM sized
+GROUP BY doc_id
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
-    "multimodal_frames": (multimodal_frames, None),  # 1->N Arrow expansion
+    "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }
