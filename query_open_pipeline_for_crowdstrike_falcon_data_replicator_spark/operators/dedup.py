@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
 NUM_MINHASHES = 32
@@ -61,13 +61,9 @@ def token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (On a real lake the source has many files/row-groups and the scan
     itself is parallel; the repartition is then unnecessary but harmless —
     one corpus-sized shuffle.)"""
-    par = spark.sparkContext.defaultParallelism
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
-    )
+    return spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,8 +248,7 @@ HAMMING_MAX = 3
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash: per distinct token, a 60-bit md5-derived hash votes
     +1/-1 per bit position; the signature takes the majority sign."""
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    docs = spread(spark, load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 TOP_K = 5
 N_QUERIES = 20  # vec_id < 20 form the query set
@@ -56,11 +56,10 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-file parquet -> repartition so the dot-product work fans out
-    par = spark.sparkContext.defaultParallelism
+    # single-file parquet locally -> spread so the dot-product work fans
+    # out; no-op on a many-split production lake
     return (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(par, "vec_id")
+        spread(spark, load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", "label", _vec().alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
     )

@@ -47,6 +47,18 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     # sit out the wait under a caller-built session either.
 
 
+def spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` on ``cols`` ONLY when the scan's natural
+    parallelism is below the cluster's — the local test tables are single
+    parquet files (1 split -> 1 task, serializing any CPU-bound
+    projection), but a production lake has thousands of splits and the
+    same repartition would just burn a full-corpus shuffle."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(par, 8):
+        return df
+    return df.repartition(par, *cols) if cols else df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
