@@ -1,12 +1,8 @@
-"""End-to-end FDR->OCSF pipeline demo, driven the way a user would:
+"""Drive the FDR->OCSF pipeline end-to-end on synthetic gzip NDJSON:
+write fixture objects, run the batch pipeline, register the lake, query
+it with Spark SQL, and print per-sink counts.
 
-1. writes synthetic gzip NDJSON FDR objects into a temp 'bucket' dir,
-2. runs the batch pipeline (classify -> 13 normalizers -> partitioned
-   GZIP parquet + quarantine),
-3. registers the sinks and runs Spark SQL over them (the Athena
-   replacement), printing per-class counts and a sample query.
-
-Usage: python tools/pipeline_demo.py [--stream]
+Usage: python tools/pipeline_demo.py   (~1 min; uses a temp dir)
 """
 
 from __future__ import annotations
@@ -21,7 +17,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> int:
-    from fdr_fixtures import write_fixture_files
+    from fdr_fixtures import EXPECTED_COUNTS, write_fixture_files
 
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.pipeline import (
         run_batch,
@@ -33,37 +29,27 @@ def main() -> int:
         register_ocsf_tables,
     )
 
-    spark = get_spark(app_name="qopcfdr-pipeline-demo", master="local[8]")
+    spark = get_spark(app_name="qopcfdr-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
-    tmp = tempfile.mkdtemp(prefix="qopcfdr-demo-")
-    src = write_fixture_files(os.path.join(tmp, "raw"))
-    out = os.path.join(tmp, "lake")
+    base = tempfile.mkdtemp(prefix="qopcfdr_demo_")
+    src = write_fixture_files(os.path.join(base, "raw"))
+    lake = os.path.join(base, "lake")
+    run_batch(spark, src, lake)
+    views = register_ocsf_tables(spark, lake)
 
-    if "--stream" in sys.argv:
-        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming import (
-            run_stream,
-        )
-
-        q = run_stream(spark, src, out, checkpoint=os.path.join(tmp, "ckpt"))
-        q.awaitTermination(600)
-    else:
-        run_batch(spark, src, out, region="us-east-1", account_id="123456789012")
-
-    tables = register_ocsf_tables(spark, out)
-    print(f"lake at {out}; registered: {tables}")
-    spark.sql(
-        "SELECT class_name, count(*) AS n FROM ocsf_all GROUP BY class_name ORDER BY class_name"
-    ).show(truncate=False)
-    spark.sql(
-        "SELECT metadata.log_name, device.os.type, process.cmd_line "
-        "FROM process_activity WHERE eventDay = '20240610'"
-    ).show(truncate=False)
-    print("quarantine:",
-          {d: spark.read.parquet(f"{out}/_quarantine/{d}").count()
-           for d in ("corrupt_lines", "no_discriminator", "unmapped_events")})
-    spark.stop()
-    return 0
+    bad = 0
+    for key, expected in sorted(EXPECTED_COUNTS.items()):
+        n = spark.sql(f"SELECT count(*) AS n FROM {key}").collect()[0].n
+        ok = n == expected
+        bad += 0 if ok else 1
+        print(f"{key}: {n} rows {'OK' if ok else f'!= expected {expected}'}")
+    total = spark.sql(
+        "SELECT class_name, count(*) AS n FROM ocsf_all GROUP BY 1 ORDER BY 1"
+    )
+    total.show(20, truncate=False)
+    print(f"views registered: {len(views)}; FAILS: {bad}")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
