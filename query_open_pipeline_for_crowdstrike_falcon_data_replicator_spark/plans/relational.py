@@ -455,6 +455,51 @@ GROUP BY user_id, sid
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: complete days come from the
+    'materialized' rollup path (in production a partitioned rollup table
+    refreshed per micro-batch; here the same aggregation plan), the
+    in-progress day is aggregated live from raw, and the two unioned —
+    the TimescaleDB real-time-aggregate semantics on Spark.  The oracle
+    is the straight full-recompute daily aggregate, proving the
+    merge-with-tail decomposition is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.agg(F.max(F.to_date("ts")).alias("last_day"))
+    with_day = ev.withColumn("day", F.to_date("ts")).join(
+        F.broadcast(last_day)
+    )
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_events"),
+        _r2(F.sum("value")).alias("total_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    ]
+    materialized = (
+        with_day.filter(F.col("day") < F.col("last_day"))
+        .groupBy("day", "event_type")
+        .agg(*agg_cols)
+        .withColumn("segment", F.lit("materialized"))
+    )
+    live_tail = (
+        with_day.filter(F.col("day") == F.col("last_day"))
+        .groupBy("day", "event_type")
+        .agg(*agg_cols)
+        .withColumn("segment", F.lit("live"))
+    )
+    return materialized.unionByName(live_tail)
+
+
+EVENTS_HYPERTABLE_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users,
+       CASE WHEN CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+            THEN 'live' ELSE 'materialized' END AS segment
+FROM events
+GROUP BY 1, 2, 6
+"""
+
+
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -586,5 +631,6 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
     "events_session_window": (events_session_window, EVENTS_SESSION_WINDOW_SQL),
     "events_pivot_daily": (events_pivot_daily, EVENTS_PIVOT_SQL),
+    "events_hypertable_rollup": (events_hypertable_rollup, EVENTS_HYPERTABLE_SQL),
     "events_ocsf_envelope": (events_ocsf_envelope, EVENTS_ENVELOPE_SQL),
 }
