@@ -217,6 +217,31 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): totals by
+    (status, priority) and by (status, year) sharing one scan+shuffle."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus", "o_year"]],
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_year",
+        )
+        .agg(_r2(F.sum("o_totalprice")).alias("sum_price"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(o_year AS INTEGER) AS o_year,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
+FROM (SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year, o_totalprice FROM orders)
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus, o_year))
+"""
+
+
 def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: deterministic top-3 orders per customer."""
     o = load_table(spark, sf_dir, "orders")
@@ -622,6 +647,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "agg_rollup_returns": (agg_rollup_returns, ROLLUP_SQL),
     "agg_cube_orders": (agg_cube_orders, CUBE_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
     "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_TOPK_SQL),
     "window_running_revenue": (window_running_revenue, WINDOW_RUNNING_SQL),
     "semi_join_urgent_customers": (semi_join_urgent_customers, SEMI_SQL),
