@@ -87,3 +87,38 @@ def test_salted_join_scatters_hot_key(spark, sf_dir):
     n_buckets = p.select("_salt").distinct().count()
     assert n_buckets == 8
     assert joined.count() == hot.count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key lets the sort-merge join
+    read co-located buckets with NO exchange on either side — the
+    pre-shuffled layout a 100 TB lineitem x orders join would use."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        # hint("merge"): at test scale the optimizer would broadcast the
+        # small side; at 100 TB neither side broadcasts and the SMJ path
+        # under test here is the one that runs
+        j = spark.table("b_lineitem").hint("merge").join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted(j)
+        assert "Exchange" not in plan, plan[:800]
+        n = j.count()
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
