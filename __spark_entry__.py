@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry import (
-    all_queries,
+    driver_queries,
 )
 
 _SF0001 = "/root/testdata/sf0.001"
@@ -28,12 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Curated to 50 entries: the round driver's correctness harness records
+    at most 50, so duplicate-by-construction entries are excluded here
+    (registry.DRIVER_EXCLUDE) while remaining in ``registry.all_queries``
+    for tests, bench, and tools/driver_sim.py."""
+    return {name: fn for name, (fn, _sql) in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (omitted for non-SQL ops)."""
     return {
-        name: sql for name, (_fn, sql) in all_queries().items() if sql is not None
+        name: sql
+        for name, (_fn, sql) in driver_queries().items()
+        if sql is not None
     }

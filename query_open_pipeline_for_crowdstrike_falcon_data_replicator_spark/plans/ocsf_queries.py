@@ -61,6 +61,89 @@ def ocsf_pipeline_envelopes(spark: SparkSession, _sf_dir: str) -> DataFrame:
 N_THROUGHPUT = 100_000
 
 
+def _fixture_class_rows() -> list[tuple[int, str, str, int, str | None]]:
+    """Pure-Python replay of classify() + the envelope day for each fixture:
+    (fixture_idx, sink, class_name, class_uid, event_day).
+
+    Discriminator fallback mirrors sources/fdr.py:parse_fdr_lines, routing
+    mirrors operators/router.py:class_filter, and the day replays
+    functions/timeparse.fdr_timestamp in UTC (the queries pin the session
+    timezone via ensure_runtime_conf).  Drives the DuckDB oracle below."""
+    import math
+    from datetime import datetime, timezone
+
+    from ..functions.timeparse import _SECONDS_LIMIT, TIMESTAMP_SENTINEL
+    from ..ocsf.event_mapping import EVENT_ROWS
+    from ..ocsf.schemas import OCSF_SCHEMAS, TABLE_KEYS
+    from ..sources.sample import FIXTURES
+
+    mapping = {r[0]: r for r in EVENT_ROWS}
+    class_to_key = {
+        OCSF_SCHEMAS[key][0]: key
+        for key in TABLE_KEYS
+        if key != "http_activity_extapi"
+    }
+
+    def day(ts: str | None) -> str | None:
+        if ts is None:
+            return None
+        d = float(ts)
+        secs = d / 1000.0 if d >= _SECONDS_LIMIT else d
+        ms = math.floor(secs * 1000)
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).strftime(
+            "%Y%m%d"
+        )
+
+    rows: list[tuple[int, str, str, int, str | None]] = []
+    for i, e in enumerate(FIXTURES):
+        name = (
+            e.get("event_simpleName") or e.get("event_type") or e.get("EventType")
+        )
+        if not name or name not in mapping:
+            continue  # quarantined (no discriminator / unmapped)
+        m = mapping[name]
+        class_uid, class_name = int(m[3]), str(m[4])
+        if name == "Event_ExternalApiEvent":
+            sink = "http_activity_extapi"
+            d_ = day(e.get("UTCTimestamp"))  # extapi time has no sentinel
+        else:
+            sink = class_to_key[class_name]
+            d_ = day(e.get("timestamp", TIMESTAMP_SENTINEL))
+        rows.append((i, sink, class_name, class_uid, d_))
+    return rows
+
+
+def _normalize_oracle_sql() -> str:
+    """DuckDB replay of ocsf_normalize_100k: the synthetic input is
+    ``range(N) % n_fixtures`` and each fixture's (sink, class, day) is a
+    deterministic function of static data, so the per-class envelope
+    aggregate is VALUES-join arithmetic — an engine-independent recompute
+    of classification + routing + day bucketing at 100k volume."""
+    rows = _fixture_class_rows()
+    n_fix = len(_fixture_lines())
+
+    def lit(d: str | None) -> str:
+        return f"'{d}'" if d is not None else "NULL"
+
+    values = ",\n    ".join(
+        f"({i}, '{sink}', '{cls}', {uid}, {lit(d)})"
+        for i, sink, cls, uid, d in rows
+    )
+    return f"""
+WITH f(idx, sink, class_name, class_uid, event_day) AS (VALUES
+    {values}
+),
+ids AS (SELECT CAST(unnest(range({N_THROUGHPUT})) % {n_fix} AS INTEGER) AS idx)
+SELECT f.class_name,
+       CAST(f.class_uid AS BIGINT) AS class_uid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT f.event_day) AS BIGINT) AS n_event_days,
+       f.sink
+FROM ids JOIN f USING (idx)
+GROUP BY f.class_name, f.class_uid, f.sink
+"""
+
+
 def ocsf_normalize_100k(spark: SparkSession, _sf_dir: str) -> DataFrame:
     """Normalization throughput probe: 100k synthetic FDR events (the 29
     fixture shapes cycled JVM-side via spark.range — no driver-side data)
@@ -133,6 +216,6 @@ def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
-    "ocsf_normalize_100k": (ocsf_normalize_100k, None),
+    "ocsf_normalize_100k": (ocsf_normalize_100k, _normalize_oracle_sql()),
     "ocsf_etl_50k": (ocsf_etl_50k, None),
 }
