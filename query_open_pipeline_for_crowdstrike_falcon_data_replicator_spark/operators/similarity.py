@@ -203,13 +203,14 @@ def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
 def _ivf_train(emb: DataFrame, spark: SparkSession) -> list[list[float]]:
     """Lloyd's iterations, Spark-distributed: assignment is a plan literal
     expression, the centroid update is a two-level (cell, dim) mean — the
-    only driver-side data is the K x DIM centroid matrix itself."""
-    seed = (
-        emb.filter(F.col("vec_id") < IVF_CELLS)
-        .orderBy("vec_id")
-        .select("u")
-        .collect()
-    )
+    only driver-side data is the K x DIM centroid matrix itself.
+
+    Deterministic AND engine-replayable: seeds are the first IVF_CELLS
+    rows of the training set (by vec_id), and each mean is rounded to 6
+    decimals — a distributed float sum is order-dependent at ~1e-15, so
+    the rounding makes the centroids (and every downstream argmin)
+    identical across engines; see _ivf_oracle_sql."""
+    seed = emb.orderBy("vec_id").limit(IVF_CELLS).select("u").collect()
     cents = [list(r["u"]) for r in seed]
     for _ in range(IVF_ITERS):
         assigned = emb.select(_nearest_cell(F.col("u"), cents).alias("cell"), "u")
@@ -221,8 +222,8 @@ def _ivf_train(emb: DataFrame, spark: SparkSession) -> list[list[float]]:
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for k in range(IVF_CELLS):
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = round(r["m"], 6)
+        for k in range(len(cents)):
             if k in by_cell:
                 cents[k] = [by_cell[k][i] for i in range(len(cents[k]))]
     return cents
@@ -315,9 +316,82 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _ivf_oracle_sql() -> str:
+    """Exact DuckDB replay of the IVF pipeline.  Every stage is
+    deterministic: unit vectors are sequential-fold arithmetic (bit-equal
+    across engines), seeds are the first IVF_CELLS training rows by
+    vec_id, each Lloyd mean is rounded to 6 decimals (so the two engines'
+    differently-ordered float sums collapse to the same centroid), and
+    assignment/probing breaks distance ties toward the lower cell — the
+    IVF_ITERS=2 iterations unroll as chained CTEs."""
+    assign = (
+        "SELECT vec_id, u, cell FROM (\n"
+        "    SELECT t.vec_id, t.u, s.cell,\n"
+        "           row_number() OVER (PARTITION BY t.vec_id\n"
+        "               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn\n"
+        "    FROM {src} t CROSS JOIN {cents} s)\n"
+        "  WHERE rn = 1"
+    )
+    mean = (
+        "SELECT cell, i.i AS pos, round(avg(u[i.i]), 6) AS m\n"
+        "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
+        "  GROUP BY cell, i.i"
+    )
+    # empty cells keep their previous centroid (the Spark loop's `if k in
+    # by_cell` branch)
+    update = (
+        "SELECT p.cell, coalesce(g.c, p.c) AS c\n"
+        "  FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c\n"
+        "                           FROM {means} GROUP BY cell) g USING (cell)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+train AS (SELECT vec_id, u FROM u WHERE vec_id % 5 = 0),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
+  FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
+),
+a1 AS ({assign.format(src="train", cents="seed")}),
+m1 AS ({mean.format(assigned="a1", dimp1=DIM + 1)}),
+c1 AS ({update.format(prev="seed", means="m1")}),
+a2 AS ({assign.format(src="train", cents="c1")}),
+m2 AS ({mean.format(assigned="a2", dimp1=DIM + 1)}),
+c2 AS ({update.format(prev="c1", means="m2")}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, u AS cu, cell
+  FROM ({assign.format(src="u", cents="c2")})
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM (
+    SELECT t.vec_id, t.u, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s
+    WHERE t.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(list_dot_product(qu, cu), 4) AS cosine
+  FROM probes JOIN assigned USING (cell)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
-    "ann_topk_ivf": (ann_topk_ivf, None),  # iterative k-means; recall-tested
+    "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }
