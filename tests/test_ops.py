@@ -21,10 +21,13 @@ from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.
     with_binary_payload,
 )
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+    COSINE_NEARDUP_THRESHOLD,
     TOP_K,
     ann_topk_bruteforce,
     ann_topk_ivf,
     ann_topk_lsh,
+    neardup_candidates,
+    neardup_pairs_from,
 )
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
     load_table,
@@ -110,6 +113,79 @@ def test_ann_ivf_recall(spark, sf_dir):
             # bf divides by norms, ivf pre-normalizes: the two roundings
             # can land one ulp of the 4th decimal apart
             assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) <= 1e-4 + 1e-9
+
+
+def _emb_df(spark, rows):
+    """(vec_id, label, vector) -> the (vec_id, label, v, nrm) frame
+    neardup_pairs_from expects."""
+    df = spark.createDataFrame(rows, ["vec_id", "label", "v"])
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    return df.select("vec_id", "label", "v", nrm.alias("nrm"))
+
+
+def _synthetic_clusters():
+    """5 near-dup clusters of 6 perturbed copies (cosine ~0.99+) plus 50
+    random singletons, spread over 3 labels; numpy ground truth below."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for c in range(5):
+        base = rng.normal(size=64)
+        for _ in range(6):
+            v = base + rng.normal(scale=0.03, size=64)
+            rows.append((vid, f"lab{c % 3}", [float(x) for x in v]))
+            vid += 1
+    for _ in range(50):
+        v = rng.normal(size=64)
+        rows.append((vid, f"lab{vid % 3}", [float(x) for x in v]))
+        vid += 1
+    return rows
+
+
+def _exact_pairs(rows):
+    import numpy as np
+
+    out = set()
+    for i, (ia, la, va) in enumerate(rows):
+        for ib, lb, vb in rows[i + 1 :]:
+            if la != lb:
+                continue
+            a, b = np.array(va), np.array(vb)
+            cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+            if cos >= COSINE_NEARDUP_THRESHOLD:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_neardup_lsh_finds_synthetic_clusters(spark):
+    """Banded-LSH candidates + exact verify return exactly the all-pairs
+    ground truth on clustered data (cluster cosines ~0.99 sit far above
+    the banding's miss region)."""
+    rows = _synthetic_clusters()
+    truth = _exact_pairs(rows)
+    assert len(truth) >= 20, "fixture should contain near-dup pairs"
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in neardup_pairs_from(_emb_df(spark, rows)).collect()
+    }
+    assert got == truth
+
+
+def test_neardup_candidates_bounded_on_hot_label(spark):
+    """A hot label of random vectors must NOT go quadratic: the banded
+    blocking admits only the ~B/2^R random-collision fraction of pairs
+    (~6% expected for 8 bands x 8 bits), never the n^2 all-pairs join the
+    round-1 form used."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, "hot", [float(x) for x in rng.normal(size=64)]) for i in range(200)
+    ]
+    n_cand = neardup_candidates(_emb_df(spark, rows)).count()
+    all_pairs = 200 * 199 // 2
+    assert n_cand < 0.15 * all_pairs, f"{n_cand} of {all_pairs} pairs blocked"
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
