@@ -967,3 +967,12 @@ def normalize_class(df: DataFrame, table_key: str) -> DataFrame:
     if cols is not None:
         return df.select(*cols).to(OCSF_SCHEMAS[table_key][2])
     return NORMALIZERS[table_key](df)
+
+
+def class_columns(table_key: str, df: DataFrame) -> list[Column]:
+    """The class's pre-cast projection columns (for the E5 cast-failure
+    split in operators/castcheck.py).  Builds the normalizer plan once if
+    the pure-expression cache is cold."""
+    if table_key not in _COLS_CACHE:
+        NORMALIZERS[table_key](df)
+    return _COLS_CACHE[table_key]

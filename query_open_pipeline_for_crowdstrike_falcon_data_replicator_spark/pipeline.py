@@ -11,9 +11,28 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.router import classify, normalized_tables, unmapped_events
+from .operators.castcheck import split_cast_failures
+from .operators.router import class_filter, classify, unmapped_events
+from .ocsf.schemas import TABLE_KEYS
 from .sinks.parquet import write_ocsf_tables
 from .sources.fdr import corrupt_lines, no_discriminator, parse_fdr_lines, read_fdr
+
+
+def normalized_tables_with_cast_quarantine(
+    classified: DataFrame,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """R3 routing with the E5 side output: per class, rows whose typed
+    cast would silently null a present raw value are DIVERTED to a
+    (sink, bad_fields, value) quarantine frame instead of landing in the
+    table with nulled fields — the reference Firehose's ``failures/``
+    semantics (create_qopcfdr_firehoses.py:137)."""
+    tables: dict[str, DataFrame] = {}
+    failures: DataFrame | None = None
+    for key in TABLE_KEYS:
+        ok, bad = split_cast_failures(classified.filter(class_filter(key)), key)
+        tables[key] = ok
+        failures = bad if failures is None else failures.unionByName(bad)
+    return tables, failures
 
 
 def process_batch(
@@ -32,14 +51,18 @@ def process_batch(
     parsed.persist()
     try:
         classified = classify(parsed, spark)
+        tables, cast_failures = normalized_tables_with_cast_quarantine(classified)
         write_ocsf_tables(
-            normalized_tables(classified),
+            tables,
             base_path,
             region=region,
             account_id=account_id,
             mode=mode,
         )
         quarantine = os.path.join(base_path, "_quarantine")
+        cast_failures.write.mode(mode).parquet(
+            os.path.join(quarantine, "cast_failures")
+        )
         corrupt_lines(parsed).write.mode(mode).parquet(
             os.path.join(quarantine, "corrupt_lines")
         )

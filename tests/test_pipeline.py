@@ -105,6 +105,54 @@ def test_unmapped_residual(spark, ocsf_out):
     }
 
 
+def test_cast_failure_quarantine(spark, tmp_path):
+    """E5: rows whose direct numeric/timestamp cast would silently null a
+    present raw value are DIVERTED to _quarantine/cast_failures (the
+    reference Firehose's failures/ prefix), not written with nulled
+    fields; clean rows are untouched."""
+    import json
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.pipeline import (
+        process_batch,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.fdr import (
+        parse_fdr_lines,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.sample import (
+        FIXTURES,
+    )
+
+    net = next(
+        e for e in FIXTURES if e.get("event_simpleName") == "NetworkConnectIP4"
+    )
+    proc = next(
+        e for e in FIXTURES if e.get("event_simpleName") == "ProcessRollup2"
+    )
+    bad_port = dict(net, RemotePort="80x", id="evt-badport")
+    bad_pid = dict(proc, RawProcessId="not-a-pid", id="evt-badpid")
+    bad_ts = dict(net, timestamp="yesterday", id="evt-badts")
+    lines = [json.dumps(e) for e in (net, proc, bad_port, bad_pid, bad_ts)]
+    out = str(tmp_path / "ocsf")
+    parsed = parse_fdr_lines(
+        spark.createDataFrame([(l,) for l in lines], ["value"]).repartition(1)
+    )
+    process_batch(spark, parsed, out, mode="overwrite")
+
+    q = spark.read.parquet(f"{out}/_quarantine/cast_failures").collect()
+    by_sink = {}
+    for r in q:
+        by_sink.setdefault(r.sink, []).append(sorted(r.bad_fields))
+    assert {k: sorted(v) for k, v in by_sink.items()} == {
+        "network_activity": [["RemotePort"], ["timestamp"]],
+        "process_activity": [["RawProcessId"]],
+    }, by_sink
+    # diverted rows never reach the typed tables; the clean ones do
+    net_rows = spark.read.parquet(f"{out}/network_activity").collect()
+    assert len(net_rows) == 1 and net_rows[0].dst_endpoint.port == 443
+    proc_rows = spark.read.parquet(f"{out}/process_activity").collect()
+    assert len(proc_rows) == 1 and proc_rows[0].process.pid == 4832
+
+
 def test_corrupt_gzip_file_aborts_and_skips(spark, tmp_path):
     """E1: a corrupt gzip member aborts the read by default (the
     reference's object-level BadGzipFile behavior); with
