@@ -33,7 +33,18 @@ def salted_join(
 
     probe_salt_col: column whose hash scatters probe rows (defaults to the
     whole probe row via xxhash64 of all columns — any stable per-row value
-    works; higher cardinality = more even scatter)."""
+    works; higher cardinality = more even scatter).
+
+    Only probe-preserving join types are allowed: the build side is
+    replicated across all salt_n sub-keys, so right/full outer joins
+    would emit every unmatched build row salt_n times."""
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only (the "
+            f"build side is replicated; right/full would duplicate "
+            f"unmatched build rows), got how={how!r}"
+        )
     if probe_salt_col is None:
         salt_src = F.xxhash64(*[F.col(c) for c in probe.columns])
     elif isinstance(probe_salt_col, str):

@@ -80,9 +80,12 @@ def register_ocsf_tables(
     union_df = None
     for key in table_keys:
         path = os.path.join(base_path, key)
-        if not os.path.isdir(path):
+        # probe via the reader, not os.path: base_path may be an object
+        # store / HDFS URI where local isdir() is always False
+        try:
+            df = spark.read.parquet(path)
+        except Exception:  # AnalysisException: PATH_NOT_FOUND
             continue
-        df = spark.read.parquet(path)
         # partition-type inference turns eventDay=YYYYMMDD into int; pin the
         # lakehouse contract (string, like the Firehose prefix)
         df = df.withColumn("eventDay", F.col("eventDay").cast("string"))

@@ -33,11 +33,52 @@ def test_stream_availablenow(spark, tmp_path, max_files):
     for key, expected in EXPECTED_COUNTS.items():
         n = spark.read.parquet(f"{out}/{key}").count()
         assert n == expected, f"{key}: {n} != {expected}"
-    # restart with no new files -> no duplicates (checkpointed exactly-once)
+    # restart with no new files -> completed batches are not reprocessed.
+    # (At-least-once on a MID-batch failure: the foreachBatch parquet
+    # append is not transactional, same as the reference Firehose path.)
     q2 = run_stream(spark, src, out, checkpoint=str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     n = spark.read.parquet(f"{out}/process_activity").count()
     assert n == EXPECTED_COUNTS["process_activity"]
+
+
+def test_stream_processing_time_cadence(spark, tmp_path):
+    """The reference's continuous cadence (SQS 120 s buffering -> Firehose
+    180 s; QOPCFDR_DataCollectionSupport_CFN.yaml:33-40) maps to a
+    processingTime trigger: the query stays live, drains the source over
+    several micro-batches, and appends without duplication."""
+    import time
+
+    src = write_fixture_files(str(tmp_path / "raw"))
+    out = str(tmp_path / "ocsf")
+    q = run_stream(
+        spark,
+        src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # several files -> several micro-batches
+        trigger={"processingTime": "1 seconds"},  # 120 s in production
+    )
+    try:
+        deadline = time.time() + 240
+        expected = EXPECTED_COUNTS["process_activity"]
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(f"{out}/process_activity").count()
+            except Exception:
+                n = -1  # first batch not yet committed
+            if n == expected and q.lastProgress and q.lastProgress["numInputRows"] == 0:
+                break
+            time.sleep(2)
+        assert n == expected, f"drained {n} != {expected}"
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) > 1, "cadence should produce multiple micro-batches"
+    finally:
+        q.stop()
+    # the continuous query appended each batch exactly once
+    for key, exp in EXPECTED_COUNTS.items():
+        assert spark.read.parquet(f"{out}/{key}").count() == exp, key
 
 
 def test_streaming_session_window(spark, sf_dir, tmp_path):
