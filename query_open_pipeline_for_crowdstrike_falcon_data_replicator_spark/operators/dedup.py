@@ -297,23 +297,41 @@ HAMMING_MAX = 3
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash: per distinct token, a 60-bit md5-derived hash votes
-    +1/-1 per bit position; the signature takes the majority sign."""
+    +1/-1 per bit position; the signature takes the majority sign.
+
+    Bit-count lanes instead of 60 vote aggregates: each token packs its
+    60 bits as 16-bit counter lanes into 15 longs (4 lanes/long), the
+    groupBy sums 15 longs + one token count, and bit b of the signature
+    is set iff 2*lane_count(b) > n_tokens — identical majority votes
+    (vote_b = 2*cnt_b - n), with a 4x narrower aggregate and shuffle row.
+    16-bit lanes are safe to 65k distinct tokens per document."""
     docs = spread(spark, load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
     )
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    voted = toks.groupBy("doc_id").agg(*votes)
+    n_lanes = SIMHASH_BITS // 4  # 15 longs, 4 x 16-bit lanes each
+    packs = []
+    for i in range(n_lanes):
+        lane = None
+        for j in range(4):
+            b = 4 * i + j
+            bit = F.shiftright(h, b).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, 16 * j)
+            lane = term if lane is None else lane + term
+        packs.append(F.sum(lane).alias(f"p{i}"))
+    voted = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), *packs
+    )
     sig = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        cnt = F.shiftright(F.col(f"p{b // 4}"), 16 * (b % 4)).bitwiseAND(
+            F.lit((1 << 16) - 1)
+        )
+        bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = bit if sig is None else sig + bit
     return voted.select("doc_id", sig.alias("simhash"))
 
