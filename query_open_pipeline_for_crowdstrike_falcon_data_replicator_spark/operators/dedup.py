@@ -165,8 +165,10 @@ def jaccard_pairs_from(postings: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings = capped_postings(shingle_postings(spark, sf_dir).persist())
-    return jaccard_pairs_from(postings)
+    # no persist: the int64 postings recompute faster than a cache
+    # materialize+read cycle (split/hash is cheap and fully parallel;
+    # measured 1.5s vs 3.5s at sf0.1)
+    return jaccard_pairs_from(capped_postings(shingle_postings(spark, sf_dir)))
 
 
 JACCARD_SHINGLES_CTE = """
