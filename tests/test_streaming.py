@@ -81,6 +81,70 @@ def test_stream_processing_time_cadence(spark, tmp_path):
         assert spark.read.parquet(f"{out}/{key}").count() == exp, key
 
 
+def test_stateful_threshold_alerts(spark, tmp_path):
+    """Custom cross-batch stateful operator (applyInPandasWithState):
+    per-user cumulative error counts persist across micro-batches and the
+    threshold alert fires exactly once per user, even when the crossing
+    spans batches."""
+    import json as _json
+    import os
+    import time as _time
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.stateful import (
+        error_threshold_alerts,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # user 1: 3 errors in file A + 3 in file B (crosses 5 mid-stream);
+    # user 2: 6 errors all in file A; user 3: only 2 errors (never alerts);
+    # user 4: clicks only.
+    def rows(uid, n_err, n_click, base):
+        out = [
+            {"user_id": uid, "ts": f"2024-06-10T0{base}:0{i}:00", "event_type": "error"}
+            for i in range(n_err)
+        ]
+        out += [
+            {"user_id": uid, "ts": f"2024-06-10T0{base}:1{i}:00", "event_type": "click"}
+            for i in range(n_click)
+        ]
+        return out
+
+    file_a = rows(1, 3, 2, 1) + rows(2, 6, 1, 2) + rows(3, 2, 2, 3) + rows(4, 0, 3, 4)
+    file_b = rows(1, 3, 1, 5)
+    for name, batch in [("a.json", file_a), ("b.json", file_b)]:
+        with open(src / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in batch))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        os.utime(src / name)
+
+    from pyspark.sql import functions as F
+
+    schema = "user_id long, ts string, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    alerts = error_threshold_alerts(stream, threshold=5)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {r.user_id: r for r in spark.sql("SELECT * FROM alerts").collect()}
+    assert set(got) == {1, 2}
+    # user 1 crossed the threshold only once batch B arrived: state
+    # carried 3 errors across the batch boundary
+    assert got[1].n_errors == 6 and str(got[1].first_error_ts).startswith("2024-06-10 01:00")
+    assert got[2].n_errors == 6 and str(got[2].first_error_ts).startswith("2024-06-10 02:00")
+
+
 def test_streaming_session_window(spark, sf_dir, tmp_path):
     """Stateful streaming sessionization (session_window + watermark over a
     file stream) produces exactly the batch session result."""
