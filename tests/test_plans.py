@@ -122,3 +122,39 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """A selective dim-side filter injects a runtime Bloom filter on the
+    fact side of a shuffle join (Spark's runtime row-level filtering) —
+    at 100 TB this prunes fact rows BEFORE the shuffle instead of after
+    the join.  Local data sits under the default creation-side threshold,
+    so the test pins the behavior with the thresholds lowered."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # application side must LOOK big (scan-size floor), creation side
+        # must stay under its 10MB ceiling (default holds at test scale)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1200]
+        # and the filtered join still answers correctly
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
