@@ -397,6 +397,106 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def ivf_build_index(spark: SparkSession, sf_dir: str, index_path: str) -> list[list[float]]:
+    """Materialize the IVF index: train the quantizer, then write the
+    corpus assignment (neighbor_id, unit vector) PARTITIONED BY cell.
+
+    This is the 100 TB serving shape: the index build is one pass + one
+    partitioned write, and a probe reads only its nprobe cell directories
+    (partition pruning — verified in tests), i.e. ~nprobe/K of the corpus
+    per query instead of a full scan.  Returns the centroids (model
+    state, K x DIM floats) for the query side."""
+    emb = (
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .persist()
+    )
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("u").alias("cu"),
+            _nearest_cell(F.col("u"), cents).alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+    emb.unpersist()
+    return cents
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    cents: list[list[float]],
+) -> DataFrame:
+    """Top-k ANN over a persisted IVF index.  ``queries`` carries
+    (query_id, u); each query probes its IVF_NPROBE nearest cells and the
+    ``cell IN (...)``-style join key reaches the parquet scan as a
+    partition filter, so only the probed cell directories are read."""
+    index = spark.read.parquet(index_path)
+    probe_entries = [
+        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
+        for k, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+    q = queries.select(
+        F.col("query_id"),
+        F.col("u").alias("qu"),
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+    )
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    scored = (
+        q.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def ivf_probe_cells(qvec: list[float], cents: list[list[float]]) -> list[int]:
+    """The IVF_NPROBE nearest cells for one query vector — pure Python
+    over the K x DIM model state (same ordering as the plan expression:
+    by -dot then cell)."""
+    scored = sorted(
+        (-sum(a * b for a, b in zip(qvec, c)), k) for k, c in enumerate(cents)
+    )
+    return [k for _, k in scored[:IVF_NPROBE]]
+
+
+def ivf_query_one(
+    spark: SparkSession,
+    index_path: str,
+    qvec: list[float],
+    cents: list[list[float]],
+    query_id: int = -1,
+) -> DataFrame:
+    """Single-query serving path: probe cells computed driver-side (K dot
+    products over model state), so the index scan carries a STATIC
+    ``cell IN (...)`` partition filter — Spark reads only the nprobe cell
+    directories (pinned in tests/test_plans-style assertions)."""
+    cells = ivf_probe_cells(qvec, cents)
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    qu = F.lit(qvec)
+    sim = F.round(_dot(qu, F.col("cu")), 4)
+    return (
+        index.filter(F.col("neighbor_id") != F.lit(query_id))
+        .select(
+            F.lit(query_id).alias("query_id"),
+            "neighbor_id",
+            sim.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(TOP_K)
+    )
+
+
 def _ivf_oracle_sql() -> str:
     """Exact DuckDB replay of the IVF pipeline.  Every stage is
     deterministic: unit vectors are sequential-fold arithmetic (bit-equal

@@ -149,6 +149,46 @@ def test_ann_ivf_recall(spark, sf_dir):
             assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) <= 1e-4 + 1e-9
 
 
+def test_ivf_persisted_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF index (assignment partitioned by cell) serves a
+    query by reading ONLY its nprobe cell directories — the partition
+    filter reaches the scan — and returns exactly the inline IVF rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_build_index,
+        ivf_probe_cells,
+        ivf_query_one,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_build_index(spark, sf_dir, path)
+    assert len(cents) == 16  # the quantizer really has IVF_CELLS centroids
+
+    # take query vec_id=0's unit vector from the index itself
+    row = spark.read.parquet(path).filter(F.col("neighbor_id") == 0).collect()[0]
+    qvec = list(row.cu)
+    cells = ivf_probe_cells(qvec, cents)
+    assert len(set(cells)) == IVF_NPROBE
+
+    df = ivf_query_one(spark, path, qvec, cents, query_id=0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    got = [(r.neighbor_id, r.cosine) for r in df.collect()]
+    inline = {
+        (r.neighbor_id, r.cosine)
+        for r in ann_topk_ivf(spark, sf_dir).collect()
+        if r.query_id == 0
+    }
+    assert set(got) == inline and len(got) == TOP_K
+
+
 def _emb_df(spark, rows):
     """(vec_id, label, vector) -> the (vec_id, label, v, nrm) frame
     neardup_pairs_from expects."""
