@@ -3,7 +3,9 @@ a VANILLA SparkSession (none of our session.py configs), import
 ``__spark_entry__``, run ``entry()`` plus every ``queries()`` entry at the
 given SF, and compare each against its ``oracle_sql()`` via DuckDB.
 
-Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sim.py [sf_dir] [--all]
+(default /root/testdata/sf0.01; --all additionally runs the registry
+entries excluded from the curated 50-entry driver surface)
 """
 
 from __future__ import annotations
@@ -17,7 +19,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -32,6 +36,16 @@ def main() -> int:
 
     con = duckdb_conn(sf_dir)
     qs, osql = e.queries(), e.oracle_sql()
+    if run_all:
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry import (
+            all_queries,
+        )
+
+        for name, (fn, sql) in all_queries().items():
+            if name not in qs:
+                qs[name] = fn
+                if sql is not None:
+                    osql[name] = sql
     fails = 0
     for name, fn in sorted(qs.items()):
         try:
