@@ -183,9 +183,104 @@ FROM documents
 """
 
 
+# curation thresholds: the filter gates a training-data pipeline applies
+# after dedup and language routing
+CURATION_MIN_TOKENS = 30
+CURATION_MIN_DISTINCT = 0.3
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pass as ONE query: exact dedup
+    (canonical = min doc_id per fingerprint) -> language ID -> quality
+    gate (token floor + distinct-ratio floor) -> per-language report of
+    what survived and why the rest was dropped.
+
+    Scale shape: one documents scan computing all per-doc features in a
+    single projection, one window over fingerprint (the dedup shuffle),
+    one final aggregation — no joins, nothing quadratic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    votes = {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    v_en, v_es, v_de = votes["en"], votes["es"], votes["de"]
+    predicted = (
+        F.when((v_en >= v_es) & (v_en >= v_de) & (v_en > 0), "en")
+        .when((v_es >= v_de) & (v_es > 0), "es")
+        .when(v_de > 0, "de")
+        .otherwise("unknown")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_distinct.cast("double") / n_tokens, 4).alias("distinct_ratio"),
+        predicted.alias("predicted_lang"),
+    )
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("fingerprint")
+    )
+    passes = (F.col("n_tokens") >= CURATION_MIN_TOKENS) & (
+        F.col("distinct_ratio") >= CURATION_MIN_DISTINCT
+    )
+    flagged = per_doc.select(
+        "predicted_lang",
+        "n_tokens",
+        canonical.alias("is_canonical"),
+        passes.alias("passes_quality"),
+    )
+    kept = F.col("is_canonical") & F.col("passes_quality")
+    return flagged.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dup_dropped"),
+        F.sum(
+            F.when(F.col("is_canonical") & ~F.col("passes_quality"), 1).otherwise(0)
+        ).alias("n_quality_dropped"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(lower(text)) AS fingerprint,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 4) AS distinct_ratio,
+         CASE WHEN {_V['en']} >= {_V['es']} AND {_V['en']} >= {_V['de']} AND {_V['en']} > 0 THEN 'en'
+              WHEN {_V['es']} >= {_V['de']} AND {_V['es']} > 0 THEN 'es'
+              WHEN {_V['de']} > 0 THEN 'de'
+              ELSE 'unknown' END AS predicted_lang
+  FROM documents
+),
+flagged AS (
+  SELECT predicted_lang, n_tokens,
+         doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical,
+         n_tokens >= {CURATION_MIN_TOKENS}
+           AND distinct_ratio >= {CURATION_MIN_DISTINCT} AS passes_quality
+  FROM per_doc
+)
+SELECT predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(CASE WHEN is_canonical AND NOT passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       CAST(sum(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_canonical AND passes_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM flagged
+GROUP BY predicted_lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_quality_by_lang": (quality_by_source, QUALITY_BY_SOURCE_SQL),
     "text_token_fingerprint": (token_fingerprint, TOKEN_FINGERPRINT_SQL),
+    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
 }

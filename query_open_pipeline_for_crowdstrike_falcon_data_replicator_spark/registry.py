@@ -45,6 +45,9 @@ DRIVER_EXCLUDE = {
     # rows-only sink probe (13 partitioned writes); covered by
     # tests/test_pipeline.py, excluded from bench timing anyway
     "ocsf_etl_50k",
+    # composite of dedup_exact + text_lang_id + text_stats, each already
+    # driver-verified individually; oracle runs in tests/driver_sim --all
+    "corpus_curation",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry
