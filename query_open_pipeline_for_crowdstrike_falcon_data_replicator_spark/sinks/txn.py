@@ -1,0 +1,131 @@
+"""Exactly-once batch commits for the streaming sink (manifest fencing).
+
+The plain ``foreachBatch`` parquet append is at-least-once: a failure
+after some files landed but before the checkpoint advances makes the
+replayed batch append duplicates (same behavior as the reference's
+Firehose path).  This module upgrades that to effectively-once with a
+Delta-style, dependency-free commit protocol over the Hadoop
+FileSystem API (works on local FS, HDFS, s3a://):
+
+1. ``_commits/<id>.done`` exists -> the batch fully committed; skip.
+2. ``_commits/<id>.manifest`` exists -> a previous attempt died
+   mid-publish; delete exactly the listed destination files (no table
+   listing needed), then fall through.
+3. Write the batch's tables under ``_staging/<id>/`` (normal partitioned
+   writes — failures here leave nothing in the tables).
+4. List staging recursively, compute destination paths (same partition
+   subpath, file renamed to ``b<id>-<name>``), write the manifest.
+5. Publish: per-file rename into the table directories.
+6. Write the ``.done`` marker, drop staging + manifest.
+
+A crash at any point either replays from a clean table state (1-3), or
+replays the delete-then-publish of a known file list (4-5) — never a
+duplicate row.  The marker check costs one FS stat per batch; no table
+scans anywhere.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .parquet import write_ocsf_tables
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _list_files(spark: SparkSession, fs, root: str) -> list[str]:
+    """Recursive file listing under root (staging only — small)."""
+    out: list[str] = []
+    it = fs.listFiles(_jpath(spark, root), True)
+    while it.hasNext():
+        st = it.next()
+        if st.isFile():
+            out.append(st.getPath().toUri().getPath())
+    return out
+
+
+def _write_text(spark: SparkSession, fs, path: str, text: str) -> None:
+    stream = fs.create(_jpath(spark, path), True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_text(spark: SparkSession, fs, path: str) -> str:
+    # NB: py4j passes byte[] by value, so stream.read(buf) cannot fill a
+    # Python bytearray — route through IOUtils.toString instead
+    stream = fs.open(_jpath(spark, path))
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def commit_batch_exactly_once(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    base_path: str,
+    batch_id: int,
+    *,
+    region: str = "us-east-1",
+    account_id: str = "000000000000",
+) -> bool:
+    """Publish one micro-batch's tables idempotently.  Returns False when
+    the batch was already committed (replay no-op), True when published."""
+    fs, _ = _fs(spark, base_path)
+    commits = posixpath.join(base_path, "_commits")
+    done = posixpath.join(commits, f"{batch_id}.done")
+    manifest = posixpath.join(commits, f"{batch_id}.manifest")
+    staging = posixpath.join(base_path, "_staging", str(batch_id))
+
+    if fs.exists(_jpath(spark, done)):
+        return False  # fully committed previously — replay is a no-op
+
+    if fs.exists(_jpath(spark, manifest)):
+        # previous attempt died mid-publish: un-publish exactly its files
+        for dest in _read_text(spark, fs, manifest).splitlines():
+            if dest:
+                fs.delete(_jpath(spark, dest), False)
+        fs.delete(_jpath(spark, manifest), False)
+
+    fs.delete(_jpath(spark, staging), True)  # stale partial staging
+    write_ocsf_tables(
+        tables, staging, region=region, account_id=account_id, mode="overwrite"
+    )
+
+    staged = _list_files(spark, fs, staging)
+    moves: list[tuple[str, str]] = []
+    prefix = staging.rstrip("/") + "/"
+    for src in staged:
+        rel = src[len(prefix):] if src.startswith(prefix) else None
+        if rel is None or rel.rsplit("/", 1)[-1].startswith("_"):
+            continue  # _SUCCESS markers stay behind
+        parent, name = (rel.rsplit("/", 1) + [""])[:2] if "/" in rel else ("", rel)
+        dest = posixpath.join(base_path, parent, f"b{batch_id}-{name}")
+        moves.append((src, dest))
+
+    fs.mkdirs(_jpath(spark, commits))
+    _write_text(spark, fs, manifest, "\n".join(dest for _, dest in moves))
+
+    for src, dest in moves:
+        fs.mkdirs(_jpath(spark, dest).getParent())
+        if not fs.rename(_jpath(spark, src), _jpath(spark, dest)):
+            raise IOError(f"rename failed: {src} -> {dest}")
+
+    _write_text(spark, fs, done, "")
+    fs.delete(_jpath(spark, staging), True)
+    fs.delete(_jpath(spark, manifest), False)
+    return True

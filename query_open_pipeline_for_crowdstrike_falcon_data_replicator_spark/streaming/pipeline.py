@@ -26,10 +26,20 @@ def run_stream(
     account_id: str = "000000000000",
     max_files_per_trigger: int | None = 10,
     trigger: dict | None = None,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """Start the streaming pipeline.  ``trigger`` defaults to
     ``availableNow`` (catch-up/replay mode); pass e.g.
-    ``{"processingTime": "120 seconds"}`` for the reference's cadence."""
+    ``{"processingTime": "120 seconds"}`` for the reference's cadence.
+
+    exactly_once=False (default): plain appends — no reprocessing of
+    completed batches, at-least-once on a MID-batch failure (the
+    reference Firehose's semantics).  exactly_once=True: each batch's
+    table files publish through the manifest-fenced commit in
+    ``sinks/txn.py`` (stage -> manifest -> rename -> marker), so a
+    replayed half-written batch first un-publishes its own files —
+    effectively-once for the 13 OCSF tables.  Quarantine side outputs
+    remain append-mode diagnostics in both modes."""
     parsed = read_fdr_stream(spark, input_path, max_files_per_trigger)
 
     def _sink(batch_df, _batch_id: int) -> None:
@@ -37,8 +47,47 @@ def run_stream(
             spark, batch_df, base_path, region=region, account_id=account_id
         )
 
-    writer = parsed.writeStream.foreachBatch(_sink).option(
-        "checkpointLocation", checkpoint
-    )
+    def _sink_txn(batch_df, batch_id: int) -> None:
+        from ..operators.router import classify
+        from ..pipeline import normalized_tables_with_cast_quarantine
+        from ..sinks.txn import commit_batch_exactly_once
+        from ..sources.fdr import corrupt_lines, no_discriminator
+        from ..operators.router import unmapped_events
+        import os
+
+        batch_df.persist()
+        try:
+            classified = classify(batch_df, spark)
+            tables, cast_failures = normalized_tables_with_cast_quarantine(
+                classified
+            )
+            published = commit_batch_exactly_once(
+                spark,
+                tables,
+                base_path,
+                batch_id,
+                region=region,
+                account_id=account_id,
+            )
+            if published:
+                quarantine = os.path.join(base_path, "_quarantine")
+                cast_failures.write.mode("append").parquet(
+                    os.path.join(quarantine, "cast_failures")
+                )
+                corrupt_lines(batch_df).write.mode("append").parquet(
+                    os.path.join(quarantine, "corrupt_lines")
+                )
+                no_discriminator(batch_df).drop("raw").write.mode("append").parquet(
+                    os.path.join(quarantine, "no_discriminator")
+                )
+                unmapped_events(batch_df, spark).write.mode("append").parquet(
+                    os.path.join(quarantine, "unmapped_events")
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = parsed.writeStream.foreachBatch(
+        _sink_txn if exactly_once else _sink
+    ).option("checkpointLocation", checkpoint)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()

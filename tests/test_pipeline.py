@@ -153,6 +153,89 @@ def test_cast_failure_quarantine(spark, tmp_path):
     assert len(proc_rows) == 1 and proc_rows[0].process.pid == 4832
 
 
+def test_txn_commit_replay_idempotent(spark, tmp_path):
+    """Exactly-once sink commit: a replayed batch is a no-op after full
+    commit, and after a simulated MID-publish death (manifest present,
+    files moved, no done marker) the retry un-publishes its own files
+    first — row counts never double."""
+    import glob
+    import json as _json
+    import os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.router import (
+        classify,
+        normalized_tables,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.txn import (
+        commit_batch_exactly_once,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.fdr import (
+        parse_fdr_lines,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.sample import (
+        FIXTURES,
+    )
+
+    base = str(tmp_path / "lake")
+    lines = spark.createDataFrame(
+        [(_json.dumps(e),) for e in FIXTURES], ["value"]
+    ).repartition(1)
+    classified = classify(parse_fdr_lines(lines), spark).persist()
+    tables = normalized_tables(classified)
+
+    assert commit_batch_exactly_once(spark, tables, base, 7) is True
+    count1 = spark.read.parquet(f"{base}/process_activity").count()
+    assert count1 > 0
+
+    # full replay: done marker short-circuits, nothing changes
+    assert commit_batch_exactly_once(spark, tables, base, 7) is False
+    assert spark.read.parquet(f"{base}/process_activity").count() == count1
+
+    # simulated mid-publish death: files are there, manifest restored,
+    # done marker gone -> retry must first delete its own files
+    published = glob.glob(f"{base}/**/b7-*", recursive=True)
+    assert published, "expected b7- prefixed published files"
+    with open(f"{base}/_commits/7.manifest", "w") as f:
+        f.write("\n".join(published))
+    os.remove(f"{base}/_commits/7.done")
+    assert commit_batch_exactly_once(spark, tables, base, 7) is True
+    assert spark.read.parquet(f"{base}/process_activity").count() == count1
+    classified.unpersist()
+
+
+def test_stream_exactly_once_mode(spark, tmp_path):
+    """run_stream(exactly_once=True): normal path lands the same counts
+    as append mode, and a restart with no new input changes nothing."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming import (
+        run_stream,
+    )
+
+    src = write_fixture_files(str(tmp_path / "raw"))
+    out = str(tmp_path / "ocsf")
+    q = run_stream(
+        spark,
+        src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        exactly_once=True,
+    )
+    q.awaitTermination(300)
+    for key, expected in EXPECTED_COUNTS.items():
+        n = spark.read.parquet(f"{out}/{key}").count()
+        assert n == expected, f"{key}: {n} != {expected}"
+    q2 = run_stream(
+        spark,
+        src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        exactly_once=True,
+    )
+    q2.awaitTermination(120)
+    n = spark.read.parquet(f"{out}/process_activity").count()
+    assert n == EXPECTED_COUNTS["process_activity"]
+
+
 def test_corrupt_gzip_file_aborts_and_skips(spark, tmp_path):
     """E1: a corrupt gzip member aborts the read by default (the
     reference's object-level BadGzipFile behavior); with
