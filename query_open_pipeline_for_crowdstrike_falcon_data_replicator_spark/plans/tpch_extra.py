@@ -308,6 +308,68 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# q11': important stock — HAVING vs a scalar fraction of the global total
+# --------------------------------------------------------------------------
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 without partsupp (GERMANY → the EUROPE region in the
+    synthetic dims): per-part revenue shipped by EUROPE suppliers, keeping
+    parts whose value exceeds 0.05% of the regional total.  Q11's
+    distinctive shape is the scalar subquery threshold: here the global
+    total is aggregated FROM the per-part sums (no second fact scan) and
+    attached via a broadcast cross join — one row, zero shuffle.  The
+    comparison stays in exact decimal (``value * 10000 > total``) so
+    neither engine ever rounds the threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(euro_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(p * (1 - d)).alias("value_dec"))
+        # persisted: the scalar total below re-reads this branch; without it
+        # Spark recomputes the whole subtree = a second full lineitem scan.
+        # partkey-grain decimals are ~GBs at SF1000 — cacheable.
+        .persist()
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 10000 > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_dec"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       CAST(round(value_dec, 2) AS DOUBLE) AS value
+FROM per_part
+WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM per_part)
+ORDER BY value DESC, partkey
+"""
+
+
+# --------------------------------------------------------------------------
 # q12': shipping-priority classes — CASE aggregation after fact join
 # --------------------------------------------------------------------------
 def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,6 +797,7 @@ TPCH_EXTRA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q12_priority_classes": (q12_priority_classes, Q12_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),

@@ -48,6 +48,9 @@ DRIVER_EXCLUDE = {
     # composite of dedup_exact + text_lang_id + text_stats, each already
     # driver-verified individually; oracle runs in tests/driver_sim --all
     "corpus_curation",
+    # strict subset of q1's scan-agg shape (filter + global decimal agg, no
+    # grouping); the filtered-global-agg family stays via q14/q17/q19
+    "q6_forecast_revenue",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry
@@ -58,6 +61,7 @@ _DRIVER_FIRST = [
     "multimodal_frames",
     "ocsf_normalize_100k",
     "ann_topk_ivf",
+    "q11_important_stock",
 ]
 
 
