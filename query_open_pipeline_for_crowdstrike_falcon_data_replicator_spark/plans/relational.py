@@ -639,8 +639,41 @@ FROM orders
 """
 
 
+def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (p50/p90/p99 of line price, by return
+    flag) — the distribution half of the profiling pass.  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
+    interpolation, so over integer cents the doubles match bit-for-bit
+    with no rounding step at all.  Exact percentile sorts within each
+    group; at 100 TB swap in ``approx_percentile`` (t-digest, mergeable
+    partial aggs, no sort) — the exact form stays as its yardstick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, 0.5).alias("p50_cents"),
+            F.percentile(cents, 0.9).alias("p90_cents"),
+            F.percentile(cents, 0.99).alias("p99_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PROFILE_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice * 100 AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(l_extendedprice * 100 AS BIGINT), 0.9) AS p90_cents,
+       quantile_cont(CAST(l_extendedprice * 100 AS BIGINT), 0.99) AS p99_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "profile_orders": (profile_orders, PROFILE_SQL),
+    "profile_quantiles": (profile_quantiles, PROFILE_QUANTILES_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

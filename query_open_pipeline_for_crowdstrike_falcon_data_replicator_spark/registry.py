@@ -51,6 +51,9 @@ DRIVER_EXCLUDE = {
     # strict subset of q1's scan-agg shape (filter + global decimal agg, no
     # grouping); the filtered-global-agg family stays via q14/q17/q19
     "q6_forecast_revenue",
+    # profiling family already holds a driver slot via profile_orders; the
+    # quantile half is oracle-verified by tests + driver_sim --all
+    "profile_quantiles",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry

@@ -27,6 +27,8 @@ def run_stream(
     max_files_per_trigger: int | None = 10,
     trigger: dict | None = None,
     exactly_once: bool = False,
+    compact_every: int | None = None,
+    compact_min_files: int = 4,
 ) -> StreamingQuery:
     """Start the streaming pipeline.  ``trigger`` defaults to
     ``availableNow`` (catch-up/replay mode); pass e.g.
@@ -39,13 +41,35 @@ def run_stream(
     ``sinks/txn.py`` (stage -> manifest -> rename -> marker), so a
     replayed half-written batch first un-publishes its own files —
     effectively-once for the 13 OCSF tables.  Quarantine side outputs
-    remain append-mode diagnostics in both modes."""
+    remain append-mode diagnostics in both modes.
+
+    compact_every=N runs the small-file compactor (``sinks/compact.py``)
+    over every OCSF table dir after each N-th batch, inside foreachBatch —
+    the stream is the table's only writer, so the swap window has no
+    concurrent appender.  A crash mid-swap is replayed to convergence by
+    the next compaction pass (manifest fencing)."""
     parsed = read_fdr_stream(spark, input_path, max_files_per_trigger)
 
-    def _sink(batch_df, _batch_id: int) -> None:
+    def _maybe_compact(batch_id: int) -> None:
+        if not compact_every or (batch_id + 1) % compact_every:
+            return
+        import os
+
+        from ..ocsf.schemas import TABLE_KEYS
+        from ..sinks.compact import compact_table
+        from ..sinks.txn import _fs, _jpath
+
+        fs, _ = _fs(spark, base_path)
+        for key in TABLE_KEYS:
+            path = os.path.join(base_path, key)
+            if fs.exists(_jpath(spark, path)):  # table may not exist yet
+                compact_table(spark, path, min_files=compact_min_files)
+
+    def _sink(batch_df, batch_id: int) -> None:
         process_batch(
             spark, batch_df, base_path, region=region, account_id=account_id
         )
+        _maybe_compact(batch_id)
 
     def _sink_txn(batch_df, batch_id: int) -> None:
         from ..operators.router import classify
@@ -83,6 +107,7 @@ def run_stream(
                 unmapped_events(batch_df, spark).write.mode("append").parquet(
                     os.path.join(quarantine, "unmapped_events")
                 )
+            _maybe_compact(batch_id)
         finally:
             batch_df.unpersist()
 

@@ -81,6 +81,50 @@ def test_stream_processing_time_cadence(spark, tmp_path):
         assert spark.read.parquet(f"{out}/{key}").count() == exp, key
 
 
+def test_stream_inline_compaction(spark, tmp_path):
+    """compact_every=N folds the small-file compactor into the stream:
+    after the run, fragmented table partitions are rewritten, counts are
+    unchanged, and no service dirs leak into the table paths."""
+    import os
+
+    import shutil
+
+    src = write_fixture_files(str(tmp_path / "raw"))
+    # duplicate the two fixture objects -> 4 micro-batches, so the same
+    # table partition receives multiple batch file sets
+    for i in range(2):
+        shutil.copy(
+            os.path.join(src, f"fdr_part{i}.gz"),
+            os.path.join(src, f"fdr_part{i + 2}.gz"),
+        )
+    out = str(tmp_path / "ocsf")
+    q = run_stream(
+        spark,
+        src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # one batch per file -> fragmentation
+        exactly_once=True,
+        compact_every=4,
+        compact_min_files=2,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    for key, expected in ((k, 2 * v) for k, v in EXPECTED_COUNTS.items()):
+        n = spark.read.parquet(f"{out}/{key}").count()
+        assert n == expected, f"{key}: {n} != {expected}"
+        assert not os.path.exists(f"{out}/{key}/_compact"), key
+    # at least one multi-batch table got compacted down to c*-named files
+    compacted = [
+        f
+        for key in EXPECTED_COUNTS
+        for _root, _d, files in os.walk(f"{out}/{key}")
+        for f in files
+        if f.startswith("c") and f.endswith(".parquet")
+    ]
+    assert compacted, "no partition was rewritten by the inline compactor"
+
+
 def test_stateful_threshold_alerts(spark, tmp_path):
     """Custom cross-batch stateful operator (applyInPandasWithState):
     per-user cumulative error counts persist across micro-batches and the
