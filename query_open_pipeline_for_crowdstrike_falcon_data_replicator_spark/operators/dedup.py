@@ -290,6 +290,71 @@ DEDUP_MINHASH_SQL = JACCARD_PAIRS_SQL
 
 
 # --------------------------------------------------------------------- #
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------- #
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus (the production
+    shape: a daily increment lands next to a 100 TB corpus; near-dups of
+    existing documents are dropped before ingestion).  Here the corpus is
+    even doc_ids and the batch is odd doc_ids.
+
+    Candidates come from a band-key equi-join between the batch's band
+    keys and the corpus's — never batch x corpus.  At scale the corpus
+    side is a PRE-BUILT index (profiles + band keys persisted partitioned
+    by band, exactly like ``ivf_build_index``): the increment's band keys
+    are dim-sized, so the join broadcasts them and reads only the touched
+    corpus buckets; re-profiling the corpus per batch — or any crossJoin —
+    never happens.  Verification is exact Jaccard on candidate pairs only."""
+    profiles = minhash_profiles(shingle_postings(spark, sf_dir)).persist()
+    is_new = F.col("doc_id") % 2 == 1
+    new_bands = lsh_bands(profiles.filter(is_new))
+    corpus_bands = lsh_bands(profiles.filter(~is_new))
+    candidates = (
+        corpus_bands.alias("a")
+        .join(
+            F.broadcast(new_bands.alias("b")),  # increment side is small
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("corpus_doc"), F.col("b.doc_id").alias("new_doc")
+        )
+        .distinct()
+    )
+    arrays = profiles.select("doc_id", "shingles")
+    sa = arrays.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a"))
+    sb = arrays.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        candidates.join(sa, "corpus_doc")
+        .join(sb, "new_doc")
+        .select("new_doc", "corpus_doc", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# oracle: exact cross-parity Jaccard pairs (same LSH-recall argument as
+# DEDUP_MINHASH_SQL)
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {JACCARD_SHINGLES_CTE.strip()},
+sh AS (SELECT doc_id, sh FROM sh_all),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT b.doc_id AS new_doc, a.doc_id AS corpus_doc, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT new_doc, corpus_doc,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = corpus_doc
+JOIN sizes sb ON sb.doc_id = new_doc
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------- #
 # SimHash (60-bit, banded Hamming candidates)
 # --------------------------------------------------------------------- #
 SIMHASH_BITS = 60
@@ -415,5 +480,6 @@ DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

@@ -277,10 +277,111 @@ GROUP BY predicted_lang
 """
 
 
+# --------------------------------------------------------------------- #
+# Budget-constrained stratified sampling
+# --------------------------------------------------------------------- #
+# Target corpus size as a fraction of total tokens, split evenly across
+# languages: over-represented languages get downsampled toward the
+# per-language budget, small languages keep everything (rate caps at 1).
+SAMPLE_BUDGET_FRACTION = 0.2
+
+
+def corpus_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic budget-constrained stratified sampler: allocate a
+    global token budget (20% of the corpus) evenly across languages,
+    derive each language's keep-rate ``min(1, budget/lang_tokens)``, and
+    keep a document iff ``md5(doc_id) mod 1e6 < rate * 1e6`` — a
+    content-independent coin that is stable across runs, engines, and
+    cluster layouts (no rand(), no sampleBy seed dependence).
+
+    Scale shape: one scan for per-doc token counts, one tiny per-language
+    aggregate (broadcast back), one filter — the sampled subset never
+    shuffles.  The same hash-mod trick is the standard way to carve
+    deterministic held-out splits from a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 1_000_000
+        ).alias("coin"),
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens"),
+        F.count(F.lit(1)).alias("lang_docs"),
+    )
+    n_langs = totals.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("lang_tokens").alias("total_tokens"),
+    )
+    rated = totals.crossJoin(F.broadcast(n_langs)).select(
+        "lang",
+        "lang_tokens",
+        "lang_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("total_tokens") * SAMPLE_BUDGET_FRACTION / F.col("n_langs"))
+            / F.col("lang_tokens"),
+        ).alias("rate"),
+    )
+    kept = F.col("coin") < F.col("rate") * 1_000_000
+    return (
+        per_doc.join(F.broadcast(rated), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("lang_docs").alias("n_docs"),
+            F.first("lang_tokens").alias("lang_tokens"),
+            F.round(F.first("rate"), 6).alias("rate"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+    )
+
+
+CORPUS_SAMPLE_BUDGET_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS coin
+  FROM documents
+),
+totals AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+         count(*) AS lang_docs
+  FROM per_doc GROUP BY lang
+),
+overall AS (
+  SELECT count(*) AS n_langs, CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+  FROM totals
+),
+rated AS (
+  -- CAST: a bare 0.2 literal is DECIMAL in DuckDB; Spark computes the
+  -- rate in doubles, so the oracle must too
+  SELECT lang, lang_tokens, lang_docs,
+         least(CAST(1.0 AS DOUBLE),
+               (total_tokens * CAST({SAMPLE_BUDGET_FRACTION} AS DOUBLE) / n_langs)
+                 / lang_tokens) AS rate
+  FROM totals CROSS JOIN overall
+)
+SELECT p.lang,
+       any_value(lang_docs) AS n_docs,
+       any_value(lang_tokens) AS lang_tokens,
+       round(any_value(rate), 6) AS rate,
+       CAST(sum(CASE WHEN coin < rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN coin < rate * 1000000 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM per_doc p JOIN rated USING (lang)
+GROUP BY p.lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_quality_by_lang": (quality_by_source, QUALITY_BY_SOURCE_SQL),
     "text_token_fingerprint": (token_fingerprint, TOKEN_FINGERPRINT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "corpus_sample_budget": (corpus_sample_budget, CORPUS_SAMPLE_BUDGET_SQL),
 }

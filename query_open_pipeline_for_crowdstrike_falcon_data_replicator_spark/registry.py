@@ -35,8 +35,10 @@ DRIVER_EXCLUDE = {
     "events_daily_agg",
     # manual gaps-and-islands twin of events_session_window (identical output)
     "events_sessionize",
-    # rollup/cube are GROUPING SETS sugar; those two entries stay
+    # the GROUPING SETS family keeps one driver slot (agg_rollup_returns);
+    # cube and explicit grouping-sets are the same Expand-based plan
     "agg_grouping_sets",
+    "agg_cube_orders",
     # strict subset of multimodal_features (mime literal + n_bytes)
     "multimodal_meta",
     # 29-fixture rows-only probe; envelope path driver-verified by
@@ -54,6 +56,10 @@ DRIVER_EXCLUDE = {
     # profiling family already holds a driver slot via profile_orders; the
     # quantile half is oracle-verified by tests + driver_sim --all
     "profile_quantiles",
+    # same profile/band/verify machinery as dedup_minhash_lsh (which keeps
+    # its driver slot); the batch-vs-corpus split is oracle-verified by
+    # tests + driver_sim --all
+    "dedup_incremental",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry
@@ -65,6 +71,7 @@ _DRIVER_FIRST = [
     "ocsf_normalize_100k",
     "ann_topk_ivf",
     "q11_important_stock",
+    "corpus_sample_budget",
 ]
 
 
