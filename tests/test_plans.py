@@ -158,3 +158,37 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_clustered_layout_skips_row_groups(spark, tmp_path):
+    """write_clustered (range-partition + sort on the filter key) gives
+    each parquet row group a narrow min/max on that key, so a pushed
+    point predicate skips whole row groups: the FileSourceScan's
+    numOutputRows is a fraction of the unsorted layout's (which must
+    surface every row group to the post-scan filter)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.layout import (
+        write_clustered,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    write_clustered(li, clustered, "l_partkey", n_files=8)
+    li.repartition(8).write.parquet(unsorted)
+
+    def scan_rows(path):
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("l_partkey") == 777)
+            .select("l_partkey", "l_quantity")
+        )
+        res = df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return len(res), scan.metrics().apply("numOutputRows").value()
+
+    total = li.count()
+    rows_c, scanned_c = scan_rows(clustered)
+    rows_u, scanned_u = scan_rows(unsorted)
+    assert rows_c == rows_u  # same answer from both layouts
+    assert scanned_u == total  # unsorted: no row group is skippable
+    assert scanned_c * 4 <= total  # clustered: most row groups skipped
