@@ -232,3 +232,66 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range bound
+    (state on both sides, late rows expired by the watermark): each user's
+    high-value events join to events of the SAME user within the following
+    6 hours.  The streaming result must equal the batch interval join
+    over the same files."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    src = str(tmp_path / "src")
+    ev.select("event_id", "ts", "user_id", "value").repartition(4).write.json(src)
+    schema = spark.read.json(src).schema
+
+    def sides(reader):
+        base = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+        left = (
+            base.filter(F.col("value") > 250)
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("event_id").alias("l_event"),
+                F.col("ts").alias("l_ts"),
+            )
+            # watermark spans the whole 30-day corpus: batch files are not
+            # time-ordered, so a shorter delay would (deterministically for
+            # one layout, surprisingly after any refactor) drop rows that
+            # arrive behind the advanced watermark and diverge from batch
+            .withWatermark("l_ts", "35 days")
+        )
+        right = base.select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        ).withWatermark("r_ts", "35 days")
+        return left, right
+
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    l_s, r_s = sides(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).json(src)
+    )
+    q = (
+        l_s.join(r_s, cond)
+        .select("l_user", "l_event", "r_event")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+    l_b, r_b = sides(spark.read.schema(schema).json(src))
+    expected = {
+        tuple(r)
+        for r in l_b.join(r_b, cond).select("l_user", "l_event", "r_event").collect()
+    }
+    assert got == expected and len(got) > 0
