@@ -60,6 +60,9 @@ DRIVER_EXCLUDE = {
     # its driver slot); the batch-vs-corpus split is oracle-verified by
     # tests + driver_sim --all
     "dedup_incremental",
+    # approximate by construction (DataSketches HLL/KLL) -> no exact
+    # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
+    "events_sketch_rollup",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry
@@ -81,6 +84,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .operators.dedup import DEDUP_QUERIES
     from .operators.multimodal import MULTIMODAL_QUERIES
     from .operators.similarity import SIMILARITY_QUERIES
+    from .operators.sketches import SKETCH_QUERIES
     from .operators.temporal import TEMPORAL_QUERIES
     from .operators.text import TEXT_QUERIES
     from .plans.ocsf_queries import OCSF_QUERIES
@@ -93,6 +97,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(TEMPORAL_QUERIES)
     merged.update(DEDUP_QUERIES)
     merged.update(TEXT_QUERIES)
+    merged.update(SKETCH_QUERIES)
     merged.update(SIMILARITY_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(OCSF_QUERIES)

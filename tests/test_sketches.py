@@ -1,0 +1,61 @@
+"""Mergeable sketch rollups (operators/sketches.py): merge-consistency
+(unioned daily sketches equal the whole-range sketch) and accuracy vs the
+exact answers they approximate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
+    daily_sketches,
+    sketch_rollup,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_hll_merge_matches_whole_range_sketch(spark, sf_dir):
+    """Merging the daily HLL sketches must give EXACTLY the estimate of one
+    sketch built over the whole range (sketch union is lossless wrt the
+    sketch state, not just approximately right)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        daily_sketches(spark, sf_dir)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    whole = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == whole
+
+
+def test_sketch_rollup_accuracy(spark, sf_dir):
+    """Weekly estimates from merged daily sketches sit within sketch error
+    of the exact answers (HLL lgK=12 ~1.6%; KLL k=200 rank error ~1.7%)."""
+    exact = {
+        r.week: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.weekofyear(F.date_trunc("day", "ts")).alias("week"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    got = sketch_rollup(spark, sf_dir).collect()
+    assert {r.week for r in got} == set(exact)
+    for r in got:
+        e = exact[r.week]
+        assert abs(r.approx_users - e.n_users) <= max(3, 0.05 * e.n_users), r
+        # KLL guarantees RANK error, not value error: the estimate must be
+        # a plausible mid-range value between the exact p40 and p60 bounds
+        span = e.hi - e.lo
+        assert e.lo <= r.approx_p50_value <= e.hi, r
+        assert abs(r.approx_p50_value - e.p50) <= 0.2 * span, r
