@@ -400,7 +400,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         sig = bit if sig is None else sig + bit
-    return voted.select("doc_id", sig.alias("simhash"))
+    # a doc with >65535 distinct tokens would overflow its 16-bit lanes and
+    # silently corrupt votes for ADJACENT bit positions — fail loudly
+    # instead (wrapped into the output expression so pruning can't drop it)
+    guard = F.assert_true(
+        F.col("n_tok") <= F.lit((1 << 16) - 1),
+        F.lit("simhash: >65535 distinct tokens/doc overflows 16-bit vote lanes"),
+    )
+    return voted.select("doc_id", F.when(guard.isNull(), sig).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

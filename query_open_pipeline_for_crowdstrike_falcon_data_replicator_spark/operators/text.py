@@ -62,22 +62,37 @@ FROM documents
 """
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID with deterministic precedence (en > es >
-    de > unknown on ties with zero votes)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _lang_votes() -> dict[str, "F.Column"]:
+    """Per-language stopword vote counts over the tokenized text."""
     t = _tokens()
-    def _vote(markers):
-        return F.size(F.filter(t, lambda x: x.isin(*markers)))
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
-    votes = {lang: _vote(markers) for lang, markers in LANG_MARKERS.items()}
-    v_en, v_es, v_de = votes["en"], votes["es"], votes["de"]
-    predicted = (
+
+def _predicted_lang(votes: dict | None = None) -> "F.Column":
+    """The vote -> language decision with deterministic precedence
+    (en > es > de > unknown on zero-vote ties).  THE single home of the
+    tie-break rule: lang_id and corpus_curation both use it (the SQL twin
+    is ``_PREDICTED_LANG_SQL``)."""
+    v = votes or _lang_votes()
+    v_en, v_es, v_de = v["en"], v["es"], v["de"]
+    return (
         F.when((v_en >= v_es) & (v_en >= v_de) & (v_en > 0), "en")
         .when((v_es >= v_de) & (v_es > 0), "es")
         .when(v_de > 0, "de")
         .otherwise("unknown")
     )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic precedence (en > es >
+    de > unknown on ties with zero votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    votes = _lang_votes()
+    v_en, v_es, v_de = votes["en"], votes["es"], votes["de"]
+    predicted = _predicted_lang(votes)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -95,16 +110,19 @@ _V = {
     for lang, markers in LANG_MARKERS.items()
 }
 
+# SQL twin of _predicted_lang — the one CASE chain every oracle reuses
+_PREDICTED_LANG_SQL = f"""CASE WHEN {_V['en']} >= {_V['es']} AND {_V['en']} >= {_V['de']} AND {_V['en']} > 0 THEN 'en'
+            WHEN {_V['es']} >= {_V['de']} AND {_V['es']} > 0 THEN 'es'
+            WHEN {_V['de']} > 0 THEN 'de'
+            ELSE 'unknown' END"""
+
 LANG_ID_SQL = f"""
 SELECT doc_id,
        lang AS labeled_lang,
        {_V['en']} AS votes_en,
        {_V['es']} AS votes_es,
        {_V['de']} AS votes_de,
-       CASE WHEN {_V['en']} >= {_V['es']} AND {_V['en']} >= {_V['de']} AND {_V['en']} > 0 THEN 'en'
-            WHEN {_V['es']} >= {_V['de']} AND {_V['es']} > 0 THEN 'es'
-            WHEN {_V['de']} > 0 THEN 'de'
-            ELSE 'unknown' END AS predicted_lang
+       {_PREDICTED_LANG_SQL} AS predicted_lang
 FROM documents
 """
 
@@ -204,17 +222,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tokens()
     n_tokens = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
-    votes = {
-        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    v_en, v_es, v_de = votes["en"], votes["es"], votes["de"]
-    predicted = (
-        F.when((v_en >= v_es) & (v_en >= v_de) & (v_en > 0), "en")
-        .when((v_es >= v_de) & (v_es > 0), "es")
-        .when(v_de > 0, "de")
-        .otherwise("unknown")
-    )
+    predicted = _predicted_lang()
     per_doc = docs.select(
         "doc_id",
         F.md5(F.lower(F.col("text"))).alias("fingerprint"),
@@ -253,10 +261,7 @@ WITH per_doc AS (
          len(string_split(lower(text), ' ')) AS n_tokens,
          round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
                / len(string_split(lower(text), ' ')), 4) AS distinct_ratio,
-         CASE WHEN {_V['en']} >= {_V['es']} AND {_V['en']} >= {_V['de']} AND {_V['en']} > 0 THEN 'en'
-              WHEN {_V['es']} >= {_V['de']} AND {_V['es']} > 0 THEN 'es'
-              WHEN {_V['de']} > 0 THEN 'de'
-              ELSE 'unknown' END AS predicted_lang
+         {_PREDICTED_LANG_SQL} AS predicted_lang
   FROM documents
 ),
 flagged AS (

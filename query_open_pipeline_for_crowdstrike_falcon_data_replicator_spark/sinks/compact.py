@@ -38,7 +38,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-from .txn import _fs, _jpath, _read_text, _write_text
+from .txn import _fs, _jpath, _qualified, _read_text, _write_text
 
 _COMPACT_DIR = "_compact"
 _SERVICE_DIRS = ("_compact", "_staging", "_commits")
@@ -46,16 +46,23 @@ _SERVICE_DIRS = ("_compact", "_staging", "_commits")
 
 def _leaf_partitions(spark: SparkSession, fs, root: str) -> dict[str, list]:
     """Map each directory that directly holds data files to its file
-    statuses.  Service dirs and ``_*`` marker files are skipped."""
+    statuses.  Service dirs and ``_*`` marker files are skipped.
+
+    All paths are fully-qualified URI strings (see ``txn._qualified``): a
+    scheme-stripped prefix match would fail on s3a://hdfs:// roots, which
+    would both break the service-dir filter AND hand ``spark.read`` paths
+    that resolve against the wrong (default) filesystem."""
     out: dict[str, list] = {}
     it = fs.listFiles(_jpath(spark, root), True)
-    rootp = root.rstrip("/") + "/"
+    rootp = _qualified(spark, fs, root).rstrip("/") + "/"
     while it.hasNext():
         st = it.next()
         if not st.isFile():
             continue
-        path = st.getPath().toUri().getPath()
-        rel = path[len(rootp):] if path.startswith(rootp) else path
+        path = st.getPath().toString()
+        if not path.startswith(rootp):
+            raise IOError(f"listed file {path} outside root {rootp}")
+        rel = path[len(rootp):]
         if rel.split("/", 1)[0] in _SERVICE_DIRS:
             continue
         if rel.rsplit("/", 1)[-1].startswith("_"):
@@ -139,10 +146,10 @@ def compact_table(
             name = st.getPath().getName()
             if not st.isFile() or name.startswith("_"):
                 continue
-            src = st.getPath().toUri().getPath()
+            src = st.getPath().toString()
             moves.append((src, posixpath.join(part_dir, f"c{token}-{name}")))
             n_staged += 1
-        deletes.extend(st.getPath().toUri().getPath() for st in sts)
+        deletes.extend(st.getPath().toString() for st in sts)
         stats["partitions_compacted"] += 1
         stats["files_before"] += len(sts)
         stats["files_after"] += n_staged

@@ -81,11 +81,17 @@ def register_ocsf_tables(
     for key in table_keys:
         path = os.path.join(base_path, key)
         # probe via the reader, not os.path: base_path may be an object
-        # store / HDFS URI where local isdir() is always False
+        # store / HDFS URI where local isdir() is always False.  Only a
+        # missing sink is skippable — a corrupt or unreadable table must
+        # fail loudly, not silently vanish from the ocsf_all union.
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(path)
-        except Exception:  # AnalysisException: PATH_NOT_FOUND
-            continue
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+                continue
+            raise
         # partition-type inference turns eventDay=YYYYMMDD into int; pin the
         # lakehouse contract (string, like the Firehose prefix)
         df = df.withColumn("eventDay", F.col("eventDay").cast("string"))

@@ -43,14 +43,24 @@ def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
+def _qualified(spark: SparkSession, fs, path: str) -> str:
+    """Fully-qualified URI string (scheme + authority) for ``path`` on
+    ``fs``.  ALL path strings that get compared or stored in a manifest
+    must be qualified: ``toUri().getPath()`` strips the scheme, so on
+    s3a:///hdfs:// a prefix match against the raw base_path silently
+    fails and paths resolve against the wrong filesystem."""
+    return fs.makeQualified(_jpath(spark, path)).toString()
+
+
 def _list_files(spark: SparkSession, fs, root: str) -> list[str]:
-    """Recursive file listing under root (staging only — small)."""
+    """Recursive file listing under root (staging only — small).
+    Returns fully-qualified URI strings."""
     out: list[str] = []
     it = fs.listFiles(_jpath(spark, root), True)
     while it.hasNext():
         st = it.next()
         if st.isFile():
-            out.append(st.getPath().toUri().getPath())
+            out.append(st.getPath().toString())
     return out
 
 
@@ -82,9 +92,16 @@ def commit_batch_exactly_once(
     *,
     region: str = "us-east-1",
     account_id: str = "000000000000",
+    side_outputs: dict[str, DataFrame] | None = None,
 ) -> bool:
     """Publish one micro-batch's tables idempotently.  Returns False when
-    the batch was already committed (replay no-op), True when published."""
+    the batch was already committed (replay no-op), True when published.
+
+    ``side_outputs`` maps a relative path (e.g. ``_quarantine/cast_failures``)
+    to a DataFrame written unpartitioned INSIDE the same staged commit:
+    quarantine rows publish atomically with the tables, so a crash between
+    table publish and quarantine append cannot lose them (the whole batch
+    either replays or is fully done)."""
     fs, _ = _fs(spark, base_path)
     commits = posixpath.join(base_path, "_commits")
     done = posixpath.join(commits, f"{batch_id}.done")
@@ -105,16 +122,21 @@ def commit_batch_exactly_once(
     write_ocsf_tables(
         tables, staging, region=region, account_id=account_id, mode="overwrite"
     )
+    for rel, df in (side_outputs or {}).items():
+        df.write.mode("overwrite").parquet(posixpath.join(staging, rel))
 
     staged = _list_files(spark, fs, staging)
     moves: list[tuple[str, str]] = []
-    prefix = staging.rstrip("/") + "/"
+    prefix = _qualified(spark, fs, staging).rstrip("/") + "/"
+    base_q = _qualified(spark, fs, base_path)
     for src in staged:
         rel = src[len(prefix):] if src.startswith(prefix) else None
-        if rel is None or rel.rsplit("/", 1)[-1].startswith("_"):
+        if rel is None:
+            raise IOError(f"staged file {src} outside staging prefix {prefix}")
+        if rel.rsplit("/", 1)[-1].startswith("_"):
             continue  # _SUCCESS markers stay behind
         parent, name = (rel.rsplit("/", 1) + [""])[:2] if "/" in rel else ("", rel)
-        dest = posixpath.join(base_path, parent, f"b{batch_id}-{name}")
+        dest = posixpath.join(base_q, parent, f"b{batch_id}-{name}")
         moves.append((src, dest))
 
     fs.mkdirs(_jpath(spark, commits))

@@ -72,12 +72,10 @@ def run_stream(
         _maybe_compact(batch_id)
 
     def _sink_txn(batch_df, batch_id: int) -> None:
-        from ..operators.router import classify
+        from ..operators.router import classify, unmapped_events
         from ..pipeline import normalized_tables_with_cast_quarantine
         from ..sinks.txn import commit_batch_exactly_once
         from ..sources.fdr import corrupt_lines, no_discriminator
-        from ..operators.router import unmapped_events
-        import os
 
         batch_df.persist()
         try:
@@ -85,31 +83,46 @@ def run_stream(
             tables, cast_failures = normalized_tables_with_cast_quarantine(
                 classified
             )
-            published = commit_batch_exactly_once(
+            # quarantines ride INSIDE the fenced commit: publishing them
+            # after the done marker would lose them if the driver died in
+            # between (the replay would see .done and skip the batch)
+            commit_batch_exactly_once(
                 spark,
                 tables,
                 base_path,
                 batch_id,
                 region=region,
                 account_id=account_id,
+                side_outputs={
+                    "_quarantine/cast_failures": cast_failures,
+                    "_quarantine/corrupt_lines": corrupt_lines(batch_df),
+                    "_quarantine/no_discriminator": no_discriminator(
+                        batch_df
+                    ).drop("raw"),
+                    "_quarantine/unmapped_events": unmapped_events(
+                        batch_df, spark
+                    ),
+                },
             )
-            if published:
-                quarantine = os.path.join(base_path, "_quarantine")
-                cast_failures.write.mode("append").parquet(
-                    os.path.join(quarantine, "cast_failures")
-                )
-                corrupt_lines(batch_df).write.mode("append").parquet(
-                    os.path.join(quarantine, "corrupt_lines")
-                )
-                no_discriminator(batch_df).drop("raw").write.mode("append").parquet(
-                    os.path.join(quarantine, "no_discriminator")
-                )
-                unmapped_events(batch_df, spark).write.mode("append").parquet(
-                    os.path.join(quarantine, "unmapped_events")
-                )
             _maybe_compact(batch_id)
         finally:
             batch_df.unpersist()
+
+    if compact_every:
+        # repair any compaction interrupted mid-swap in a previous run NOW,
+        # not at the next compact_every-th batch — readers would otherwise
+        # see double-counted partitions until then
+        import os
+
+        from ..ocsf.schemas import TABLE_KEYS
+        from ..sinks.compact import recover_compaction
+        from ..sinks.txn import _fs, _jpath
+
+        fs, _ = _fs(spark, base_path)
+        for key in TABLE_KEYS:
+            path = os.path.join(base_path, key)
+            if fs.exists(_jpath(spark, path)):
+                recover_compaction(spark, path)
 
     writer = parsed.writeStream.foreachBatch(
         _sink_txn if exactly_once else _sink

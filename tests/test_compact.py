@@ -112,3 +112,17 @@ def test_compact_recovery_replays_manifest(spark, tmp_path):
     # second recovery is a no-op (manifest cleared)
     assert recover_compaction(spark, path) is False
     assert not fs.exists(_jpath(spark, posixpath.join(path, "_compact")))
+
+
+def test_compact_uri_table_path(spark, tmp_path):
+    """Regression: a scheme-qualified table path (file:, standing in for
+    s3a://hdfs://) must compact correctly — path comparisons and reads go
+    through fully-qualified URIs, not scheme-stripped strings."""
+    local = str(tmp_path / "tbl")
+    _fragmented_table(spark, local)
+    uri = f"file:{local}"
+    before_rows = sorted(r.id for r in spark.read.parquet(uri).collect())
+    stats = compact_table(spark, uri, min_files=4)
+    assert stats["partitions_compacted"] == 2
+    assert len(_data_files(local)) == stats["files_after"] == 2
+    assert sorted(r.id for r in spark.read.parquet(uri).collect()) == before_rows

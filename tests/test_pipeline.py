@@ -254,3 +254,59 @@ def test_corrupt_gzip_file_aborts_and_skips(spark, tmp_path):
         read_fdr(spark, src).count()
     n = read_fdr(spark, src, ignore_corrupt_files=True).count()
     assert n == len(FIXTURES) + 1  # all fixture lines + the corrupt LINE
+
+
+def test_exactly_once_commit_uri_base_path(spark, tmp_path):
+    """Regression: with a scheme-qualified base path (file:, standing in
+    for s3a://hdfs://), the staged-file prefix match must still see every
+    staged file — a scheme-stripped comparison would publish NOTHING while
+    still writing the done marker (silent batch loss)."""
+    import json as _json
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.router import (
+        classify,
+        normalized_tables,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.txn import (
+        commit_batch_exactly_once,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.fdr import (
+        parse_fdr_lines,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.sample import (
+        FIXTURES,
+    )
+
+    base = f"file:{tmp_path}/lake"
+    lines = spark.createDataFrame(
+        [(_json.dumps(e),) for e in FIXTURES], ["value"]
+    ).repartition(1)
+    classified = classify(parse_fdr_lines(lines), spark).persist()
+    try:
+        assert commit_batch_exactly_once(spark, normalized_tables(classified), base, 3)
+        assert spark.read.parquet(f"{base}/process_activity").count() > 0
+    finally:
+        classified.unpersist()
+
+
+def test_stream_quarantines_ride_the_fenced_commit(spark, tmp_path):
+    """exactly_once mode publishes quarantine side outputs INSIDE the
+    manifest-fenced commit (not as post-marker appends that a replay
+    would skip): the corrupt fixture line lands in _quarantine exactly
+    once, and a no-new-input restart adds nothing."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming import (
+        run_stream,
+    )
+
+    src = write_fixture_files(str(tmp_path / "raw"))
+    out = str(tmp_path / "ocsf")
+    for _ in range(2):  # second run = replay with no new files
+        q = run_stream(
+            spark,
+            src,
+            out,
+            checkpoint=str(tmp_path / "ckpt"),
+            exactly_once=True,
+        )
+        q.awaitTermination(300)
+        assert spark.read.parquet(f"{out}/_quarantine/corrupt_lines").count() == 1
