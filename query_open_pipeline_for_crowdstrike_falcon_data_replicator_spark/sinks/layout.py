@@ -17,7 +17,7 @@ unsorted one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def write_clustered(
@@ -42,6 +42,75 @@ def write_clustered(
     )
     (
         parted.sortWithinPartitions(cluster_col)
+        .write.option("compression", compression)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 8) -> "F.Column":
+    """Interleaved-bit (Morton / Z-order) sort key over ``cols``.
+
+    Each column is first mapped to a rank-based bucket in ``[0, 2**bits)``
+    via its approximate quantile boundaries — rank, not linear, bucketing,
+    so skewed value distributions still spread evenly across buckets.  The
+    boundaries are tiny driver-side model state (``(2**bits - 1) * len(cols)``
+    doubles, same category as IVF centroids); the per-row bucket lookup and
+    bit interleave are pure column expressions, fully codegen'd.
+
+    Sorting by the returned key gives every output file/row group a narrow
+    min/max window on EVERY participating column simultaneously (each is
+    narrowed to ~``range / 2**(log2(n_groups)/len(cols))``), so pushed
+    predicates on ANY of them skip row groups — unlike single-column
+    clustering, which leaves the other columns' stats useless.  This is
+    the multi-dimensional layout a 100 TB fact table filtered on several
+    independent keys (e.g. OCSF ``time`` + ``severity_id``, or lineitem
+    ``l_partkey`` + ``l_suppkey``) wants.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        # bucket = #boundaries <= value (monotone in the value, <= n_buckets-1)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        ).cast("long")
+        for i in range(bits):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 0,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Write ``df`` range-partitioned and sorted by the Z-order key of
+    ``cols`` (see :func:`zorder_key`).  The key column is dropped before
+    the write — it is a layout artifact, not data."""
+    keyed = df.withColumn("_zkey", zorder_key(df, cols, bits=bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    (
+        parted.sortWithinPartitions("_zkey")
+        .drop("_zkey")
         .write.option("compression", compression)
         .mode(mode)
         .parquet(path)

@@ -1,0 +1,286 @@
+"""Snapshot-isolated versioned parquet tables (Delta-lite, no deps).
+
+``sinks/compact.py`` rewrites files in place behind a recovery manifest —
+correct, but readers that list the directory mid-swap need a maintenance
+window.  This module removes that window with the standard lakehouse
+trick (Delta/Iceberg/Hudi): the table's state is an immutable, versioned
+**manifest** (the list of data files), and readers plan from a manifest,
+never from a directory listing.
+
+Layout under the table root::
+
+    _snapshots/v000000000001.json   <- manifest: {"files": [...], ...}
+    _snapshots/v000000000002.json
+    data/<token>/part-*.parquet     <- immutable data files, one dir per write
+
+Protocol:
+
+* **Write** (append/overwrite): land new parquet files under a fresh
+  ``data/<token>/`` dir (a crash here leaves only unreferenced orphans),
+  then commit manifest ``v(N+1)`` = previous file list + new files
+  (append) or new files alone (overwrite).  The commit is
+  check-then-rename with re-read-and-retry on version conflict —
+  optimistic concurrency.  On HDFS the rename is atomic; on S3 a true
+  CAS needs the store's conditional-PUT, which this pure-Hadoop-API
+  module approximates (single-writer pipelines, our streaming case,
+  never race).
+* **Read**: load the latest (or any pinned) manifest and read exactly
+  those files.  Concurrent writes/compactions are invisible until the
+  reader re-plans — snapshot isolation, plus time travel for free.
+* **Compact**: rewrite the current snapshot's small files into few large
+  ones, commit as a new version.  Readers of older versions are
+  untouched; no window, no fencing.
+* **Vacuum**: delete data files referenced by no retained manifest and
+  older than a retention age (the age guard keeps an in-flight writer's
+  not-yet-committed files safe, same rationale as Delta's
+  ``VACUUM ... RETAIN``).
+
+At 100 TB the manifest is the scan-planning index: O(files) JSON instead
+of an object-store LIST per query, and the natural place to attach
+per-file min/max for manifest-level pruning (files carry row counts
+here; column stats are the obvious extension).
+
+Reference parity note: the reference never compacts — its Firehose sink
+(create_qopcfdr_firehoses.py:137) emits 128 MB / 300 s objects and
+Athena lists prefixes at query time.  This module is the beyond-reference
+scale path for the same lake.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .txn import _fs, _jpath, _list_files, _qualified, _read_text, _write_text
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+_COMMIT_RETRIES = 20
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return posixpath.join(path, _SNAP_DIR, f"v{version:012d}.json")
+
+
+def _versions(spark: SparkSession, fs, path: str) -> list[int]:
+    snap_dir = _jpath(spark, posixpath.join(path, _SNAP_DIR))
+    if not fs.exists(snap_dir):
+        return []
+    out = []
+    for st in fs.listStatus(snap_dir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """Latest committed version, or None for a not-yet-created table."""
+    fs, _ = _fs(spark, path)
+    vs = _versions(spark, fs, path)
+    return vs[-1] if vs else None
+
+
+def _load_manifest(spark: SparkSession, fs, path: str, version: int) -> dict:
+    return json.loads(_read_text(spark, fs, _manifest_path(path, version)))
+
+
+def snapshot_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str]:
+    """The (root-relative) data files of a snapshot."""
+    fs, _ = _fs(spark, path)
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            return []
+    return _load_manifest(spark, fs, path, version)["files"]
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Plan a read over exactly one snapshot's file list.
+
+    The returned DataFrame is pinned: concurrent appends, compactions,
+    and (retention permitting) vacuums do not change what it reads."""
+    files = snapshot_files(spark, path, version)
+    if not files:
+        raise FileNotFoundError(f"no snapshot at {path} (version={version})")
+    return spark.read.parquet(*[posixpath.join(path, f) for f in files])
+
+
+def _stage_files(
+    spark: SparkSession, fs, df: DataFrame, path: str
+) -> list[str]:
+    """Write ``df`` into a fresh data/<token>/ dir; return relative paths."""
+    token = uuid.uuid4().hex[:12]
+    out_dir = posixpath.join(path, _DATA_DIR, token)
+    df.write.parquet(out_dir)
+    prefix = _qualified(spark, fs, path).rstrip("/") + "/"
+    rels = []
+    for f in _list_files(spark, fs, out_dir):
+        if not f.startswith(prefix):
+            raise IOError(f"staged file {f} outside table root {prefix}")
+        rel = f[len(prefix):]
+        if not rel.rsplit("/", 1)[-1].startswith("_"):
+            rels.append(rel)
+    return rels
+
+
+def _commit(
+    spark: SparkSession,
+    fs,
+    path: str,
+    new_files: list[str],
+    *,
+    mode: str,
+    meta: dict | None = None,
+) -> int:
+    """Optimistically commit a new manifest; retry on version conflicts.
+
+    Each attempt re-reads the latest version so a lost race against a
+    concurrent append still produces the correct merged file list."""
+    snap_dir = posixpath.join(path, _SNAP_DIR)
+    fs.mkdirs(_jpath(spark, snap_dir))
+    for _ in range(_COMMIT_RETRIES):
+        vs = _versions(spark, fs, path)
+        prev = vs[-1] if vs else None
+        base = (
+            _load_manifest(spark, fs, path, prev)["files"]
+            if (mode == "append" and prev is not None)
+            else []
+        )
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": base + new_files,
+            "committed_at": time.time(),
+            **(meta or {}),
+        }
+        tmp = posixpath.join(snap_dir, f".tmp-{uuid.uuid4().hex}")
+        _write_text(spark, fs, tmp, json.dumps(manifest))
+        final = _jpath(spark, _manifest_path(path, version))
+        # put-if-absent: atomic on HDFS rename; check-then-rename
+        # elsewhere (see module docstring for the S3 CAS caveat)
+        if not fs.exists(final) and fs.rename(_jpath(spark, tmp), final):
+            return version
+        fs.delete(_jpath(spark, tmp), False)  # lost the race — retry
+    raise IOError(f"snapshot commit failed after {_COMMIT_RETRIES} attempts")
+
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Append or overwrite ``df`` as a new table version; returns it."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    fs, _ = _fs(spark, path)
+    new_files = _stage_files(spark, fs, df, path)
+    return _commit(spark, fs, path, new_files, mode=mode)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 0,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the current snapshot into ~``target_files`` larger files
+    and commit the result as a new version.  No reader is disturbed:
+    in-flight queries keep their pinned file list, and time travel to
+    pre-compaction versions still works until vacuum.
+
+    ``target_files=0`` sizes the output from the snapshot's total bytes
+    at ``target_file_bytes`` per file (the 128 MB default matches the
+    reference Firehose buffer ceiling)."""
+    fs, _ = _fs(spark, path)
+    version = current_version(spark, path)
+    if version is None:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    files = _load_manifest(spark, fs, path, version)["files"]
+    if target_files <= 0:
+        total = sum(
+            fs.getFileStatus(_jpath(spark, posixpath.join(path, f))).getLen()
+            for f in files
+        )
+        target_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(*[posixpath.join(path, f) for f in files])
+    new_files = _stage_files(spark, fs, df.repartition(target_files), path)
+    return _commit(
+        spark,
+        fs,
+        path,
+        new_files,
+        mode="overwrite",
+        meta={"compacted_from": version},
+    )
+
+
+def vacuum_snapshots(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_last: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> dict:
+    """Garbage-collect manifests and data files.
+
+    Keeps the last ``keep_last`` manifests; deletes data files referenced
+    by none of them AND older (by FS modification time) than
+    ``min_age_seconds``.  The age guard is what makes vacuum safe to run
+    next to live writers: a writer's freshly staged — but not yet
+    committed — files are unreferenced, and only their age protects them
+    (Delta's ``VACUUM RETAIN`` rationale)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, _ = _fs(spark, path)
+    vs = _versions(spark, fs, path)
+    if not vs:
+        return {"manifests_deleted": 0, "files_deleted": 0}
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    referenced = set()
+    for v in keep:
+        referenced.update(_load_manifest(spark, fs, path, v)["files"])
+
+    prefix = _qualified(spark, fs, path).rstrip("/") + "/"
+    now_ms = time.time() * 1000.0
+    files_deleted = 0
+    data_root = posixpath.join(path, _DATA_DIR)
+    if fs.exists(_jpath(spark, data_root)):
+        it = fs.listFiles(_jpath(spark, data_root), True)
+        doomed = []
+        while it.hasNext():
+            st = it.next()
+            if not st.isFile():
+                continue
+            # _SUCCESS-style markers are never manifest-referenced; they
+            # are swept with their dir below, not counted as data files
+            if st.getPath().getName().startswith("_"):
+                continue
+            rel = st.getPath().toString()[len(prefix):]
+            age_s = (now_ms - st.getModificationTime()) / 1000.0
+            if rel not in referenced and age_s >= min_age_seconds:
+                doomed.append(st.getPath())
+        for p in doomed:
+            fs.delete(p, False)
+            files_deleted += 1
+        # drop any write dir holding no data files anymore (markers only)
+        for st in fs.listStatus(_jpath(spark, data_root)):
+            if not st.isDirectory():
+                continue
+            kids = fs.listStatus(st.getPath())
+            if all(k.getPath().getName().startswith("_") for k in kids):
+                fs.delete(st.getPath(), True)
+    for v in drop:
+        fs.delete(_jpath(spark, _manifest_path(path, v)), False)
+    return {"manifests_deleted": len(drop), "files_deleted": files_deleted}

@@ -192,3 +192,41 @@ def test_clustered_layout_skips_row_groups(spark, tmp_path):
     assert rows_c == rows_u  # same answer from both layouts
     assert scanned_u == total  # unsorted: no row group is skippable
     assert scanned_c * 4 <= total  # clustered: most row groups skipped
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """write_zordered (interleaved-bit key over two columns) narrows every
+    row group's min/max on BOTH columns: a pushed point predicate on
+    either one skips row groups, where single-column clustering only
+    serves its own key and scans everything for the other."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.layout import (
+        write_clustered,
+        write_zordered,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    zordered = str(tmp_path / "zordered")
+    clustered = str(tmp_path / "clustered")
+    write_zordered(li, zordered, ["l_partkey", "l_suppkey"], n_files=64)
+    write_clustered(li, clustered, "l_partkey", n_files=64)
+
+    def scan_rows(path, col, val):
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col(col) == val)
+            .select(col, "l_quantity")
+        )
+        res = df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return len(res), scan.metrics().apply("numOutputRows").value()
+
+    total = li.count()
+    for col, val in (("l_partkey", 777), ("l_suppkey", 42)):
+        rows_z, scanned_z = scan_rows(zordered, col, val)
+        rows_c, scanned_c = scan_rows(clustered, col, val)
+        assert rows_z == rows_c  # same answer from both layouts
+        # z-order: meaningful skipping on EITHER filter column
+        assert scanned_z * 2 <= total, (col, scanned_z, total)
+    # the single-column layout cannot skip on the non-cluster column
+    _, scanned_other = scan_rows(clustered, "l_suppkey", 42)
+    assert scanned_other == total

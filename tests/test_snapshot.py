@@ -1,0 +1,134 @@
+"""Snapshot-isolated versioned tables (sinks/snapshot.py): append /
+overwrite / time travel, reader pinning across compaction, commit
+conflict retry, crash orphans, and retention-guarded vacuum."""
+
+from __future__ import annotations
+
+import posixpath
+
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+    _manifest_path,
+    compact_snapshot,
+    current_version,
+    read_snapshot,
+    snapshot_files,
+    vacuum_snapshots,
+    write_snapshot,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.txn import (
+    _fs,
+    _jpath,
+    _write_text,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_snapshot_append_overwrite_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = write_snapshot(spark, spark.range(0, 10).repartition(2), path)
+    v2 = write_snapshot(spark, spark.range(10, 15).repartition(1), path)
+    assert (v1, v2) == (1, 2)
+    assert _ids(read_snapshot(spark, path)) == list(range(15))
+    assert _ids(read_snapshot(spark, path, version=1)) == list(range(10))
+
+    v3 = write_snapshot(
+        spark, spark.range(100, 103), path, mode="overwrite"
+    )
+    assert current_version(spark, path) == v3 == 3
+    assert _ids(read_snapshot(spark, path)) == [100, 101, 102]
+    # time travel still sees the pre-overwrite state
+    assert _ids(read_snapshot(spark, path, version=2)) == list(range(15))
+
+
+def test_snapshot_reader_pinned_across_compaction(spark, tmp_path):
+    """A planned DataFrame keeps its file list: compaction (a new
+    version) must not change what an in-flight reader returns, and the
+    old version stays readable afterwards (no maintenance window)."""
+    path = str(tmp_path / "tbl")
+    for lo, hi in ((0, 5), (5, 9), (9, 12)):
+        write_snapshot(spark, spark.range(lo, hi).repartition(2), path)
+    pinned = read_snapshot(spark, path)  # plans against v3's file list
+
+    v4 = compact_snapshot(spark, path, target_files=1)
+    assert v4 == 4
+    assert len(snapshot_files(spark, path)) == 1  # 6 files -> 1
+    assert _ids(pinned) == list(range(12))  # pinned reader undisturbed
+    assert _ids(read_snapshot(spark, path)) == list(range(12))
+    assert _ids(read_snapshot(spark, path, version=3)) == list(range(12))
+
+
+def test_snapshot_commit_conflict_retries(spark, tmp_path):
+    """A concurrent writer that claims the next version number forces a
+    re-read-and-retry: the append must land at the version after the
+    interloper's AND include the interloper's files in its merge."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 5), path)
+
+    # interloper: a real append that takes v2
+    write_snapshot(spark, spark.range(5, 8), path)
+    assert current_version(spark, path) == 2
+
+    # our append retries past v2 and merges on top of it
+    v = write_snapshot(spark, spark.range(8, 10), path)
+    assert v == 3
+    assert _ids(read_snapshot(spark, path)) == list(range(10))
+
+
+def test_snapshot_orphans_invisible_then_vacuumed(spark, tmp_path):
+    """Files from a crashed (uncommitted) write are invisible to readers;
+    vacuum removes them once past the retention age — but a fresh orphan
+    (age 0 < min_age) survives, protecting in-flight writers."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 5).repartition(1), path)
+
+    # simulate a crash: stage data files but never commit a manifest
+    spark.range(100, 200).repartition(1).write.parquet(
+        posixpath.join(path, "data", "deadbeef0000")
+    )
+    assert _ids(read_snapshot(spark, path)) == list(range(5))
+
+    fresh = vacuum_snapshots(spark, path, keep_last=1, min_age_seconds=3600)
+    assert fresh["files_deleted"] == 0  # retention guard holds
+    aged = vacuum_snapshots(spark, path, keep_last=1, min_age_seconds=0)
+    assert aged["files_deleted"] >= 1  # orphan dir reclaimed
+    assert _ids(read_snapshot(spark, path)) == list(range(5))
+
+
+def test_snapshot_vacuum_drops_old_versions_keeps_kept(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 6).repartition(3), path)
+    compact_snapshot(spark, path, target_files=1)  # v2
+    write_snapshot(spark, spark.range(6, 8), path)  # v3
+
+    stats = vacuum_snapshots(spark, path, keep_last=2, min_age_seconds=0)
+    assert stats["manifests_deleted"] == 1  # v1 dropped
+    # v1's 3 small files are referenced by nothing kept -> gone
+    assert stats["files_deleted"] == 3
+    fs, _ = _fs(spark, path)
+    assert not fs.exists(_jpath(spark, _manifest_path(path, 1)))
+    # kept versions fully readable
+    assert _ids(read_snapshot(spark, path)) == list(range(8))
+    assert _ids(read_snapshot(spark, path, version=2)) == list(range(6))
+
+
+def test_snapshot_manifest_race_lost_to_marker(spark, tmp_path):
+    """If the next version's manifest appears between our read and our
+    rename (simulated by planting it), the commit must NOT clobber it —
+    it retries to the version after."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 3), path)
+    fs, _ = _fs(spark, path)
+    # plant v2 by hand: an empty-file-list manifest
+    _write_text(
+        spark,
+        fs,
+        _manifest_path(path, 2),
+        '{"version": 2, "mode": "overwrite", "files": []}',
+    )
+    v = write_snapshot(spark, spark.range(3, 6), path)
+    assert v == 3
+    # planted v2 (overwrite, no files) is the append's base: only new rows
+    assert _ids(read_snapshot(spark, path)) == [3, 4, 5]
