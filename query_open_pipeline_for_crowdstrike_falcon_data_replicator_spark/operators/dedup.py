@@ -256,7 +256,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join order puts the tiny candidate-pair set on the build side (AQE
     broadcasts it), so the heavy per-doc shingle arrays are scanned from
     the persisted profile without an extra exchange."""
-    profiles = minhash_profiles(shingle_postings(spark, sf_dir)).persist()
+    profiles = tracked_persist(minhash_profiles(shingle_postings(spark, sf_dir)))
     bands = lsh_bands(profiles)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -305,7 +305,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dim-sized, so the join broadcasts them and reads only the touched
     corpus buckets; re-profiling the corpus per batch — or any crossJoin —
     never happens.  Verification is exact Jaccard on candidate pairs only."""
-    profiles = minhash_profiles(shingle_postings(spark, sf_dir)).persist()
+    profiles = tracked_persist(minhash_profiles(shingle_postings(spark, sf_dir)))
     is_new = F.col("doc_id") % 2 == 1
     new_bands = lsh_bands(profiles.filter(is_new))
     corpus_bands = lsh_bands(profiles.filter(~is_new))
@@ -414,7 +414,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with Hamming distance <= 3 over the 60-bit SimHash,
     via 4x15-bit band buckets (pigeonhole: any pair within distance 3
     agrees on at least one band)."""
-    sigs = simhash_signatures(spark, sf_dir).persist()
+    sigs = tracked_persist(simhash_signatures(spark, sf_dir))
     bands = sigs.select(
         "doc_id",
         "simhash",

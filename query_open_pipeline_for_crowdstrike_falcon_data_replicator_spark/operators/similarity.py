@@ -121,7 +121,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates from same-or-adjacent (Hamming<=1)
     hyperplane buckets, exact cosine re-rank.  The scale path — shuffle on
     16-bit bucket keys instead of a full cross join."""
-    emb = _embedded(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))).persist()
+    emb = tracked_persist(_embedded(spark, sf_dir).withColumn("bucket", _bucket(F.col("v"))))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -226,7 +226,7 @@ def neardup_pairs_from(emb: DataFrame) -> DataFrame:
     all-pairs n^2 of a hot label.  Recall at the 0.9 threshold is
     1-(1-p^R)^B with p = 1-theta/pi: ~93.5% at cosine exactly 0.9, 98.8%
     at 0.95, >99.7% at 0.97+ (real near-dup mass sits there)."""
-    emb = emb.persist()
+    emb = tracked_persist(emb)
     candidates = neardup_candidates(emb)
     va = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -316,10 +316,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.  At scale the assignment table is written partitioned by cell,
     so a probe reads ~nprobe/K of the corpus (partition pruning) and the
     join shuffles only on the small cell key."""
-    emb = (
+    emb = tracked_persist(
         _embedded(spark, sf_dir)
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
-        .persist()
     )
     # quantizer trains on a deterministic ~20% sample (standard IVF
     # practice — centroid quality converges long before full-corpus cost)

@@ -38,8 +38,13 @@ def daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range query answered FROM the daily sketches: distinct users and
-    value quantiles per ISO week, merging each week's 7 daily sketches —
-    the raw feed is never rescanned."""
+    value quantiles per week, merging each week's 7 daily sketches —
+    the raw feed is never rescanned.
+
+    Weeks are keyed by ``date_trunc('week', day)`` (the Monday), not
+    ``weekofyear`` alone: a bare ISO week number collides across years
+    (week 3 of 2025 merging into week 3 of 2026) and mixes years at the
+    52/53 boundary."""
     daily = daily_sketches(spark, sf_dir)
     # KLL ships only a two-sketch scalar merge (no union aggregate like
     # HLL's hll_union_agg), so fold it over the week's collected sketches —
@@ -51,7 +56,7 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
     return (
-        daily.groupBy(F.weekofyear("day").alias("week"))
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
         .agg(
             F.sum("n_events").alias("n_events"),
             F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("approx_users"),

@@ -312,10 +312,12 @@ def corpus_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
             .cast("long") % 1_000_000
         ).alias("coin"),
-        # persisted: rates need the totals pass BEFORE the sampling pass;
-        # caching the doc-grain (id, lang, n_tokens, coin) projection —
-        # a few dozen bytes/doc — beats re-tokenizing the corpus
-    ).persist()
+        # persisted (query-scoped, see session.tracked_persist): rates need
+        # the totals pass BEFORE the sampling pass; caching the doc-grain
+        # (id, lang, n_tokens, coin) projection — a few dozen bytes/doc —
+        # beats re-tokenizing the corpus
+    )
+    per_doc = tracked_persist(per_doc)
     totals = per_doc.groupBy("lang").agg(
         F.sum("n_tokens").alias("lang_tokens"),
         F.count(F.lit(1)).alias("lang_docs"),

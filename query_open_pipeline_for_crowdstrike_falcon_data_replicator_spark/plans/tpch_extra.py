@@ -328,15 +328,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey")
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     d = F.col("l_discount").cast("decimal(18,2)")
-    per_part = (
+    per_part = tracked_persist(
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(euro_nations), supp.s_nationkey == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(p * (1 - d)).alias("value_dec"))
-        # persisted: the scalar total below re-reads this branch; without it
-        # Spark recomputes the whole subtree = a second full lineitem scan.
-        # partkey-grain decimals are ~GBs at SF1000 — cacheable.
-        .persist()
+        # persisted (query-scoped): the scalar total below re-reads this
+        # branch; without it Spark recomputes the whole subtree = a second
+        # full lineitem scan.  partkey-grain decimals are ~GBs at SF1000.
     )
     total = per_part.agg(F.sum("value_dec").alias("total_dec"))
     return (

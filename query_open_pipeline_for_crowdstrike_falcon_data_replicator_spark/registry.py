@@ -8,11 +8,29 @@ are not SQL-expressible — those get a rows-only check).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .session import release_tracked_caches
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _cache_scoped(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's tracked caches before building this
+    one: builders that persist() an intermediate (see
+    ``session.tracked_persist``) stay cached through their own
+    materialization, but a long-lived session running many queries no
+    longer accumulates cached blocks."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 # Driver-visible queries that bench.py should not TIME: ocsf_etl_50k runs
 # 29 jobs (13 partitioned writes + quarantines + read-backs) whose fixed
@@ -101,7 +119,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(SIMILARITY_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(OCSF_QUERIES)
-    return merged
+    return {n: (_cache_scoped(fn), sql) for n, (fn, sql) in merged.items()}
 
 
 def driver_queries() -> dict[str, tuple[QueryFn, str | None]]:

@@ -58,3 +58,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --------------------------------------------------------------------- #
+# Query-scoped cache tracking
+# --------------------------------------------------------------------- #
+# Query builders that persist() an intermediate (minhash profiles, bucketed
+# embeddings, q11's per-part decimals) return a LAZY DataFrame — the caller
+# materializes it after the builder returns, so the builder cannot unpersist
+# in a try/finally the way a self-materializing op (ivf_build_index) can.
+# Instead they register the handle here, and the registry wrapper releases
+# all handles from PREVIOUS queries at the start of the next one — the cache
+# is live for exactly the query that built it, and a long-lived session
+# (driver harness, driver_sim --all) no longer accumulates cached blocks.
+_TRACKED_CACHES: list = []
+
+
+def tracked_persist(df, storage_level=None):
+    """persist() a query-intermediate and register it for release at the
+    next query's start (see note above)."""
+    df.persist(storage_level) if storage_level is not None else df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = 0
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n

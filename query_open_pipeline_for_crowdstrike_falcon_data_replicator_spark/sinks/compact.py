@@ -28,6 +28,16 @@ concurrent with the swap window may see a partition twice-counted for the
 instant between rename-in and delete-old — run per partition during a
 maintenance window, exactly like Hive/Iceberg ``OPTIMIZE`` without a
 metastore lock.
+
+Writer-recovery hazard: a txn.py batch that is published-but-uncommitted
+(``_commits/<id>.manifest`` without ``.done``) lists destination files by
+name; compacting them away and then replaying the batch would re-publish
+it — duplicating its rows.  ``compact_table`` therefore refuses to run
+while any uncommitted batch manifest exists (the streaming pipeline's
+inline ordering — compact only after the batch's ``.done`` — never trips
+this; an out-of-band OPTIMIZE job might, and must wait or finish the
+batch replay first).  ``sinks/snapshot.py`` removes both this hazard and
+the reader window entirely — prefer it for new tables.
 """
 
 from __future__ import annotations
@@ -72,6 +82,22 @@ def _leaf_partitions(spark: SparkSession, fs, root: str) -> dict[str, list]:
     return out
 
 
+def _uncommitted_batches(spark: SparkSession, fs, table_path: str) -> list[str]:
+    """txn.py batch ids that are published-but-uncommitted: a
+    ``_commits/<id>.manifest`` with no ``<id>.done`` marker."""
+    commits = posixpath.join(table_path, "_commits")
+    if not fs.exists(_jpath(spark, commits)):
+        return []
+    names = {
+        st.getPath().getName() for st in fs.listStatus(_jpath(spark, commits))
+    }
+    return sorted(
+        n[: -len(".manifest")]
+        for n in names
+        if n.endswith(".manifest") and f"{n[:-len('.manifest')]}.done" not in names
+    )
+
+
 def recover_compaction(spark: SparkSession, table_path: str) -> bool:
     """Re-apply (or finish) an interrupted compaction swap.  Returns True
     when a manifest was found and applied."""
@@ -107,6 +133,19 @@ def compact_table(
     ``min_files`` data files.  Returns counters for observability."""
     fs, _ = _fs(spark, table_path)
     recover_compaction(spark, table_path)
+
+    # a published-but-uncommitted txn batch lists its destination files by
+    # name; compacting them away would make the batch's crash replay
+    # re-publish (= duplicate) its rows.  Refuse until the batch commits
+    # or its recovery replay runs (see module docstring).
+    pending = _uncommitted_batches(spark, fs, table_path)
+    if pending:
+        raise RuntimeError(
+            f"compact_table: uncommitted batch manifest(s) {pending} under "
+            f"{table_path}/_commits — finish or recover the batch before "
+            "compacting (compaction would orphan the manifest's files and "
+            "the replay would duplicate the batch)"
+        )
 
     parts = {
         d: sts

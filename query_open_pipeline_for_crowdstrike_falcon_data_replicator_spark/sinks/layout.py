@@ -69,6 +69,15 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 8) -> "F.Column":
     """
     if not 1 <= bits <= 16:
         raise ValueError("bits must be in [1, 16]")
+    # the interleaved key must fit a signed long: bit position
+    # bits*len(cols)-1 may not reach the sign bit (position 63), or the
+    # largest Morton keys go negative and sort FIRST — silently breaking
+    # the clustering this helper exists to provide
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} > 63 overflows the long "
+            f"sort key; lower bits to <= {63 // len(cols)} for {len(cols)} columns"
+        )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     z = F.lit(0).cast("long")

@@ -19,11 +19,18 @@ Protocol:
   ``data/<token>/`` dir (a crash here leaves only unreferenced orphans),
   then commit manifest ``v(N+1)`` = previous file list + new files
   (append) or new files alone (overwrite).  The commit is
-  check-then-rename with re-read-and-retry on version conflict —
-  optimistic concurrency.  On HDFS the rename is atomic; on S3 a true
-  CAS needs the store's conditional-PUT, which this pure-Hadoop-API
-  module approximates (single-writer pipelines, our streaming case,
-  never race).
+  **create-exclusive** (``fs.create(path, overwrite=False)``) with
+  re-read-and-retry on version conflict — optimistic concurrency.
+  Create-exclusive is atomic on HDFS AND the local filesystem (unlike
+  rename, which POSIX lets clobber an existing destination, so two
+  concurrent committers could both "win" and silently lose a manifest).
+  The residual hazard is a committer dying mid-write, leaving a
+  truncated manifest at its version slot; readers skip unparseable
+  manifests and writers reap them once they are older than
+  ``CORRUPT_MANIFEST_MIN_AGE_S`` (age-guarded so a slow-but-alive
+  writer is never killed mid-write).  On S3 a true CAS needs the
+  store's conditional-PUT; s3a translates create-exclusive to a HEAD +
+  PUT, fine for the single-writer streaming case.
 * **Read**: load the latest (or any pinned) manifest and read exactly
   those files.  Concurrent writes/compactions are invisible until the
   reader re-plans — snapshot isolation, plus time travel for free.
@@ -55,11 +62,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .txn import _fs, _jpath, _list_files, _qualified, _read_text, _write_text
+from .txn import _fs, _jpath, _list_files, _qualified, _read_text
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 _COMMIT_RETRIES = 20
+# a manifest that exists but does not parse is a committer that died
+# mid-write; writers may reclaim its version slot only once it is this
+# old (a live writer finishes its ~KB write in milliseconds)
+CORRUPT_MANIFEST_MIN_AGE_S = 60.0
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -79,14 +90,59 @@ def _versions(spark: SparkSession, fs, path: str) -> list[int]:
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:
-    """Latest committed version, or None for a not-yet-created table."""
+    """Latest committed version, or None for a not-yet-created table.
+
+    Walks down past unparseable trailing manifests (a committer that died
+    mid-create-exclusive): readers see the last fully-committed state."""
     fs, _ = _fs(spark, path)
-    vs = _versions(spark, fs, path)
-    return vs[-1] if vs else None
+    for v in reversed(_versions(spark, fs, path)):
+        try:
+            _load_manifest(spark, fs, path, v)
+        except ValueError:
+            continue
+        return v
+    return None
 
 
 def _load_manifest(spark: SparkSession, fs, path: str, version: int) -> dict:
-    return json.loads(_read_text(spark, fs, _manifest_path(path, version)))
+    text = _read_text(spark, fs, _manifest_path(path, version))
+    return json.loads(text)  # raises ValueError on a torn half-written file
+
+
+def _create_exclusive(spark: SparkSession, fs, path: str, text: str) -> bool:
+    """Atomic put-if-absent: ``create(overwrite=False)`` throws if the
+    destination exists (atomically on HDFS and local FS — no
+    check-then-act window, unlike exists()+rename()).  Returns False when
+    the slot was already taken."""
+    try:
+        stream = fs.create(_jpath(spark, path), False)
+    except Exception:
+        return False  # version slot already claimed
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    return True
+
+
+def _reap_if_corrupt(spark: SparkSession, fs, path: str, version: int) -> None:
+    """Reclaim a version slot held by a torn manifest.  Age-guarded: a
+    manifest younger than CORRUPT_MANIFEST_MIN_AGE_S may simply be a live
+    committer between create() and close() — wait it out instead."""
+    mpath = _jpath(spark, _manifest_path(path, version))
+    try:
+        _load_manifest(spark, fs, path, version)
+        return  # intact — a real committed manifest, leave it alone
+    except ValueError:
+        pass
+    except Exception:
+        return  # vanished or unreadable — let the caller's loop re-read
+    st = fs.getFileStatus(mpath)
+    age_s = time.time() - st.getModificationTime() / 1000.0
+    if age_s >= CORRUPT_MANIFEST_MIN_AGE_S:
+        fs.delete(mpath, False)
+    else:
+        time.sleep(0.05)  # writer may still be mid-write; back off, retry
 
 
 def snapshot_files(
@@ -150,11 +206,15 @@ def _commit(
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(spark, fs, path)
         prev = vs[-1] if vs else None
-        base = (
-            _load_manifest(spark, fs, path, prev)["files"]
-            if (mode == "append" and prev is not None)
-            else []
-        )
+        if mode == "append" and prev is not None:
+            try:
+                base = _load_manifest(spark, fs, path, prev)["files"]
+            except ValueError:
+                # torn manifest at the head: reap (age-guarded) and retry
+                _reap_if_corrupt(spark, fs, path, prev)
+                continue
+        else:
+            base = []
         version = (prev or 0) + 1
         manifest = {
             "version": version,
@@ -163,14 +223,14 @@ def _commit(
             "committed_at": time.time(),
             **(meta or {}),
         }
-        tmp = posixpath.join(snap_dir, f".tmp-{uuid.uuid4().hex}")
-        _write_text(spark, fs, tmp, json.dumps(manifest))
-        final = _jpath(spark, _manifest_path(path, version))
-        # put-if-absent: atomic on HDFS rename; check-then-rename
-        # elsewhere (see module docstring for the S3 CAS caveat)
-        if not fs.exists(final) and fs.rename(_jpath(spark, tmp), final):
+        final = _manifest_path(path, version)
+        # put-if-absent: create-exclusive throws atomically if the
+        # version slot exists (HDFS + local FS; see module docstring)
+        if _create_exclusive(spark, fs, final, json.dumps(manifest)):
             return version
-        fs.delete(_jpath(spark, tmp), False)  # lost the race — retry
+        # lost the race; if the winner died mid-write its slot is torn —
+        # reap it (age-guarded) so the table cannot wedge at this version
+        _reap_if_corrupt(spark, fs, path, version)
     raise IOError(f"snapshot commit failed after {_COMMIT_RETRIES} attempts")
 
 

@@ -40,7 +40,7 @@ def test_sketch_rollup_accuracy(spark, sf_dir):
     exact = {
         r.week: r
         for r in load_table(spark, sf_dir, "events")
-        .groupBy(F.weekofyear(F.date_trunc("day", "ts")).alias("week"))
+        .groupBy(F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"))
         .agg(
             F.count_distinct("user_id").alias("n_users"),
             F.expr("percentile(value, 0.5)").alias("p50"),
