@@ -52,13 +52,14 @@ def main() -> None:
     # other's cached RDDs (cross-query interference skews per-query times)
     spark.catalog.clearCache()
 
-    # min of 2 runs per query: a single run is hostage to transient
-    # machine load (this box runs a round driver alongside); the minimum
-    # is the standard load-insensitive estimator for warm wall time
+    # min of 3 runs per query: a single run is hostage to transient
+    # machine load (this box runs a round driver alongside; round 2 showed
+    # 1.4-2.8x phantom regressions on untouched queries at min-of-2); the
+    # minimum is the standard load-insensitive estimator for warm wall time
     timings: dict[str, float] = {}
     for name, (fn, _sql) in qs:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import tracked_persist
 from ..sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import tracked_persist
 from ..sources.tables import load_table, spread
 
 TOP_K = 5

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import tracked_persist
 from ..sources.tables import load_table
 
 # tiny per-language stopword marker lists for the n-gram/stopword-vote

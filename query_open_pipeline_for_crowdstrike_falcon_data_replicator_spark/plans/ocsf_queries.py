@@ -61,14 +61,14 @@ def ocsf_pipeline_envelopes(spark: SparkSession, _sf_dir: str) -> DataFrame:
 N_THROUGHPUT = 100_000
 
 
-def _fixture_class_rows() -> list[tuple[int, str, str, int, str | None]]:
-    """Pure-Python replay of classify() + the envelope day for each fixture:
-    (fixture_idx, sink, class_name, class_uid, event_day).
+def _fixture_class_rows() -> list[tuple[int, str, str, int, str | None, int | None]]:
+    """Pure-Python replay of classify() + the envelope time for each fixture:
+    (fixture_idx, sink, class_name, class_uid, event_day, time_ms).
 
     Discriminator fallback mirrors sources/fdr.py:parse_fdr_lines, routing
-    mirrors operators/router.py:class_filter, and the day replays
+    mirrors operators/router.py:class_filter, and the epoch-ms/day replay
     functions/timeparse.fdr_timestamp in UTC (the queries pin the session
-    timezone via ensure_runtime_conf).  Drives the DuckDB oracle below."""
+    timezone via ensure_runtime_conf).  Drives the DuckDB oracles below."""
     import math
     from datetime import datetime, timezone
 
@@ -84,17 +84,21 @@ def _fixture_class_rows() -> list[tuple[int, str, str, int, str | None]]:
         if key != "http_activity_extapi"
     }
 
-    def day(ts: str | None) -> str | None:
+    def millis(ts: str | None) -> int | None:
         if ts is None:
             return None
         d = float(ts)
         secs = d / 1000.0 if d >= _SECONDS_LIMIT else d
-        ms = math.floor(secs * 1000)
+        return math.floor(secs * 1000)
+
+    def day(ms: int | None) -> str | None:
+        if ms is None:
+            return None
         return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).strftime(
             "%Y%m%d"
         )
 
-    rows: list[tuple[int, str, str, int, str | None]] = []
+    rows: list[tuple[int, str, str, int, str | None, int | None]] = []
     for i, e in enumerate(FIXTURES):
         name = (
             e.get("event_simpleName") or e.get("event_type") or e.get("EventType")
@@ -105,11 +109,11 @@ def _fixture_class_rows() -> list[tuple[int, str, str, int, str | None]]:
         class_uid, class_name = int(m[3]), str(m[4])
         if name == "Event_ExternalApiEvent":
             sink = "http_activity_extapi"
-            d_ = day(e.get("UTCTimestamp"))  # extapi time has no sentinel
+            ms = millis(e.get("UTCTimestamp"))  # extapi time has no sentinel
         else:
             sink = class_to_key[class_name]
-            d_ = day(e.get("timestamp", TIMESTAMP_SENTINEL))
-        rows.append((i, sink, class_name, class_uid, d_))
+            ms = millis(e.get("timestamp", TIMESTAMP_SENTINEL))
+        rows.append((i, sink, class_name, class_uid, day(ms), ms))
     return rows
 
 
@@ -127,7 +131,7 @@ def _normalize_oracle_sql() -> str:
 
     values = ",\n    ".join(
         f"({i}, '{sink}', '{cls}', {uid}, {lit(d)})"
-        for i, sink, cls, uid, d in rows
+        for i, sink, cls, uid, d, _ms in rows
     )
     return f"""
 WITH f(idx, sink, class_name, class_uid, event_day) AS (VALUES
@@ -214,8 +218,93 @@ def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_VERIFY = 20_000  # sf-independent: the oracle SQL embeds this constant
+
+
+def _etl_verify_oracle_sql() -> str:
+    """DuckDB replay of ocsf_etl_verify: the write->read-back probe's
+    per-(sink, eventDay) counts, class cardinality and time range are —
+    like _normalize_oracle_sql — pure VALUES-join arithmetic over the
+    fixture replay, because the synthetic input is ``range(N) % n_fix``
+    and every normalized row's (sink, event_day, time_ms) is a
+    deterministic function of its fixture.  A hash-match here proves rows
+    survived the partitioned write AND landed in the right eventDay
+    partition directory (the read-back groups by the PARTITION column,
+    not the data column)."""
+    rows = _fixture_class_rows()
+    n_fix = len(_fixture_lines())
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    values = ",\n    ".join(
+        f"({i}, '{sink}', {uid}, {lit(d)}, {lit(ms)})"
+        for i, sink, _cls, uid, d, ms in rows
+    )
+    return f"""
+WITH f(idx, sink, class_uid, event_day, time_ms) AS (VALUES
+    {values}
+),
+ids AS (SELECT CAST(unnest(range({N_VERIFY})) % {n_fix} AS INTEGER) AS idx)
+SELECT f.sink,
+       f.event_day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT f.class_uid) AS BIGINT) AS n_classes,
+       CAST(min(f.time_ms) AS BIGINT) AS min_time_ms,
+       CAST(max(f.time_ms) AS BIGINT) AS max_time_ms
+FROM ids JOIN f USING (idx)
+GROUP BY f.sink, f.event_day
+"""
+
+
+def ocsf_etl_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Driver-oracled SINK probe (VERDICT r2 action #1): 20k synthetic FDR
+    events through the FULL pipeline — parse -> classify -> 13 normalizers
+    -> partitioned region/accountId/eventDay GZIP-parquet writes — then
+    read the lake BACK and report per-(sink, eventDay-partition) row
+    counts, class cardinality, and the min/max envelope time in epoch ms.
+    Grouping on the partition directory value (not the data column) makes
+    the hash-match evidence that partition extraction (reference
+    create_qopcfdr_firehoses.py:136-190's JQ step), the dynamic-partition
+    write, and the parquet round-trip are all value-exact."""
+    import tempfile
+
+    from ..ocsf.schemas import TABLE_KEYS
+    from ..pipeline import process_batch
+    from ..sources.fdr import parse_fdr_lines
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
+    lines = spark.range(N_VERIFY).select(
+        F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
+        .alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="qopcfdr_etl_verify_")
+    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
+    out = None
+    for key in TABLE_KEYS:
+        df = spark.read.parquet(f"{base}/{key}")
+        part = (
+            df.groupBy(F.col("eventDay").cast("string").alias("event_day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("class_uid").alias("n_classes"),
+                F.min(F.unix_millis("time")).alias("min_time_ms"),
+                F.max(F.unix_millis("time")).alias("max_time_ms"),
+            )
+            .select(F.lit(key).alias("sink"), "event_day", "n_rows",
+                    "n_classes", "min_time_ms", "max_time_ms")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
     "ocsf_normalize_100k": (ocsf_normalize_100k, _normalize_oracle_sql()),
     "ocsf_etl_50k": (ocsf_etl_50k, None),
+    "ocsf_etl_verify": (ocsf_etl_verify, _etl_verify_oracle_sql()),
 }

@@ -640,18 +640,18 @@ FROM orders
 
 
 def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group exact quantiles (p50/p90/p99 of line price, by return
-    flag) — the distribution half of the profiling pass.  Spark's exact
-    ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
-    interpolation, so over integer cents the doubles match bit-for-bit
-    with no rounding step at all.  Exact percentile sorts within each
-    group; at 100 TB swap in ``approx_percentile`` (t-digest, mergeable
-    partial aggs, no sort) — the exact form stays as its yardstick.
+    """Per-group EXACT quantiles — the test-side yardstick for
+    ``profile_quantiles_approx`` (the registered query), NOT itself
+    registered: exact ``percentile`` buffers a value->count map per group
+    on the reducer, which on a 100 TB fact table is a memory bomb even
+    with few groups (billions of distinct cents values per buffer).
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same linear interpolation, so over integer cents the doubles match
+    bit-for-bit — tests/test_relational.py uses exactly that to pin the
+    approx form's accuracy against a DuckDB-verified truth.
 
-    One array-percentile aggregate, not three scalar ones: each exact
-    percentile buffers a value->count map per group, so asking for the
-    three cut points from ONE shared buffer is ~3x faster (measured
-    1.9 s -> 0.6 s at sf0.1)."""
+    One array-percentile aggregate, not three scalar ones: the three cut
+    points share ONE buffer (measured 1.9 s -> 0.6 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice") * 100).cast("bigint")
     ps = F.percentile(cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
@@ -679,9 +679,41 @@ ORDER BY l_returnflag
 """
 
 
+def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group APPROXIMATE quantiles (p50/p90/p99 of line price in cents,
+    by return flag) — the registered, 100 TB-safe form of the profiling
+    pass's distribution half.
+
+    ``approx_percentile`` (Greenwald-Khanna) keeps a bounded mergeable
+    summary per group — partial aggregation map-side, O(accuracy) state
+    per reducer regardless of row count — where the exact ``percentile``
+    yardstick (kept test-side in ``profile_quantiles``) buffers every
+    distinct value.  accuracy=10000 bounds rank error at 1e-4, i.e. the
+    returned value's rank is within 0.01% of the requested percentile;
+    tests/test_relational.py pins the VALUE error against the exact
+    DuckDB-verified yardstick.  Approximate by construction -> no exact
+    oracle (the sketches precedent, registry.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice") * 100).cast("bigint")
+    ps = F.approx_percentile(
+        cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.element_at("ps", 1).alias("p50_cents"),
+            F.element_at("ps", 2).alias("p90_cents"),
+            F.element_at("ps", 3).alias("p99_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "profile_orders": (profile_orders, PROFILE_SQL),
-    "profile_quantiles": (profile_quantiles, PROFILE_QUANTILES_SQL),
+    "profile_quantiles_approx": (profile_quantiles_approx, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

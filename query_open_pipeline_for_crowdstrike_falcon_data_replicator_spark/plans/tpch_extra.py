@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import tracked_persist
 from ..sources.tables import load_table
 
 

@@ -37,7 +37,7 @@ def _cache_scoped(fn: QueryFn) -> QueryFn:
 # orchestration overhead (~10s regardless of rows at local scale) would
 # swamp the per-query timings; its correctness still runs every round and
 # the write path is exercised by tests/test_pipeline.py.
-BENCH_EXCLUDE = {"ocsf_etl_50k"}
+BENCH_EXCLUDE = {"ocsf_etl_50k", "ocsf_etl_verify"}
 
 
 # The round driver's correctness harness records at most 50 queries()
@@ -62,18 +62,27 @@ DRIVER_EXCLUDE = {
     # 29-fixture rows-only probe; envelope path driver-verified by
     # events_ocsf_envelope + ocsf_normalize_100k, goldens in test_normalize
     "ocsf_pipeline_envelopes",
-    # rows-only sink probe (13 partitioned writes); covered by
+    # rows-only sink probe (13 partitioned writes); superseded as driver
+    # signal by ocsf_etl_verify (same write path, VALUES-join oracle with
+    # per-(sink, eventDay) counts + time range); still covered by
     # tests/test_pipeline.py, excluded from bench timing anyway
     "ocsf_etl_50k",
+    # driver row matched 0 rows vs 0 rows at sf0.01 (no customers without
+    # orders in the synthetic data) — zero content signal; the anti-join
+    # shape keeps driver coverage through q21/q22 (NOT EXISTS with real
+    # rows) and this entry stays oracle-verified in tests + driver_sim
+    "anti_join_customers_without_orders",
     # composite of dedup_exact + text_lang_id + text_stats, each already
     # driver-verified individually; oracle runs in tests/driver_sim --all
     "corpus_curation",
     # strict subset of q1's scan-agg shape (filter + global decimal agg, no
     # grouping); the filtered-global-agg family stays via q14/q17/q19
     "q6_forecast_revenue",
-    # profiling family already holds a driver slot via profile_orders; the
-    # quantile half is oracle-verified by tests + driver_sim --all
-    "profile_quantiles",
+    # approximate by construction (Greenwald-Khanna) -> no exact oracle;
+    # value error pinned against the exact DuckDB-verified yardstick in
+    # tests/test_relational.py; profiling family keeps its driver slot
+    # via profile_orders
+    "profile_quantiles_approx",
     # same profile/band/verify machinery as dedup_minhash_lsh (which keeps
     # its driver slot); the batch-vs-corpus split is oracle-verified by
     # tests + driver_sim --all
@@ -87,6 +96,7 @@ DRIVER_EXCLUDE = {
 # cap) — listed first in driver order so they are inside any count or time
 # budget this round.
 _DRIVER_FIRST = [
+    "ocsf_etl_verify",
     "multimodal_features",
     "multimodal_frames",
     "ocsf_normalize_100k",

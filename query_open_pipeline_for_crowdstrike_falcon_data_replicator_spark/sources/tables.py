@@ -10,7 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -62,10 +62,19 @@ def spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) parquet read via nanosAsLong -> convert to
-        # microsecond TimestampType (truncation, same as DuckDB ns->us)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong -> convert to
+            # microsecond TimestampType (truncation, same as DuckDB ns->us)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # newer readers ignore nanosAsLong and read TIMESTAMP(NANOS)
+            # as TIMESTAMP_NTZ (nanos truncated to micros).  Cast to the
+            # session-zoned TimestampType under the UTC session tz set
+            # above: same instants as the nanosAsLong path, and keeps
+            # every downstream epoch cast / window op working unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

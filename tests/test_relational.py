@@ -33,6 +33,32 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     assert not problems, f"{name}: {problems}"
 
 
+def test_quantiles_approx_vs_exact_yardstick(spark, sf_dir, con):
+    """The registered quantile query is the approx (GK) form; the exact
+    array-percentile stays here as its yardstick — first hash-matched
+    against DuckDB's quantile_cont, then used to bound the approx form's
+    value error (rank error <= 1e-4 at accuracy=10000; value tolerance
+    below is the loose translation of that through this distribution)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        PROFILE_QUANTILES_SQL,
+        profile_quantiles,
+        profile_quantiles_approx,
+    )
+
+    exact_df = profile_quantiles(spark, sf_dir)
+    problems = compare(exact_df, con, PROFILE_QUANTILES_SQL)
+    assert not problems, f"exact yardstick vs DuckDB: {problems}"
+
+    exact = {r["l_returnflag"]: r for r in exact_df.collect()}
+    approx = {r["l_returnflag"]: r for r in profile_quantiles_approx(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, er in exact.items():
+        ar = approx[flag]
+        for col in ("p50_cents", "p90_cents", "p99_cents"):
+            rel = abs(ar[col] - er[col]) / max(abs(er[col]), 1.0)
+            assert rel <= 0.02, f"{flag}.{col}: exact={er[col]} approx={ar[col]} rel={rel:.4f}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
