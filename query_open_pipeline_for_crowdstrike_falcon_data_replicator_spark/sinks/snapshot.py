@@ -188,6 +188,18 @@ def _stage_files(
     return rels
 
 
+def last_txn_version(spark: SparkSession, path: str, txn_app: str) -> int:
+    """The highest transaction version ``txn_app`` has committed to this
+    table, or -1.  Manifests carry the per-writer high-water-mark map
+    forward on every commit (Delta's ``txn`` action), so one manifest
+    read answers the idempotence question on micro-batch replay."""
+    fs, _ = _fs(spark, path)
+    v = current_version(spark, path)
+    if v is None:
+        return -1
+    return int(_load_manifest(spark, fs, path, v).get("txn", {}).get(txn_app, -1))
+
+
 def _commit(
     spark: SparkSession,
     fs,
@@ -196,31 +208,50 @@ def _commit(
     *,
     mode: str,
     meta: dict | None = None,
-) -> int:
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
     """Optimistically commit a new manifest; retry on version conflicts.
 
     Each attempt re-reads the latest version so a lost race against a
-    concurrent append still produces the correct merged file list."""
+    concurrent append still produces the correct merged file list.
+
+    With ``txn_app``/``txn_version`` the commit is IDEMPOTENT per writer:
+    each manifest carries forward a ``txn`` map of per-writer high-water
+    marks, and an attempt whose version is <= the recorded mark returns
+    None without committing (the skip-check re-runs inside the retry loop,
+    so it holds under commit races too).  This is what makes a replayed
+    foreachBatch micro-batch exactly-once: the crash either happened
+    before the manifest commit (staged files are unreferenced orphans —
+    vacuum reaps them) or after (the replay skips here)."""
     snap_dir = posixpath.join(path, _SNAP_DIR)
     fs.mkdirs(_jpath(spark, snap_dir))
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(spark, fs, path)
         prev = vs[-1] if vs else None
-        if mode == "append" and prev is not None:
+        prev_txn: dict = {}
+        if prev is not None:
             try:
-                base = _load_manifest(spark, fs, path, prev)["files"]
+                prev_manifest = _load_manifest(spark, fs, path, prev)
             except ValueError:
                 # torn manifest at the head: reap (age-guarded) and retry
                 _reap_if_corrupt(spark, fs, path, prev)
                 continue
+            prev_txn = dict(prev_manifest.get("txn", {}))
+            base = prev_manifest["files"] if mode == "append" else []
         else:
             base = []
+        if txn_app is not None:
+            if int(prev_txn.get(txn_app, -1)) >= int(txn_version or 0):
+                return None  # this writer already committed this version
+            prev_txn[txn_app] = int(txn_version or 0)
         version = (prev or 0) + 1
         manifest = {
             "version": version,
             "mode": mode,
             "files": base + new_files,
             "committed_at": time.time(),
+            "txn": prev_txn,
             **(meta or {}),
         }
         final = _manifest_path(path, version)
@@ -239,13 +270,29 @@ def write_snapshot(
     df: DataFrame,
     path: str,
     mode: str = "append",
-) -> int:
-    """Append or overwrite ``df`` as a new table version; returns it."""
+    *,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
+    """Append or overwrite ``df`` as a new table version; returns it.
+
+    ``txn_app``/``txn_version`` make the write idempotent per writer (see
+    ``_commit``); an already-committed version returns None without
+    staging or committing anything."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn_app is not None and txn_version is None:
+        raise ValueError("txn_app requires txn_version")
     fs, _ = _fs(spark, path)
+    if txn_app is not None and last_txn_version(spark, path, txn_app) >= int(
+        txn_version or 0
+    ):
+        return None  # cheap pre-check; _commit re-checks under the race
     new_files = _stage_files(spark, fs, df, path)
-    return _commit(spark, fs, path, new_files, mode=mode)
+    return _commit(
+        spark, fs, path, new_files, mode=mode,
+        txn_app=txn_app, txn_version=txn_version,
+    )
 
 
 def compact_snapshot(

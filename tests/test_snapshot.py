@@ -10,6 +10,7 @@ from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snap
     _manifest_path,
     compact_snapshot,
     current_version,
+    last_txn_version,
     read_snapshot,
     snapshot_files,
     vacuum_snapshots,
@@ -58,6 +59,31 @@ def test_snapshot_reader_pinned_across_compaction(spark, tmp_path):
     assert _ids(pinned) == list(range(12))  # pinned reader undisturbed
     assert _ids(read_snapshot(spark, path)) == list(range(12))
     assert _ids(read_snapshot(spark, path, version=3)) == list(range(12))
+
+
+def test_snapshot_txn_idempotent_replay(spark, tmp_path):
+    """write_snapshot(txn_app, txn_version) is exactly-once per writer
+    version: a replay of an already-committed micro-batch commits
+    nothing, and the high-water mark survives both unrelated appends and
+    compaction (manifests carry the txn map forward)."""
+    path = str(tmp_path / "tbl")
+    v = write_snapshot(spark, spark.range(0, 5), path, txn_app="w1", txn_version=0)
+    assert v == 1 and last_txn_version(spark, path, "w1") == 0
+    # replay of batch 0 -> skipped, no new version, no duplicate rows
+    assert write_snapshot(spark, spark.range(0, 5), path, txn_app="w1", txn_version=0) is None
+    assert current_version(spark, path) == 1
+    assert _ids(read_snapshot(spark, path)) == list(range(5))
+    # a DIFFERENT writer is not fenced by w1's mark
+    assert write_snapshot(spark, spark.range(5, 8), path, txn_app="w2", txn_version=0) == 2
+    # batch 1 commits; compaction carries both writers' marks forward
+    assert write_snapshot(spark, spark.range(8, 10), path, txn_app="w1", txn_version=1) == 3
+    compact_snapshot(spark, path, target_files=1)
+    assert last_txn_version(spark, path, "w1") == 1
+    assert last_txn_version(spark, path, "w2") == 0
+    # replays of either batch after compaction are still fenced
+    assert write_snapshot(spark, spark.range(0, 5), path, txn_app="w1", txn_version=1) is None
+    assert write_snapshot(spark, spark.range(5, 8), path, txn_app="w2", txn_version=0) is None
+    assert _ids(read_snapshot(spark, path)) == list(range(10))
 
 
 def test_snapshot_commit_conflict_retries(spark, tmp_path):

@@ -125,6 +125,64 @@ def test_stream_inline_compaction(spark, tmp_path):
     assert compacted, "no partition was rewritten by the inline compactor"
 
 
+def test_stream_snapshot_mode(spark, tmp_path):
+    """run_stream(snapshot=True): every micro-batch commits each table as
+    a manifest version — readers plan from snapshots (no directory
+    listing), a restart with the same checkpoint reprocesses nothing,
+    inline compaction produces a new version with NO maintenance window,
+    and a reader pinned mid-stream is undisturbed by later batches and
+    compactions."""
+    import os
+    import shutil
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        compact_snapshot,
+        current_version,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    src = write_fixture_files(str(tmp_path / "raw"))
+    for i in range(2):  # 4 source files -> 4 micro-batches
+        shutil.copy(
+            os.path.join(src, f"fdr_part{i}.gz"),
+            os.path.join(src, f"fdr_part{i + 2}.gz"),
+        )
+    out = str(tmp_path / "ocsf")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream(
+        spark, src, out, checkpoint=ckpt,
+        max_files_per_trigger=1, snapshot=True,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    for key, expected in EXPECTED_COUNTS.items():
+        n = read_snapshot(spark, f"{out}/{key}").count()
+        assert n == 2 * expected, f"{key}: {n} != {2 * expected}"
+        # partition columns ride along as data columns in snapshot mode
+        cols = set(read_snapshot(spark, f"{out}/{key}").columns)
+        assert {"region", "accountId", "eventDay"} <= cols, key
+
+    # pin a reader, then restart (no new data) + compact: the pinned
+    # file list and the current counts must both be undisturbed
+    probe = f"{out}/process_activity"
+    pinned = read_snapshot(spark, probe)
+    pinned_n = pinned.count()
+    v_before = current_version(spark, probe)
+
+    q2 = run_stream(
+        spark, src, out, checkpoint=ckpt,
+        max_files_per_trigger=1, snapshot=True,
+    )
+    q2.awaitTermination(120)
+    assert current_version(spark, probe) == v_before  # nothing replayed
+
+    compact_snapshot(spark, probe, target_files=1)
+    assert len(snapshot_files(spark, probe)) == 1
+    assert pinned.count() == pinned_n  # mid-compaction reader undisturbed
+    assert read_snapshot(spark, probe).count() == 2 * EXPECTED_COUNTS["process_activity"]
+
+
 def test_stateful_threshold_alerts(spark, tmp_path):
     """Custom cross-batch stateful operator (applyInPandasWithState):
     per-user cumulative error counts persist across micro-batches and the
