@@ -397,6 +397,53 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _write_assignment(
+    emb_u: DataFrame, cents: list[list[float]], index_path: str, mode: str
+) -> None:
+    """Write (neighbor_id, cu, cell=nearest centroid) PARTITIONED BY cell."""
+    (
+        emb_u.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("u").alias("cu"),
+            _nearest_cell(F.col("u"), cents).alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode(mode)
+        .parquet(index_path)
+    )
+
+
+def _assignment_mean_sim(emb_u: DataFrame, cents: list[list[float]]) -> float:
+    """Mean cosine of each vector to its assigned (nearest) centroid —
+    the quantizer-quality scalar the drift check compares."""
+    best = F.array_max(F.array(*[_dot(F.col("u"), F.lit(c)) for c in cents]))
+    return float(emb_u.agg(F.avg(best).alias("m")).collect()[0]["m"])
+
+
+_IVF_META = "_ivf_meta.json"
+
+
+def _ivf_meta_io(spark: SparkSession, index_path: str):
+    import posixpath
+
+    from ..sinks.txn import _fs, _jpath, _read_text, _write_text
+
+    fs, _ = _fs(spark, index_path)
+    meta_path = posixpath.join(index_path, _IVF_META)
+
+    def read() -> dict:
+        import json
+
+        return json.loads(_read_text(spark, fs, meta_path))
+
+    def write(meta: dict) -> None:
+        import json
+
+        _write_text(spark, fs, meta_path, json.dumps(meta))
+
+    return read, write
+
+
 def ivf_build_index(spark: SparkSession, sf_dir: str, index_path: str) -> list[list[float]]:
     """Materialize the IVF index: train the quantizer, then write the
     corpus assignment (neighbor_id, unit vector) PARTITIONED BY cell.
@@ -405,25 +452,120 @@ def ivf_build_index(spark: SparkSession, sf_dir: str, index_path: str) -> list[l
     partitioned write, and a probe reads only its nprobe cell directories
     (partition pruning — verified in tests), i.e. ~nprobe/K of the corpus
     per query instead of a full scan.  Returns the centroids (model
-    state, K x DIM floats) for the query side."""
+    state, K x DIM floats) for the query side; the same model plus the
+    corpus-wide mean assignment similarity (the drift baseline for
+    ``ivf_refresh_index``) persists in ``_ivf_meta.json`` next to the
+    data, so serving and refresh never need the build session."""
     emb = (
         _embedded(spark, sf_dir)
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
         .persist()
     )
-    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
-    (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("u").alias("cu"),
-            _nearest_cell(F.col("u"), cents).alias("cell"),
+    try:
+        cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+        _write_assignment(emb, cents, index_path, "overwrite")
+        _read, write_meta = _ivf_meta_io(spark, index_path)
+        write_meta(
+            {
+                "centroids": cents,
+                "mean_sim": _assignment_mean_sim(emb, cents),
+                "n_rows": emb.count(),
+            }
         )
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(index_path)
-    )
-    emb.unpersist()
+    finally:
+        emb.unpersist()
     return cents
+
+
+def ivf_refresh_index(
+    spark: SparkSession,
+    new_batch: DataFrame,
+    index_path: str,
+    *,
+    retrain_drift: float = 0.05,
+) -> dict:
+    """Incremental IVF index maintenance — the ANN analog of
+    ``dedup_incremental``'s batch-vs-corpus shape (operators/dedup.py).
+
+    ``new_batch`` is raw embedding rows (vec_id, embedding).  The
+    increment is assigned to the EXISTING cells (stored model state, no
+    retraining, no touch of the corpus) and appended as new files inside
+    its cell partitions — a daily ingest costs one pass over the
+    increment.  Quantizer drift is monitored: when the increment's mean
+    assignment similarity falls more than ``retrain_drift`` below the
+    index's stored baseline, the quantizer no longer represents the data
+    and the index is REBUILT on the union corpus (the vectors already
+    live in the index — one read, one retrain, one rewrite), with the
+    same deterministic sample/seed rule as a from-scratch build, so a
+    drift-triggered refresh equals ``ivf_build_index`` over the union."""
+    read_meta, write_meta = _ivf_meta_io(spark, index_path)
+    meta = read_meta()
+    cents = meta["centroids"]
+
+    inc = (
+        new_batch.select("vec_id", _vec().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .persist()
+    )
+    try:
+        n_inc = inc.count()
+        inc_sim = _assignment_mean_sim(inc, cents)
+        drifted = meta["mean_sim"] - inc_sim > retrain_drift
+
+        if not drifted:
+            _write_assignment(inc, cents, index_path, "append")
+            n = meta["n_rows"] + n_inc
+            write_meta(
+                {
+                    "centroids": cents,
+                    # running weighted baseline, no corpus rescan
+                    "mean_sim": (
+                        meta["mean_sim"] * meta["n_rows"] + inc_sim * n_inc
+                    ) / n,
+                    "n_rows": n,
+                }
+            )
+            return {"appended": n_inc, "retrained": False, "mean_sim_increment": inc_sim}
+
+        # drift: retrain on the union (corpus vectors come from the index
+        # itself — unit vectors are invariant under re-normalization, so
+        # the union frame feeds the same train/assign path as a build)
+        from ..sinks.txn import _fs, _jpath
+
+        corpus = spark.read.parquet(index_path).select(
+            F.col("neighbor_id").alias("vec_id"), F.col("cu").alias("u")
+        )
+        union = corpus.unionByName(inc.select("vec_id", "u")).persist()
+        try:
+            new_cents = _ivf_train(
+                union.filter(F.col("vec_id") % 5 == 0), spark
+            )
+            # stage into a sibling dir, then swap: Spark (rightly) refuses
+            # to overwrite a path its own plan is reading, and the swap
+            # keeps the serving index readable until the rebuild is whole
+            staged = index_path.rstrip("/") + "__rebuild"
+            _write_assignment(union, new_cents, staged, "overwrite")
+            new_meta = {
+                "centroids": new_cents,
+                "mean_sim": _assignment_mean_sim(union, new_cents),
+                "n_rows": union.count(),
+            }
+        finally:
+            union.unpersist()
+        fs, _ = _fs(spark, index_path)
+        fs.delete(_jpath(spark, index_path), True)
+        fs.rename(_jpath(spark, staged), _jpath(spark, index_path))
+        write_meta(new_meta)
+        return {"appended": n_inc, "retrained": True, "mean_sim_increment": inc_sim}
+    finally:
+        inc.unpersist()
+
+
+def ivf_load_model(spark: SparkSession, index_path: str) -> list[list[float]]:
+    """The persisted quantizer (K x DIM centroids) for the query side."""
+    read_meta, _ = _ivf_meta_io(spark, index_path)
+    return read_meta()["centroids"]
 
 
 def ivf_query_index(

@@ -189,6 +189,89 @@ def test_ivf_persisted_index_partition_pruning(spark, sf_dir, tmp_path):
     assert set(got) == inline and len(got) == TOP_K
 
 
+def test_ivf_refresh_index_append_and_retrain(spark, sf_dir, tmp_path):
+    """ivf_refresh_index: (a) the no-drift path assigns the increment to
+    the EXISTING cells and appends — queries over the refreshed index
+    equal queries over a full-corpus assignment under the same quantizer,
+    and partition pruning still reaches the scan; (b) a drift-triggered
+    refresh retrains on the union and equals a from-scratch
+    ivf_build_index over the full corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        _embedded,
+        _write_assignment,
+        ivf_build_index,
+        ivf_load_model,
+        ivf_query_one,
+        ivf_refresh_index,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+        load_table,
+    )
+
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    half = emb_raw.count() // 2
+    corpus_raw = emb_raw.filter(F.col("vec_id") < half)
+
+    # ---- build on the first half, refresh with the second -------------
+    base = str(tmp_path / "ivf_base")
+    corpus_dir = str(tmp_path / "corpus_parquet")
+    corpus_raw.write.parquet(f"{corpus_dir}/embeddings.parquet")
+    cents = ivf_build_index(spark, corpus_dir, base)
+    assert ivf_load_model(spark, base) == cents
+
+    # the synthetic second half genuinely drifts from a first-half-trained
+    # quantizer, so pin each path explicitly: a huge threshold forces the
+    # append path here, a negative one forces retrain below
+    res = ivf_refresh_index(
+        spark, emb_raw.filter(F.col("vec_id") >= half), base, retrain_drift=10.0
+    )
+    assert res["retrained"] is False and res["appended"] == emb_raw.count() - half
+    index = spark.read.parquet(base)
+    assert index.count() == emb_raw.count()
+
+    # reference: the FULL corpus assigned under the SAME quantizer
+    ref_path = str(tmp_path / "ivf_ref")
+    emb_u = _embedded(spark, sf_dir).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    _write_assignment(emb_u, cents, ref_path, "overwrite")
+
+    row = index.filter(F.col("neighbor_id") == 0).collect()[0]
+    qvec = list(row.cu)
+    got = ivf_query_one(spark, base, qvec, cents, query_id=0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    want = ivf_query_one(spark, ref_path, qvec, cents, query_id=0)
+    assert [(r.neighbor_id, r.cosine) for r in got.collect()] == [
+        (r.neighbor_id, r.cosine) for r in want.collect()
+    ]
+
+    # ---- drift-triggered retrain equals a from-scratch union build ----
+    base2 = str(tmp_path / "ivf_base2")
+    ivf_build_index(spark, corpus_dir, base2)
+    res2 = ivf_refresh_index(
+        spark,
+        emb_raw.filter(F.col("vec_id") >= half),
+        base2,
+        retrain_drift=-1.0,  # any increment counts as drifted
+    )
+    assert res2["retrained"] is True
+    scratch = str(tmp_path / "ivf_scratch")
+    scratch_cents = ivf_build_index(spark, sf_dir, scratch)
+    assert ivf_load_model(spark, base2) == scratch_cents
+    got2 = ivf_query_one(spark, base2, qvec, scratch_cents, query_id=0)
+    want2 = ivf_query_one(spark, scratch, qvec, scratch_cents, query_id=0)
+    assert [(r.neighbor_id, r.cosine) for r in got2.collect()] == [
+        (r.neighbor_id, r.cosine) for r in want2.collect()
+    ]
+
+
 def _emb_df(spark, rows):
     """(vec_id, label, vector) -> the (vec_id, label, v, nrm) frame
     neardup_pairs_from expects."""
