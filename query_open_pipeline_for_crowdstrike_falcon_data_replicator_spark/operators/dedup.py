@@ -77,15 +77,30 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index postings (doc_id, shingle_hash), one row per distinct
-    shingle per doc.
+def postings_of(docs: DataFrame) -> DataFrame:
+    """Inverted-index postings (doc_id, shingle_hash) for ANY
+    (doc_id, text) frame — the DF-parametric core of ``shingle_postings``,
+    reused by the streaming curation gate where the input is a micro-batch
+    rather than the documents table.
 
     explode_outer + post-filter instead of explode: plain explode makes
     the optimizer infer a `size(shingles) > 0` filter and push it below
     the exchange, where the whole shingle expression gets re-evaluated per
     row on the raw text.  explode_outer infers no filter; dropping the
     NULL rows afterwards is one cheap post-exchange predicate."""
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    shingled = toks.select(
+        "doc_id", _hashed_shingles_of(F.col("toks")).alias("shingles")
+    )
+    return (
+        shingled.select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+
+
+def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``postings_of`` over the documents table (with the single-file
+    spread of ``token_docs``)."""
     return (
         shingled_docs(spark, sf_dir)
         .select("doc_id", F.explode_outer("shingles").alias("sh"))
