@@ -90,6 +90,7 @@ DRIVER_EXCLUDE = {
     # approximate by construction (DataSketches HLL/KLL) -> no exact
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",
+    "events_sketch_range",
 }
 
 # Entries the round-1 driver never verified (they sat past the 50-entry

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
     daily_sketches,
+    kll_union_tree,
+    sketch_range_query,
     sketch_rollup,
 )
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
@@ -32,6 +34,35 @@ def test_hll_merge_matches_whole_range_sketch(spark, sf_dir):
         .est
     )
     assert merged == whole
+
+
+def test_kll_tree_union_bounded_and_accurate(spark, sf_dir):
+    """The tree union (bounded <= fanin sketches per reducer per round)
+    answers rank queries within KLL error of both the exact percentile
+    AND the flat single-row fold — lifting the flat fold's
+    everything-in-one-row bound without losing accuracy.  fanin=2 over
+    ~30 daily sketches forces ~5 tree levels, the deepest recursion the
+    local data can produce."""
+    daily = daily_sketches(spark, sf_dir).withColumn("_g", F.lit(1))
+    merged = kll_union_tree(daily, ["_g"], "value_kll", fanin=2)
+    p50 = merged.select(
+        F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)).alias("q")
+    ).collect()[0].q
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
+    ).collect()[0]
+    # KLL k=200 rank error ~1.7%: the tree-merged p50 must land well
+    # inside the exact p40..p60 value band
+    assert exact.p40 <= p50 <= exact.p60, (p50, exact)
+
+    row = sketch_range_query(spark, sf_dir).collect()[0]
+    n_exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(row.approx_users - n_exact) <= max(3, 0.05 * n_exact)
+    assert exact.p40 <= row.approx_p50_value <= exact.p60
+    assert row.n_events == ev.count()
 
 
 def test_sketch_rollup_accuracy(spark, sf_dir):
