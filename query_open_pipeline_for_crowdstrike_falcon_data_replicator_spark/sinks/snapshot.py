@@ -333,6 +333,36 @@ def compact_snapshot(
     )
 
 
+def register_snapshot_tables(
+    spark: SparkSession,
+    base_path: str,
+    table_keys: tuple[str, ...] | None = None,
+) -> list[str]:
+    """S9/S10 parity for snapshot-committed lakes: register every OCSF
+    snapshot table as a temp view plus the cross-class ``ocsf_all`` union
+    view — the same query surface ``sinks/parquet.register_ocsf_tables``
+    provides for directory tables, but planned from manifests (each view
+    is a pinned snapshot: re-register to see later versions)."""
+    from ..ocsf.schemas import TABLE_KEYS
+
+    registered: list[str] = []
+    union_df = None
+    for key in table_keys or TABLE_KEYS:
+        path = posixpath.join(base_path, key)
+        if current_version(spark, path) is None:
+            continue
+        df = read_snapshot(spark, path)
+        df.createOrReplaceTempView(key)
+        registered.append(key)
+        union_df = df if union_df is None else union_df.unionByName(
+            df, allowMissingColumns=True
+        )
+    if union_df is not None:
+        union_df.createOrReplaceTempView("ocsf_all")
+        registered.append("ocsf_all")
+    return registered
+
+
 def vacuum_snapshots(
     spark: SparkSession,
     path: str,

@@ -30,6 +30,9 @@ def run_stream(
     snapshot: bool = False,
     compact_every: int | None = None,
     compact_min_files: int = 4,
+    vacuum_every: int | None = None,
+    vacuum_keep_last: int = 2,
+    vacuum_min_age_seconds: float = 3600.0,
 ) -> StreamingQuery:
     """Start the streaming pipeline.  ``trigger`` defaults to
     ``availableNow`` (catch-up/replay mode); pass e.g.
@@ -143,6 +146,22 @@ def run_stream(
                     path = os.path.join(base_path, key)
                     if current_version(spark, path) is not None:
                         compact_snapshot(spark, path)
+            # retention: GC manifests + unreferenced data files (compacted-
+            # away originals, crash orphans).  Age-guarded, so it is safe
+            # next to this very writer's in-flight staging.
+            if vacuum_every and (batch_id + 1) % vacuum_every == 0:
+                from ..ocsf.schemas import TABLE_KEYS
+                from ..sinks.snapshot import vacuum_snapshots
+
+                for key in TABLE_KEYS:
+                    path = os.path.join(base_path, key)
+                    if current_version(spark, path) is not None:
+                        vacuum_snapshots(
+                            spark,
+                            path,
+                            keep_last=vacuum_keep_last,
+                            min_age_seconds=vacuum_min_age_seconds,
+                        )
         finally:
             batch_df.unpersist()
 

@@ -153,6 +153,7 @@ def test_stream_snapshot_mode(spark, tmp_path):
     q = run_stream(
         spark, src, out, checkpoint=ckpt,
         max_files_per_trigger=1, snapshot=True,
+        compact_every=4, vacuum_every=4, vacuum_min_age_seconds=0.0,
     )
     q.awaitTermination(300)
     assert not q.isActive
@@ -162,6 +163,19 @@ def test_stream_snapshot_mode(spark, tmp_path):
         # partition columns ride along as data columns in snapshot mode
         cols = set(read_snapshot(spark, f"{out}/{key}").columns)
         assert {"region", "accountId", "eventDay"} <= cols, key
+
+    # the snapshot lake is SQL-queryable through registered views
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        register_snapshot_tables,
+    )
+
+    registered = register_snapshot_tables(spark, out)
+    assert "ocsf_all" in registered and "process_activity" in registered
+    n_sql = spark.sql("SELECT count(*) AS n FROM process_activity").collect()[0].n
+    assert n_sql == 2 * EXPECTED_COUNTS["process_activity"]
+    assert spark.sql("SELECT count(*) AS n FROM ocsf_all").collect()[0].n == 2 * sum(
+        EXPECTED_COUNTS.values()
+    )
 
     # pin a reader, then restart (no new data) + compact: the pinned
     # file list and the current counts must both be undisturbed
