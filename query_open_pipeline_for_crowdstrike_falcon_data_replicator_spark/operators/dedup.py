@@ -371,6 +371,134 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 
 # --------------------------------------------------------------------- #
+# Near-dup clustering: connected components over the pair graph
+# --------------------------------------------------------------------- #
+# Pairwise near-dup output is not yet a dedup decision: if A~B and B~C the
+# pipeline must keep ONE of {A,B,C}, which requires the transitive closure
+# of the pair relation.  Components are computed by iterative min-label
+# propagation (each round: one hash-join + one partial-aggregating groupBy,
+# both on the label frame — never on the corpus), which converges in
+# O(graph diameter) rounds.  Near-dup components are quasi-cliques (every
+# member overlaps the same shingle mass), so the diameter is tiny in
+# practice; for adversarially chain-shaped graphs the same loop structure
+# accepts the large-star/small-star rewrite (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14), which bounds rounds by
+# O(log^2 n) — noted here, not needed for near-dup graphs.
+CC_MAX_ROUNDS = 25
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label connected components over an undirected edge list
+    ``(src, dst)`` (one row per direction).  Returns ``(doc_id, cluster_rep)``
+    where ``cluster_rep`` is the minimum doc_id reachable from ``doc_id``.
+
+    Scale shape: state is one (node, label) row per VERTEX OF THE PAIR
+    GRAPH — near-dup vertices are a tiny fraction of the corpus, the
+    corpus itself is never touched.  Each round shuffles the label frame
+    once (join on dst) and partially aggregates map-side (min).  Lineage is
+    cut every round with an eager localCheckpoint so plan size stays O(1)
+    in rounds."""
+    edges = edges.localCheckpoint(eager=True)  # don't re-derive LSH per round
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {CC_MAX_ROUNDS} rounds — "
+        "graph diameter exceeds the near-dup assumption; switch to the "
+        "large-star/small-star variant for chain-shaped graphs"
+    )
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: minhash-LSH near-dup pairs -> connected
+    components -> one canonical representative per cluster.  Output is one
+    row per CLUSTERED document: its cluster representative (minimum doc_id
+    in the component), the cluster size, and whether this doc is the one
+    to keep (``is_rep``) — the drop-list is ``is_rep = false``.
+
+    The reference has no dedup at all; this is the standard
+    training-corpus pipeline composition (pairs are necessary but not
+    sufficient — transitivity is what makes "keep one copy" well-defined)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+    )
+
+
+# Oracle: transitive closure of the EXACT Jaccard pair set via a recursive
+# CTE — min reachable doc_id per vertex (same LSH-recall argument as
+# DEDUP_MINHASH_SQL for pair-set equality).
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {JACCARD_SHINGLES_CTE.strip()},
+sh AS (SELECT doc_id, sh FROM sh_all),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+),
+csizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT doc_id, cluster_rep, cluster_size, doc_id = cluster_rep AS is_rep
+FROM labels JOIN csizes USING (cluster_rep)
+"""
+
+
+# --------------------------------------------------------------------- #
 # SimHash (60-bit, banded Hamming candidates)
 # --------------------------------------------------------------------- #
 SIMHASH_BITS = 60
@@ -504,5 +632,6 @@ DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dedup_cluster": (dedup_cluster, DEDUP_CLUSTER_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

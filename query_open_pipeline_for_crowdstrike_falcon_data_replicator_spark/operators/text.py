@@ -388,6 +388,309 @@ GROUP BY p.lang
 """
 
 
+# --------------------------------------------------------------------- #
+# Benchmark-contamination detection
+# --------------------------------------------------------------------- #
+# A training corpus must not contain near-copies of evaluation benchmarks.
+# The standard check is n-gram overlap: for each corpus document, the
+# fraction of its distinct token-3-gram shingles that appear anywhere in
+# the benchmark suite.  Here the "benchmark" is the deterministic slice
+# ``doc_id % 50 == 0`` (the synthetic stand-in for a real eval set); on
+# this corpus background overlap sits at ~1-4% while near-copies of a
+# benchmark doc reach >0.9, so the 0.5 threshold flags exactly the
+# genuinely contaminated documents.
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document benchmark 3-gram overlap + contamination flag.
+
+    Scale shape: a benchmark suite is MBs while the corpus is 100 TB, so
+    the benchmark's distinct shingle set BROADCASTS; the corpus side is
+    its posting list (doc_id, shingle-hash) with one groupBy(doc_id) —
+    one corpus shuffle, no self-join, nothing driver-side.  Shingles are
+    the same hashed-to-int64 3-grams as the dedup family (collision
+    argument in ``operators.dedup``: P ~ |doc|^2/2^64 per pair)."""
+    from .dedup import shingle_postings
+
+    posts = shingle_postings(spark, sf_dir)
+    is_bench = F.col("doc_id") % 50 == 0
+    bench_sh = (
+        posts.filter(is_bench).select("sh").distinct().withColumn("hit", F.lit(1))
+    )
+    n_overlap = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    n_shingles = F.count(F.lit(1))
+    frac = F.round(n_overlap.cast("double") / n_shingles, 4)
+    return (
+        posts.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_shingles.alias("n_shingles"),
+            n_overlap.alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            (frac >= CONTAMINATION_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+TEXT_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh_all AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+),
+bench AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 50 <> 0)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS overlap_frac,
+       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         >= {CONTAMINATION_THRESHOLD} AS contaminated
+FROM corpus c LEFT JOIN bench b USING (sh)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- #
+# Source-mixture sampling (data mixing with water-filling)
+# --------------------------------------------------------------------- #
+# Training mixtures are specified as per-source WEIGHTS (news 3x, forums
+# 1x, boilerplate 0.5x ...), not equal shares: the sampler must hit
+# weight-proportional token counts under a global budget, and when a
+# high-weight source doesn't HAVE enough tokens (its keep-rate saturates
+# at 1) the unused budget is re-allocated across the unsaturated sources
+# in weight proportion — one "water-filling" pass, the standard practical
+# compromise (a full fixpoint iterates this; one pass is exact whenever
+# the re-allocation saturates no further source, which the output makes
+# visible via rate < 1).
+MIX_BUDGET_FRACTION = 0.6
+# deterministic target weights keyed on the source's numeric suffix —
+# stands in for the user-supplied mixture dict
+MIX_WEIGHTS = {0: 3.0, 1: 1.0, 2: 0.5}
+
+
+def _mix_weight(src_num) -> "F.Column":
+    return (
+        F.when(src_num % 3 == 0, MIX_WEIGHTS[0])
+        .when(src_num % 3 == 1, MIX_WEIGHTS[1])
+        .otherwise(MIX_WEIGHTS[2])
+    )
+
+
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted weighted-mixture sampler over ``source`` with one
+    water-filling re-allocation pass and the md5-mod deterministic coin.
+
+    Scale shape: identical to ``corpus_sample_budget`` — one doc-grain
+    scan (cached), two TINY per-source aggregates (#sources rows, crossed
+    with a 1-row global), rates broadcast back, one filter.  The corpus
+    never shuffles; everything data-dependent is per-source model state."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(_tokens()).alias("n_tokens"),
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+                .cast("long") % 1_000_000
+            ).alias("coin"),
+        )
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.count(F.lit(1)).alias("src_docs"),
+    ).select("*", _mix_weight(src_num).alias("w"))
+    overall = totals.agg(
+        F.sum("w").alias("sum_w"), F.sum("src_tokens").alias("total_tokens")
+    )
+    # pass 1: weight-proportional budget split; saturated sources keep all
+    p1 = totals.crossJoin(F.broadcast(overall)).select(
+        "*",
+        (
+            (F.col("total_tokens") * MIX_BUDGET_FRACTION * F.col("w") / F.col("sum_w"))
+            / F.col("src_tokens")
+        ).alias("rate1"),
+    )
+    # pass 2: re-allocate the budget the saturated sources couldn't absorb
+    sat = F.col("rate1") >= 1.0
+    leftover = p1.agg(
+        F.sum(F.when(sat, F.col("src_tokens")).otherwise(0)).alias("sat_tokens"),
+        F.sum(F.when(sat, F.lit(0.0)).otherwise(F.col("w"))).alias("unsat_w"),
+        F.first(F.col("total_tokens") * MIX_BUDGET_FRACTION).alias("budget"),
+    )
+    rated = p1.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "src_docs",
+        "src_tokens",
+        "w",
+        F.when(sat, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                ((F.col("budget") - F.col("sat_tokens")) * F.col("w") / F.col("unsat_w"))
+                / F.col("src_tokens"),
+            )
+        )
+        .alias("rate"),
+    )
+    kept = F.col("coin") < F.col("rate") * 1_000_000
+    return (
+        per_doc.join(F.broadcast(rated), "source")
+        .groupBy("source")
+        .agg(
+            F.first("src_docs").alias("n_docs"),
+            F.first("src_tokens").alias("src_tokens"),
+            F.round(F.first("w"), 2).alias("weight"),
+            F.round(F.first("rate"), 6).alias("rate"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS coin
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+         count(*) AS src_docs,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0
+              THEN CAST({MIX_WEIGHTS[0]} AS DOUBLE)
+              WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 1
+              THEN CAST({MIX_WEIGHTS[1]} AS DOUBLE)
+              ELSE CAST({MIX_WEIGHTS[2]} AS DOUBLE) END AS w
+  FROM per_doc GROUP BY source
+),
+overall AS (
+  SELECT sum(w) AS sum_w, CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+  FROM totals
+),
+p1 AS (
+  SELECT totals.*, overall.*,
+         (total_tokens * CAST({MIX_BUDGET_FRACTION} AS DOUBLE) * w / sum_w)
+           / src_tokens AS rate1
+  FROM totals CROSS JOIN overall
+),
+leftover AS (
+  SELECT CAST(sum(CASE WHEN rate1 >= 1.0 THEN src_tokens ELSE 0 END) AS BIGINT)
+           AS sat_tokens,
+         sum(CASE WHEN rate1 >= 1.0 THEN 0.0 ELSE w END) AS unsat_w,
+         any_value(total_tokens * CAST({MIX_BUDGET_FRACTION} AS DOUBLE)) AS budget
+  FROM p1
+),
+rated AS (
+  SELECT source, src_docs, src_tokens, w,
+         CASE WHEN rate1 >= 1.0 THEN CAST(1.0 AS DOUBLE)
+              ELSE least(CAST(1.0 AS DOUBLE),
+                         ((budget - sat_tokens) * w / unsat_w) / src_tokens)
+         END AS rate
+  FROM p1 CROSS JOIN leftover
+)
+SELECT p.source,
+       any_value(src_docs) AS n_docs,
+       any_value(src_tokens) AS src_tokens,
+       round(any_value(w), 2) AS weight,
+       round(any_value(rate), 6) AS rate,
+       CAST(sum(CASE WHEN coin < rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN coin < rate * 1000000 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM per_doc p JOIN rated USING (source)
+GROUP BY p.source
+"""
+
+
+# --------------------------------------------------------------------- #
+# PII scrubbing (regex redaction)
+# --------------------------------------------------------------------- #
+# Pattern-based redaction of emails and IPv4 addresses — the minimum PII
+# pass every published-corpus pipeline runs.  Patterns are kept to the
+# syntax subset shared by Java regex (Spark) and RE2 (DuckDB/production
+# scrubbers) so the oracle mirrors exactly.  The synthetic corpus contains
+# no PII, so the registered query first plants a deterministic,
+# doc_id-derived payload (0-2 emails, 0-3 IPs) and then scrubs it — the
+# hash-match proves counting AND replacement byte-for-byte; the unit test
+# covers organic PII strings.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+IPV4_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+def redact_pii(text: "F.Column") -> "F.Column":
+    """Emails then IPs (emails may contain dotted digits; the reverse
+    order would corrupt them)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant deterministic PII into each document, then count + redact it.
+    Pure column expressions (regexp_count / regexp_replace) — scales as a
+    scan, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com")),
+            (did % 3).cast("int"),
+        ),
+        F.repeat(
+            F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            (did % 4).cast("int"),
+        ),
+    )
+    redacted = redact_pii(planted)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(IPV4_RE)).alias("n_ips"),
+        F.length(redacted).alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+    )
+
+
+TEXT_PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                     CAST(doc_id % 3 AS INT))
+           || repeat(' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                     CAST(doc_id % 4 AS INT)) AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ips,
+       CAST(length(r) AS INT) AS n_chars_redacted,
+       md5(r) AS redacted_fingerprint
+FROM red
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -395,4 +698,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_token_fingerprint": (token_fingerprint, TOKEN_FINGERPRINT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_sample_budget": (corpus_sample_budget, CORPUS_SAMPLE_BUDGET_SQL),
+    "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
+    "corpus_mix_sources": (corpus_mix_sources, CORPUS_MIX_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
 }

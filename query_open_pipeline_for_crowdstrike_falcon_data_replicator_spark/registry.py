@@ -87,16 +87,36 @@ DRIVER_EXCLUDE = {
     # its driver slot); the batch-vs-corpus split is oracle-verified by
     # tests + driver_sim --all
     "dedup_incremental",
+    # --- round-3 rotations: slots freed for dedup_cluster,
+    # text_contamination, corpus_mix_sources, text_pii_redact ---
+    # WindowExec family keeps its driver slot via
+    # window_top_orders_per_customer (rank + filter); the running-sum
+    # frame variant stays oracle-verified in tests + driver_sim --all
+    "window_running_revenue",
+    # EXISTS left-semi shape driver-covered by semi_join_urgent_customers
+    # and q21 (EXISTS + NOT EXISTS with real rows)
+    "q4_priority_check",
+    # single-row conditional-agg-over-filtered-scan family kept via
+    # q17/q19 (same family rule as the q6 exclusion above)
+    "q14_promo_revenue",
+    # the parse->envelope path is the first stage of BOTH ocsf_normalize_100k
+    # and ocsf_etl_verify (driver rows); envelope construction stays
+    # oracle-verified in tests + driver_sim --all
+    "events_ocsf_envelope",
     # approximate by construction (DataSketches HLL/KLL) -> no exact
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",
     "events_sketch_range",
 }
 
-# Entries the round-1 driver never verified (they sat past the 50-entry
-# cap) — listed first in driver order so they are inside any count or time
-# budget this round.
+# Entries the driver has not yet verified (new this round, or previously
+# past the 50-entry cap) — listed first in driver order so they are inside
+# any count or time budget this round.
 _DRIVER_FIRST = [
+    "dedup_cluster",
+    "text_contamination",
+    "corpus_mix_sources",
+    "text_pii_redact",
     "ocsf_etl_verify",
     "multimodal_features",
     "multimodal_frames",

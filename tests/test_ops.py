@@ -46,6 +46,22 @@ def test_minhash_lsh_equals_exact(spark, sf_dir):
     assert lsh == exact
 
 
+def test_connected_components_transitivity(spark):
+    """Min-label propagation closes chains (1-2, 2-3, 3-4 -> one cluster
+    with rep 1) and keeps disjoint components apart — the property that
+    makes 'keep one copy per cluster' well-defined."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_jaccard_df_cap_defuses_hot_shingles(spark):
     """A corpus-wide boilerplate sentence must not explode the posting
     self-join: its shingles exceed the DF cap and are dropped, so the
