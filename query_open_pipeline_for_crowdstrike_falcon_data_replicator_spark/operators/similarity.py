@@ -358,6 +358,116 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
 
+# --------------------------------------------------------------------- #
+# Scalar-quantized (int8) two-stage retrieval
+# --------------------------------------------------------------------- #
+# The memory side of the ANN story: store 1 byte/dim codes (8x smaller
+# than float64 work vectors, 4x smaller than float32 storage), scan the
+# CODES for a cheap integer first pass, and touch full-precision vectors
+# only for the top SQ8_CAND candidates per query.  At 100 TB the first
+# pass is what fits in executor memory/page cache; composing it with the
+# IVF cell layout (``ivf_build_index`` writes PARTITIONED BY cell) gives
+# the standard IVF-SQ8 index: partition-pruned probe, int8 scan, exact
+# re-rank.  Quantization is ``floor(u*127 + 0.5)`` on the unit vector —
+# plain arithmetic, so the DuckDB oracle replays it bit-for-bit.
+SQ8_CAND = 50
+
+
+def _sq8_code(u: Column) -> Column:
+    """Symmetric linear int8 code of a unit vector (components in
+    [-1, 1]): floor(x*127 + 0.5) — floor-based round avoids engine
+    half-even/half-up disagreement."""
+    return F.transform(u, lambda x: F.floor(x * 127 + F.lit(0.5)).cast("int"))
+
+
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage top-k: int8-quantized dot product over all candidates
+    (the compressed scan), exact cosine re-rank of the top SQ8_CAND.
+    Deterministic at both stages (integer scores; id-ascending
+    tie-breaks), so results are engine-replayable."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .withColumn("code", _sq8_code(F.col("u")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("code").alias("cc"))
+    qscore = F.aggregate(
+        F.zip_with("qc", "cc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # first pass carries ONLY ids + codes (the compressed representation);
+    # the tiny query side broadcasts under the nested-loop join
+    stage1 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qscore.alias("qscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    # second pass: full-precision vectors for candidates only (20 x 50
+    # rows — AQE broadcasts the candidate list against the vector table)
+    qu = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cu = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_SQ8_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+codes AS (
+  SELECT vec_id, u,
+         list_transform(u, x -> CAST(floor(x * 127 + 0.5) AS INT)) AS code
+  FROM u
+),
+q AS (SELECT vec_id AS query_id, u AS qu, code AS qc
+      FROM codes WHERE vec_id < {N_QUERIES}),
+stage1 AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qu, c.u AS cu,
+         list_dot_product(qc, c.code) AS qscore
+  FROM q JOIN codes c ON query_id <> c.vec_id
+),
+cands AS (
+  SELECT query_id, neighbor_id, qu, cu FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id ASC) AS r1
+    FROM stage1)
+  WHERE r1 <= {SQ8_CAND}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qu, cu), 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_dot_product(qu, cu), 4) DESC,
+                      neighbor_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _lsh_oracle_sql() -> str:
     """The LSH path is deterministic (md5-derived hyperplanes are plan
     literals), so DuckDB can replay it exactly: same sign buckets, same
@@ -716,5 +826,6 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
+    "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

@@ -103,6 +103,10 @@ DRIVER_EXCLUDE = {
     # and ocsf_etl_verify (driver rows); envelope construction stays
     # oracle-verified in tests + driver_sim --all
     "events_ocsf_envelope",
+    # scalar-subquery-threshold shape driver-covered by q11 (scalar
+    # threshold over an agg) and q2 (correlated min); slot freed for
+    # ann_topk_sq8, q15 stays oracle-verified in tests + driver_sim --all
+    "q15_top_supplier",
     # approximate by construction (DataSketches HLL/KLL) -> no exact
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",
@@ -117,6 +121,7 @@ _DRIVER_FIRST = [
     "text_contamination",
     "corpus_mix_sources",
     "text_pii_redact",
+    "ann_topk_sq8",
     "ocsf_etl_verify",
     "multimodal_features",
     "multimodal_frames",

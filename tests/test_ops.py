@@ -62,6 +62,18 @@ def test_connected_components_transitivity(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """The int8 first pass must not cost meaningful recall: top-10 by
+    quantized-then-rescored retrieval overlaps exact top-10 >= 90%."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_sq8,
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    sq8 = {(r.query_id, r.neighbor_id) for r in ann_topk_sq8(spark, sf_dir).collect()}
+    assert len(sq8 & exact) / len(exact) >= 0.9
+
+
 def test_jaccard_df_cap_defuses_hot_shingles(spark):
     """A corpus-wide boilerplate sentence must not explode the posting
     self-join: its shingles exceed the DF cap and are dropped, so the
