@@ -691,6 +691,56 @@ FROM red
 """
 
 
+# --------------------------------------------------------------------- #
+# Vocabulary / document-frequency statistics
+# --------------------------------------------------------------------- #
+# The corpus-level statistics a tokenizer-training or TF-IDF pass starts
+# from: per-token total count, document frequency, and smoothed IDF,
+# top-VOCAB_TOP_K by count.  One corpus shuffle on the token (partial
+# map-side counts ride the exchange); the top-k is a global sort of the
+# tiny distinct-token aggregate, not of the corpus.
+VOCAB_TOP_K = 100
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar, reused as a literal (model state)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)), 6
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .select("tok", "n_occurrences", "doc_freq", idf.alias("idf"))
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+TEXT_VOCABULARY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT tok, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok, n_occurrences, doc_freq,
+       round(ln((n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf
+FROM agg CROSS JOIN n
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -701,4 +751,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
     "corpus_mix_sources": (corpus_mix_sources, CORPUS_MIX_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
 }

@@ -107,6 +107,10 @@ DRIVER_EXCLUDE = {
     # threshold over an agg) and q2 (correlated min); slot freed for
     # ann_topk_sq8, q15 stays oracle-verified in tests + driver_sim --all
     "q15_top_supplier",
+    # explode->groupBy->top-k scan-agg shape driver-covered by
+    # text_token_fingerprint + q16 (distinct-count agg); oracle-verified
+    # in tests + driver_sim --all
+    "text_vocabulary",
     # approximate by construction (DataSketches HLL/KLL) -> no exact
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",

@@ -230,3 +230,54 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     # the single-column layout cannot skip on the non-cluster column
     _, scanned_other = scan_rows(clustered, "l_suppkey", 42)
     assert scanned_other == total
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast (a real eval suite is MBs
+    vs a 100 TB corpus); the corpus side takes exactly one aggregation
+    exchange and never self-joins."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_contamination,
+    )
+
+    plan = _formatted(text_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sq8_first_pass_carries_codes_only(spark, sf_dir):
+    """The quantized scan's nested-loop join must broadcast the query
+    side, and the full-precision vectors (u) must NOT flow through the
+    stage-1 window exchange — only ids + integer scores do."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_sq8,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(ann_topk_sq8(spark, sf_dir))
+    release_tracked_caches()
+    assert "BroadcastNestedLoopJoin" in plan
+    # stage-1 window sorts (query_id, qscore, neighbor_id) rows only: the
+    # window operator's required sort must not mention the vector column
+    win = [ln for ln in plan.splitlines() if "Window" in ln or "qscore" in ln]
+    assert any("qscore" in ln for ln in win)
+
+
+def test_mix_sampler_never_shuffles_corpus(spark, sf_dir):
+    """Both sampler aggregates are per-source (tiny); the doc-grain side
+    is cached and re-filtered, never joined shuffle-to-shuffle: every
+    join in the plan is a broadcast."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_mix_sources,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_mix_sources(spark, sf_dir))
+    release_tracked_caches()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

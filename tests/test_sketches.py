@@ -90,3 +90,107 @@ def test_sketch_rollup_accuracy(spark, sf_dir):
         span = e.hi - e.lo
         assert e.lo <= r.approx_p50_value <= e.hi, r
         assert abs(r.approx_p50_value - e.p50) <= 0.2 * span, r
+
+
+def test_streaming_sketch_maintenance_incremental_and_exactly_once(spark, tmp_path):
+    """The daily sketch table maintained per micro-batch must equal the
+    batch-computed rollup on the same data (counts exactly; HLL estimates
+    exactly — union of partials has the same registers; KLL quantiles
+    within the rollup tolerance), and a replayed batch must not commit
+    twice."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        read_snapshot,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.sketch_maintenance import (
+        maintain_batch,
+        run_sketch_maintenance,
+    )
+
+    src = str(tmp_path / "incoming")
+    table = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+
+    def event(i, day, user, val):
+        return {
+            "event_id": i,
+            "ts": f"2024-03-{day:02d}T{i % 24:02d}:00:00Z",
+            "user_id": user,
+            "event_type": "click",
+            "value": val,
+        }
+
+    rows, i = [], 0
+    for b in range(3):  # 3 files -> 3 micro-batches
+        batch = []
+        for k in range(200):
+            i += 1
+            batch.append(event(i, 1 + (i % 4), (i * 7) % 60, float(i % 100)))
+        rows.append(batch)
+        with open(_os.path.join(src, f"b{b}.json"), "w") as f:
+            for e in batch:
+                f.write(_json.dumps(e) + "\n")
+        _time.sleep(0.05)
+
+    q = run_sketch_maintenance(
+        spark, src, table, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {
+        r.day: r
+        for r in read_snapshot(spark, table)
+        .select(
+            "day",
+            "n_events",
+            F.hll_sketch_estimate("users_hll").alias("users"),
+            F.round(
+                F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)), 2
+            ).alias("p50"),
+        )
+        .collect()
+    }
+    # exact twin over the full feed
+    all_rows = [e for b in rows for e in b]
+    import datetime
+
+    exact: dict = {}
+    for e in all_rows:
+        d = datetime.datetime.fromisoformat(e["ts"]).date()
+        exact.setdefault(d, {"n": 0, "users": set(), "vals": []})
+        exact[d]["n"] += 1
+        exact[d]["users"].add(e["user_id"])
+        exact[d]["vals"].append(e["value"])
+    assert {d.date() for d in got} == set(exact)
+    for day, r in got.items():
+        e = exact[day.date()]
+        assert r.n_events == e["n"], (day, r.n_events, e["n"])
+        assert abs(r.users - len(e["users"])) <= max(3, 0.05 * len(e["users"]))
+        vals = sorted(e["vals"])
+        lo, hi = vals[int(0.35 * len(vals))], vals[int(0.65 * len(vals))]
+        assert lo <= r.p50 <= hi, (day, r.p50, lo, hi)
+
+    # replay the LAST batch id by hand: the txn high-water mark must skip
+    # the commit — counts unchanged
+    last_batch = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"].replace("Z", "+00:00"), e["user_id"],
+             e["event_type"], e["value"])
+            for e in rows[2]
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import hashlib as _hashlib
+
+    app = "sketch-" + _hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    maintain_batch(spark, last_batch, table, 2, txn_app=app)
+    after = {
+        r.day: r.n_events
+        for r in read_snapshot(spark, table).select("day", "n_events").collect()
+    }
+    assert after == {d: r.n_events for d, r in got.items()}
