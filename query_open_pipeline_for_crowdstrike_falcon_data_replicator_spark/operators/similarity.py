@@ -263,6 +263,30 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_NEARDUP_THRESHOLD}
 """
 
 
+def embedding_neardup_cluster(emb: DataFrame) -> DataFrame:
+    """SEMANTIC dedup decision: embedding-cosine near-dup pairs closed
+    into connected components, one canonical representative per cluster —
+    the embedding-space twin of ``operators.dedup.dedup_cluster`` (same
+    min-label propagation; the pair graph comes from the banded
+    hyperplane LSH instead of MinHash).  Returns one row per CLUSTERED
+    vector: ``(vec_id, cluster_rep, cluster_size, is_rep)``; vectors with
+    no near-dup are absent (they keep themselves)."""
+    from .dedup import connected_components
+
+    pairs = neardup_pairs_from(emb).select("vec_a", "vec_b")
+    edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst").union(
+        pairs.selectExpr("vec_b AS src", "vec_a AS dst")
+    )
+    labels = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
+    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+        "vec_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_rep")).alias("is_rep"),
+    )
+
+
 # ------------------------------------------------------------------ #
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
 # ------------------------------------------------------------------ #

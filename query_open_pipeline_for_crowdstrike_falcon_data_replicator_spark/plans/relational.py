@@ -711,7 +711,76 @@ def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma anomaly counts — z-score outlier detection
+    in EXACT integer arithmetic so it is engine-replayable AND mergeable.
+
+    Values are fixed to cents (``floor(v*100+0.5)``), the per-type state
+    is (n, sum, sum-of-squares) — three additive integers that partial-
+    aggregate map-side and merge across partitions/days, unlike a
+    percentile buffer — and the outlier test multiplies through by n^2 to
+    avoid division entirely: ``(n*x - S)^2 > 9*(n*SS - S^2)`` is
+    ``(x-mean)^2 > (3*std)^2`` exactly, evaluated in decimal(38,0) (the
+    squares overflow int64 at ~1e5 rows/group).  Two passes over the
+    fact table (stats, then flag) with the 5-row stats broadcast back —
+    at scale the stats ride a daily rollup instead of a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per = ev.select("event_type", cents.alias("v"))
+    stats = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("s_cents"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_cents"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = (dec("n_events") * dec("v") - dec("s_cents"))
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        dec("n_events") * dec("ss_cents") - dec("s_cents") * dec("s_cents")
+    )
+    outliers = (
+        per.join(F.broadcast(stats), "event_type")
+        .filter((lhs * lhs) > rhs)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.join(outliers, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        F.round(F.col("s_cents").cast("double") / 100.0 / F.col("n_events"), 4).alias(
+            "mean_value"
+        ),
+        F.coalesce(F.col("n_outliers"), F.lit(0).cast("long")).alias("n_outliers"),
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH per AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(v) AS BIGINT) AS s_cents,
+         CAST(sum(v * v) AS BIGINT) AS ss_cents
+  FROM per GROUP BY 1
+),
+outliers AS (
+  SELECT event_type, count(*) AS n_outliers
+  FROM per JOIN stats USING (event_type)
+  WHERE CAST(n_events * v - s_cents AS HUGEINT)
+          * CAST(n_events * v - s_cents AS HUGEINT)
+        > 9 * (CAST(n_events AS HUGEINT) * CAST(ss_cents AS HUGEINT)
+               - CAST(s_cents AS HUGEINT) * CAST(s_cents AS HUGEINT))
+  GROUP BY 1
+)
+SELECT s.event_type, s.n_events,
+       round(s_cents * 1.0 / 100.0 / s.n_events, 4) AS mean_value,
+       coalesce(n_outliers, 0) AS n_outliers
+FROM stats s LEFT JOIN outliers o USING (event_type)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),
     "profile_quantiles_approx": (profile_quantiles_approx, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

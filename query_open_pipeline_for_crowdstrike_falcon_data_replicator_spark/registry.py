@@ -111,6 +111,10 @@ DRIVER_EXCLUDE = {
     # text_token_fingerprint + q16 (distinct-count agg); oracle-verified
     # in tests + driver_sim --all
     "text_vocabulary",
+    # stats-pass + broadcast-back-and-flag shape driver-covered by
+    # corpus_sample_budget / corpus_mix_sources; oracle-verified in
+    # tests + driver_sim --all
+    "events_anomaly_zscore",
     # approximate by construction (DataSketches HLL/KLL) -> no exact
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",

@@ -357,6 +357,25 @@ def test_neardup_lsh_finds_synthetic_clusters(spark):
     assert got == truth
 
 
+def test_embedding_neardup_cluster_reps(spark):
+    """Semantic dedup: each synthetic 6-copy cluster collapses to ONE
+    component whose representative is its minimum vec_id; singletons are
+    absent from the output (they keep themselves)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        embedding_neardup_cluster,
+    )
+
+    rows = _synthetic_clusters()
+    got = embedding_neardup_cluster(_emb_df(spark, rows)).collect()
+    by_rep: dict[int, set[int]] = {}
+    for r in got:
+        by_rep.setdefault(r.cluster_rep, set()).add(r.vec_id)
+        assert r.is_rep == (r.vec_id == r.cluster_rep)
+        assert r.cluster_size == 6
+    # 5 clusters of 6 perturbed copies: vec_ids [0..5], [6..11], ...
+    assert by_rep == {6 * c: set(range(6 * c, 6 * c + 6)) for c in range(5)}
+
+
 def test_neardup_candidates_bounded_on_hot_label(spark):
     """A hot label of random vectors must NOT go quadratic: the banded
     blocking admits only the ~B/2^R random-collision fraction of pairs
