@@ -627,8 +627,121 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 
+# --------------------------------------------------------------------- #
+# substring (span-grain) dedup
+# --------------------------------------------------------------------- #
+# Document-grain dedup misses the long-tail failure mode of web corpora:
+# boilerplate spans (headers, license blocks, templated paragraphs)
+# repeated VERBATIM across otherwise-distinct documents.  The fix from
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# ACL 2022) removes any >= 50-token span occurring more than once in the
+# corpus; their suffix-array construction is replaced here by the
+# standard distributed approximation — every k-token window is hashed and
+# counted corpus-wide — because a suffix array is a single-machine index
+# while window counting is two hash-partitioned shuffles that scale
+# linearly.  K is 15 (not 50) so the sf0.01 fixture corpus, whose
+# near-dup docs share ~15-40-token runs, exercises the operator.
+SUBSTRING_K = 15
+
+
+def _window_hashes(t: Column, k: int) -> Column:
+    """md5 of every k-token window (stride 1).  md5-of-joined-string
+    rather than xxhash64 so the DuckDB oracle computes the identical
+    value; the shuffled payload is the 32-char digest, never the window
+    text itself."""
+    n = F.size(t)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+    )
+    return F.when(n >= k, wins).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by corpus-duplicated k-token spans: a window
+    position is *duplicated* when its window occurs in >= 2 distinct
+    documents; a document is flagged when more than half its window
+    positions are duplicated.
+
+    Scale shape: windows explode from the tokenize projection (corpus x K
+    amplification, but each row is an 8+32-byte pair); ONE groupBy on the
+    window hash computes distinct-doc counts (map-side partial over the
+    (hash, doc) pre-distinct); the >= 2-doc survivors join back against
+    the postings — both sides hash-partitioned on the window hash, and
+    AQE broadcasts the survivor side when boilerplate is rare.  Nothing
+    is quadratic and no per-doc state exceeds the token count."""
+    base = tracked_persist(
+        token_docs(spark, sf_dir).select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n"),
+            _window_hashes(F.col("toks"), SUBSTRING_K).alias("wins"),
+        )
+    )
+    pos = base.select("doc_id", F.explode_outer("wins").alias("w")).filter(
+        F.col("w").isNotNull()
+    )
+    dup_keys = (
+        pos.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("w")
+    )
+    dup_per_doc = (
+        pos.join(dup_keys, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_windows = F.greatest(F.col("n") - (SUBSTRING_K - 1), F.lit(0).cast("long"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    return (
+        base.select("doc_id", "n", n_windows.alias("n_windows"))
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_dup.alias("n_dup_windows"),
+            F.when(
+                F.col("n") >= SUBSTRING_K,
+                F.round(n_dup * 1.0 / (F.col("n") - (SUBSTRING_K - 1)), 6),
+            ).alias("dup_frac"),
+            (n_dup * 2 > F.greatest(F.col("n_windows"), F.lit(1).cast("long"))).alias(
+                "flagged"
+            ),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {SUBSTRING_K - 1}), ' ')) AS w
+  FROM base, LATERAL unnest(generate_series(1, n - {SUBSTRING_K - 1})) AS u(i)
+  WHERE n >= {SUBSTRING_K}
+),
+nd AS (SELECT w, count(DISTINCT doc_id) AS ndocs FROM pos GROUP BY 1),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM pos JOIN nd USING (w) WHERE nd.ndocs >= 2 GROUP BY 1
+)
+SELECT b.doc_id,
+       greatest(b.n - {SUBSTRING_K - 1}, CAST(0 AS BIGINT)) AS n_windows,
+       coalesce(d.n_dup, 0) AS n_dup_windows,
+       CASE WHEN b.n >= {SUBSTRING_K}
+            THEN round(coalesce(d.n_dup, 0) * 1.0 / (b.n - {SUBSTRING_K - 1}), 6)
+       END AS dup_frac,
+       coalesce(d.n_dup, 0) * 2 >
+         greatest(b.n - {SUBSTRING_K - 1}, CAST(1 AS BIGINT)) AS flagged
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_substring": (dedup_substring, DEDUP_SUBSTRING_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),

@@ -741,6 +741,230 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# within-doc repetition quality (Gopher-style rules)
+# --------------------------------------------------------------------- #
+# The Gopher corpus filters (Rae et al. 2021, appendix A1.1) drop
+# documents dominated by internal repetition: fraction of positions
+# covered by a duplicated n-gram, fraction taken by the single most
+# frequent token.  Computed with explode -> (doc, gram) counts rather
+# than per-row array self-scans: the groupBy is linear with map-side
+# partial aggregation, where filter(grams, eq) inside a projection would
+# be O(len^2) per document and blow up on the long tail.
+REPETITION_TOP_TOKEN_MAX = 0.20
+REPETITION_DUP_TRIGRAM_MAX = 0.15
+
+
+def _gram_structs(t, k: int):
+    """(kind, gram) structs for every k-token position, joined with
+    single spaces so the DuckDB oracle's `t[i] || ' ' || ...` builds the
+    identical string."""
+    if k == 1:
+        return F.transform(t, lambda x: F.struct(F.lit(1).alias("k"), x.alias("g")))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            F.lit(k).alias("k"),
+            F.concat_ws(
+                " ", *[F.element_at(t, i + off) for off in range(k)]
+            ).alias("g"),
+        ),
+    )
+    empty = F.array().cast("array<struct<k:int,g:string>>")
+    return F.when(n >= k, grams).otherwise(empty)
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: most-frequent-token fraction and
+    the fraction of bigram/trigram positions whose gram repeats within
+    the document; flagged when either exceeds its Gopher-style ceiling.
+
+    ONE explode carries unigrams, bigrams and trigrams together (kind
+    tag in the struct), so the corpus is scanned once and the only
+    shuffle is the (doc, kind, gram) count with map-side combine."""
+    from .dedup import token_docs
+
+    toks = token_docs(spark, sf_dir)
+    t = F.col("toks")
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                _gram_structs(t, 1), _gram_structs(t, 2), _gram_structs(t, 3)
+            )
+        ).alias("gr"),
+    ).select("doc_id", F.col("gr.k").alias("k"), F.col("gr.g").alias("g"))
+    cnt = grams.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def _sum(k: int, cond=None):
+        v = F.col("c") if cond is None else F.when(cond, F.col("c"))
+        return F.sum(F.when(F.col("k") == k, v))
+
+    n_tokens = _sum(1)
+    dup = F.col("c") > 1
+    return cnt.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        F.round(F.max(F.when(F.col("k") == 1, F.col("c"))) * 1.0 / n_tokens, 6).alias(
+            "top_token_frac"
+        ),
+        F.round(F.coalesce(_sum(2, dup), F.lit(0)) * 1.0 / _sum(2), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.coalesce(_sum(3, dup), F.lit(0)) * 1.0 / _sum(3), 6).alias(
+            "dup_trigram_frac"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_token_frac") > REPETITION_TOP_TOKEN_MAX)
+            | (F.col("dup_trigram_frac") > REPETITION_DUP_TRIGRAM_MAX)
+        ).alias("flagged"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS k, unnest(t) AS g FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest(list_transform(generate_series(1, n - 1),
+                i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base WHERE n >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS k,
+         unnest(list_transform(generate_series(1, n - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM base WHERE n >= 3
+),
+cnt AS (SELECT doc_id, k, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) FILTER (k = 1) AS BIGINT) AS n_tokens,
+         round(max(c) FILTER (k = 1) * 1.0 / sum(c) FILTER (k = 1), 6)
+           AS top_token_frac,
+         round(coalesce(sum(c) FILTER (k = 2 AND c > 1), 0) * 1.0
+               / sum(c) FILTER (k = 2), 6) AS dup_bigram_frac,
+         round(coalesce(sum(c) FILTER (k = 3 AND c > 1), 0) * 1.0
+               / sum(c) FILTER (k = 3), 6) AS dup_trigram_frac
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac, dup_trigram_frac,
+       top_token_frac > {REPETITION_TOP_TOKEN_MAX}
+         OR dup_trigram_frac > {REPETITION_DUP_TRIGRAM_MAX} AS flagged
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------- #
+# winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------- #
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003): hash every
+# k-gram, slide a w-wide window over the hash sequence and keep each
+# window's minimum.  Guarantees any shared run of >= w + k - 1 tokens
+# yields at least one shared fingerprint while storing only ~2/(w+1) of
+# the grams — the sub-linear sketch for cross-document span overlap,
+# complementing dedup_substring's exhaustive window counting.
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # grams per selection window
+
+
+def fingerprints_of(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, fp) — the distinct winnowing fingerprints of any
+    (doc_id, toks) frame.  All array expressions in one projection; md5
+    digests compare lexicographically the same way in Spark and DuckDB,
+    so the window minimum is engine-portable without a custom rolling
+    hash."""
+    t = F.col("toks")
+    n = F.size(t)
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("grams")
+    fps = F.when(
+        F.size(g) >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(g) - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(g, i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks_df.select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode_outer(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fingerprints_of`` over the documents table."""
+    from .dedup import token_docs
+
+    return fingerprints_of(token_docs(spark, sf_dir))
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing-fingerprint overlap report: fingerprint
+    count, how many are shared with >= 1 other document, and the shared
+    fraction — the MOSS-style local-similarity signal at ~1/3 the cost
+    of exhaustive window counting.  Same two-shuffle shape as
+    dedup_substring (count by fingerprint, join back, per-doc agg)."""
+    fp = tracked_persist(winnow_fingerprints(spark, sf_dir))
+    nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        fp.join(nd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            shared.alias("n_shared_fp"),
+            F.round(shared * 1.0 / F.count(F.lit(1)), 6).alias("shared_frac"),
+        )
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, n - {WINNOW_K - 1}),
+           i -> md5(array_to_string(list_slice(t, i, i + {WINNOW_K - 1}), ' '))) AS gr
+  FROM base WHERE n >= {WINNOW_K}
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(gr) - {WINNOW_W - 1}),
+           i -> list_aggregate(list_slice(gr, i, i + {WINNOW_W - 1}), 'min'))) AS f
+  FROM g WHERE len(gr) >= {WINNOW_W}
+),
+nd AS (SELECT f, count(DISTINCT doc_id) AS ndocs FROM fp GROUP BY 1)
+SELECT fp.doc_id, count(*) AS n_fp,
+       CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+       round(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS shared_frac
+FROM fp JOIN nd USING (f)
+GROUP BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -752,4 +976,6 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_mix_sources": (corpus_mix_sources, CORPUS_MIX_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
 }

@@ -119,12 +119,31 @@ DRIVER_EXCLUDE = {
     # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",
     "events_sketch_range",
+    # --- round-3 second-batch rotations: slots freed for dedup_substring,
+    # text_repetition, text_winnow ---
+    # driver row matched 0 rows vs 0 rows at sf0.01 (no idle customers in
+    # the synthetic data) — zero content signal, same rule as the
+    # anti_join_customers_without_orders exclusion above; stays
+    # oracle-verified in tests + driver_sim --all
+    "q22_idle_customers",
+    # join + CASE-sum shape driver-covered by q8 (CASE fraction over a
+    # 7-table join) and q14 (CASE fraction agg); stays oracle-verified in
+    # tests + driver_sim --all
+    "q12_priority_classes",
+    # per-doc single-projection scan shape driver-covered by
+    # text_token_fingerprint (same scan, harder expressions) and its
+    # aggregate by text_quality_by_lang which is BUILT from text_stats;
+    # stays oracle-verified in tests + driver_sim --all
+    "text_stats",
 }
 
 # Entries the driver has not yet verified (new this round, or previously
 # past the 50-entry cap) — listed first in driver order so they are inside
 # any count or time budget this round.
 _DRIVER_FIRST = [
+    "dedup_substring",
+    "text_repetition",
+    "text_winnow",
     "dedup_cluster",
     "text_contamination",
     "corpus_mix_sources",

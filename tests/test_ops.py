@@ -451,3 +451,111 @@ def test_decode_stub_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(Exception):  # NotImplementedError surfaces as task failure
         extract_features(with_binary_payload(docs), deterministic_fake=False).collect()
+
+
+# --------------------------------------------------------------------- #
+# span-grain dedup + winnowing + repetition (round-3 second batch)
+# --------------------------------------------------------------------- #
+def test_substring_dedup_flags_planted_boilerplate(spark):
+    """A 20-token boilerplate span planted into two otherwise-distinct
+    docs marks every window inside the span (cross-doc duplicated) while
+    a doc without the span stays clean; a short doc (< K tokens) reports
+    zero windows rather than vanishing."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        _window_hashes,
+    )
+
+    span = " ".join(f"boiler{i}" for i in range(20))
+    docs = [
+        (1, "alpha beta " + span + " gamma delta"),
+        (2, "eps zeta " + span + " eta theta"),
+        (3, " ".join(f"unique{i}" for i in range(30))),
+        (4, "too short"),
+    ]
+    toks = spark.createDataFrame(docs, ["doc_id", "text"]).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        _window_hashes(F.col("toks"), SUBSTRING_K).alias("wins"),
+    )
+    pos = base.select("doc_id", F.explode("wins").alias("w"))
+    nd = (
+        pos.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    dup = {r.doc_id: r.cnt for r in
+           pos.join(nd.select("w"), "w").groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # docs 1/2: the 20-token span yields 20-K+1=6 fully-internal windows
+    assert dup.get(1) == dup.get(2) == 20 - SUBSTRING_K + 1
+    assert 3 not in dup and 4 not in dup
+    n_wins = {r.doc_id: r.nw for r in base.select(
+        "doc_id", F.size("wins").alias("nw")).collect()}
+    assert n_wins[4] == 0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w + k - 1
+    tokens select at least one common fingerprint, even though each doc
+    keeps only ~2/(w+1) of its gram hashes."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        fingerprints_of,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + run),
+        (2, run + " " + " ".join(f"b{i}" for i in range(10))),
+        (3, " ".join(f"c{i}" for i in range(25))),
+    ]
+    toks = spark.createDataFrame(docs, ["doc_id", "text"]).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    fps = fingerprints_of(toks)
+    sets = {
+        r.doc_id: set(r.fs)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fs")).collect()
+    }
+    assert sets[1] & sets[2], "shared run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # winnowing is a sketch: far fewer fingerprints than grams
+    n_grams_3 = 25 - WINNOW_K + 1
+    assert len(sets[3]) < n_grams_3
+
+
+def test_repetition_flags_degenerate_doc(spark, sf_dir, tmp_path):
+    """A doc that is one token repeated maxes every metric; a
+    no-repetition doc zeroes the dup-gram fractions.  Run through the
+    registered table-level query against a tiny parquet 'documents'
+    table so the tokenize -> explode -> two-level agg path is the one
+    exercised."""
+    import pandas as pd
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_repetition,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["spam " * 39 + "spam", " ".join(f"w{i}" for i in range(40))],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [0, 0],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.doc_id: r for r in text_repetition(spark, str(d)).collect()}
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].dup_bigram_frac == 1.0 and rows[1].dup_trigram_frac == 1.0
+    assert rows[1].flagged
+    assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
+    assert rows[2].top_token_frac == round(1 / 40, 6)
+    assert not rows[2].flagged
