@@ -781,8 +781,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document; flagged when either exceeds its Gopher-style ceiling.
 
     ONE explode carries unigrams, bigrams and trigrams together (kind
-    tag in the struct), so the corpus is scanned once and the only
-    shuffle is the (doc, kind, gram) count with map-side combine."""
+    tag in the struct), so the corpus is scanned once; because the doc
+    spread hash-partitions on doc_id, BOTH groupBys — (doc, kind, gram)
+    counts and the per-doc rollup — are partition-local, so no gram ever
+    crosses the network (plan-pinned: one exchange total)."""
     from .dedup import token_docs
 
     toks = token_docs(spark, sf_dir)

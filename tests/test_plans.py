@@ -281,3 +281,62 @@ def test_mix_sampler_never_shuffles_corpus(spark, sf_dir):
     release_tracked_caches()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """dedup_substring: no quadratic operator anywhere; the window-count
+    aggregation runs with map-side partial aggregation (two HashAggregate
+    levels around its exchange) so hot boilerplate windows combine before
+    the shuffle."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        dedup_substring,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(dedup_substring(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # distinct-doc counting = partial_count(distinct ...) with a partial
+    # aggregate below the exchange
+    assert "partial_count" in plan
+
+
+def test_winnow_plan_no_quadratic_and_partial_agg(spark, sf_dir):
+    """text_winnow: fingerprint counting and the join back are both keyed
+    on the fingerprint hash — never a cross product; per-doc aggregation
+    keeps map-side partials."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_winnow,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(text_winnow(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_repetition_single_scan_single_gram_shuffle(spark, sf_dir):
+    """text_repetition: unigrams/bigrams/trigrams ride ONE explode from
+    one scan (no union of three scans), and hashpartitioning(doc_id) from
+    the spread satisfies BOTH groupBys — the gram-grain count and the
+    per-doc rollup aggregate with zero additional exchanges."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_repetition,
+    )
+
+    plan = _formatted(text_repetition(spark, sf_dir))
+    # one scan (one Location detail block); the only exchange is the doc
+    # spread — Catalyst inserts no ENSURE_REQUIREMENTS exchange because
+    # hashpartitioning(doc_id) already satisfies both groupBys
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
