@@ -846,10 +846,167 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# IVF-SQ8: the composed scale-path index
+# --------------------------------------------------------------------- #
+def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale-path ANN: IVF coarse quantizer prunes the search to
+    nprobe cells, an int8 scalar-quantized dot product scans the pruned
+    cells (codes only — 1 byte/dim in flight), and exact cosine re-ranks
+    the top SQ8_CAND survivors.  This is FAISS's IVF-SQ8 layout
+    re-expressed relationally: with the assignment written PARTITIONED BY
+    cell (``ivf_build_index``), the probe is partition pruning, the
+    stage-1 join is an equi-join on the cell key, and full-precision
+    vectors are touched for candidates only.
+
+    Every stage is deterministic (6-decimal centroid means, integer
+    stage-1 scores, id-ascending tie-breaks), so the composed pipeline
+    hash-matches its DuckDB replay end-to-end."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .withColumn("code", _sq8_code(F.col("u")))
+    )
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        F.col("code").alias("cc"),
+        _nearest_cell(F.col("u"), cents).alias("cell"),
+    )
+    probe_entries = [
+        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
+        for k, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.col("code").alias("qc"),
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+    )
+    qscore = F.aggregate(
+        F.zip_with("qc", "cc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # stage 1: each neighbor lives in exactly one cell, so the probe join
+    # yields each (query, neighbor) at most once — no distinct needed
+    stage1 = (
+        q.select("query_id", "qc", "cell")
+        .join(assigned.select("neighbor_id", "cc", "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qscore.alias("qscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qu = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cu = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_sq8_oracle_sql() -> str:
+    """DuckDB replay of IVF-SQ8: the ``_ivf_oracle_sql`` Lloyd chain for
+    cells and probes, int8 codes for the pruned stage-1 scan, exact
+    re-rank of the SQ8_CAND survivors."""
+    assign = (
+        "SELECT vec_id, u, cell FROM (\n"
+        "    SELECT t.vec_id, t.u, s.cell,\n"
+        "           row_number() OVER (PARTITION BY t.vec_id\n"
+        "               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn\n"
+        "    FROM {src} t CROSS JOIN {cents} s)\n"
+        "  WHERE rn = 1"
+    )
+    mean = (
+        "SELECT cell, i.i AS pos, round(avg(u[i.i]), 6) AS m\n"
+        "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
+        "  GROUP BY cell, i.i"
+    )
+    update = (
+        "SELECT p.cell, coalesce(g.c, p.c) AS c\n"
+        "  FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c\n"
+        "                           FROM {means} GROUP BY cell) g USING (cell)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+codes AS (
+  SELECT vec_id, u,
+         list_transform(u, x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS code
+  FROM u
+),
+train AS (SELECT vec_id, u FROM u WHERE vec_id % 5 = 0),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
+  FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
+),
+a1 AS ({assign.format(src="train", cents="seed")}),
+m1 AS ({mean.format(assigned="a1", dimp1=DIM + 1)}),
+c1 AS ({update.format(prev="seed", means="m1")}),
+a2 AS ({assign.format(src="train", cents="c1")}),
+m2 AS ({mean.format(assigned="a2", dimp1=DIM + 1)}),
+c2 AS ({update.format(prev="c1", means="m2")}),
+assigned AS (
+  SELECT a.vec_id AS neighbor_id, a.u AS cu, k.code AS cc, a.cell
+  FROM ({assign.format(src="u", cents="c2")}) a JOIN codes k USING (vec_id)
+),
+probes AS (
+  SELECT p.vec_id AS query_id, p.u AS qu, k.code AS qc, p.cell
+  FROM (
+    SELECT t.vec_id, t.u, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s
+    WHERE t.vec_id < {N_QUERIES}) p JOIN codes k USING (vec_id)
+  WHERE p.rn <= {IVF_NPROBE}
+),
+stage1 AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qc, cc) AS qscore,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY list_dot_product(qc, cc) DESC, neighbor_id ASC) AS r1
+  FROM probes JOIN assigned USING (cell)
+  WHERE query_id <> neighbor_id
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.u, n.u), 4) AS cosine
+  FROM stage1 s
+  JOIN u q ON q.vec_id = s.query_id
+  JOIN u n ON n.vec_id = s.neighbor_id
+  WHERE s.r1 <= {SQ8_CAND}
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM rerank
+QUALIFY rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
     "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
+    "ann_topk_ivf_sq8": (ann_topk_ivf_sq8, _ivf_sq8_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

@@ -135,6 +135,11 @@ DRIVER_EXCLUDE = {
     # aggregate by text_quality_by_lang which is BUILT from text_stats;
     # stays oracle-verified in tests + driver_sim --all
     "text_stats",
+    # driver-green in r2; its Lloyd-train/probe/exact-rerank machinery is
+    # a strict subset of ann_topk_ivf_sq8 (same unrolled-Lloyd oracle
+    # chain + the int8 stage the plain form lacks), which takes the slot;
+    # stays oracle-verified in tests + driver_sim --all
+    "ann_topk_ivf",
 }
 
 # Entries the driver has not yet verified (new this round, or previously
@@ -144,6 +149,7 @@ _DRIVER_FIRST = [
     "dedup_substring",
     "text_repetition",
     "text_winnow",
+    "ann_topk_ivf_sq8",
     "dedup_cluster",
     "text_contamination",
     "corpus_mix_sources",

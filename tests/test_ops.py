@@ -559,3 +559,28 @@ def test_repetition_flags_degenerate_doc(spark, sf_dir, tmp_path):
     assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
     assert rows[2].top_token_frac == round(1 / 40, 6)
     assert not rows[2].flagged
+
+
+def test_ivf_sq8_recall_and_agreement(spark, sf_dir):
+    """The composed IVF-SQ8 pipeline (cell pruning + int8 stage-1 + exact
+    re-rank) must hold the recall of its looser parent stages and agree
+    with brute-force cosines on overlapping pairs."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_ivf_sq8,
+    )
+
+    bf = ann_topk_bruteforce(spark, sf_dir).collect()
+    comp = ann_topk_ivf_sq8(spark, sf_dir).collect()
+    bf_sets, comp_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in comp:
+        assert 1 <= r.rank <= TOP_K
+        comp_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & comp_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    assert hits / total >= 0.5, f"IVF-SQ8 recall collapsed: {hits}/{total}"
+    bf_cos = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    for r in comp:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) <= 1e-4 + 1e-9

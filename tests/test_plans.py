@@ -340,3 +340,24 @@ def test_repetition_single_scan_single_gram_shuffle(spark, sf_dir):
     assert "ENSURE_REQUIREMENTS" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_ivf_sq8_stage1_is_cell_equijoin_on_codes(spark, sf_dir):
+    """IVF-SQ8's stage-1 must be an equi-join on the cell key (the
+    partition-pruned probe), never a cross product; the full-precision
+    vectors (u) must not flow through the stage-1 ranking exchange —
+    only ids + int8 codes do."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_ivf_sq8,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(ann_topk_ivf_sq8(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe join is an equi-join keyed on the cell id (partition
+    # pruning at scale), not an all-pairs scan like plain SQ8's stage 1
+    assert "Left keys [1]: [cell" in plan or "[cell#" in plan.split("Join")[1]
