@@ -967,6 +967,91 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- #
+# sequence packing (concat-and-chunk) via distributed prefix sum
+# --------------------------------------------------------------------- #
+# The last step before a training run: documents are concatenated in a
+# canonical order and chunked into fixed-length sequences.  The natural
+# SQL form — sum() OVER (ORDER BY doc_id) — is a GLOBAL window, which
+# Spark executes as a single-partition sort: the one-reducer bottleneck
+# that dies first at 100 TB.  The scale-correct form is the classic
+# two-pass distributed prefix sum implemented here:
+#   1. range-partition by doc_id (contiguous id ranges per partition),
+#      local cumulative sums per partition;
+#   2. per-partition token totals (ONE row per partition) to the driver,
+#      exclusive running offsets computed there (model state, like IVF
+#      centroids), broadcast back and added to the local sums.
+# Wall-clock is two narrow passes; no stage sees more than a partition.
+PACK_SEQ_LEN = 2048
+PACK_PARTITIONS = 8  # local-test value; a real corpus uses the lake's
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its training-sequence id and intra-sequence
+    token offset under concat-and-chunk packing (canonical doc_id order,
+    PACK_SEQ_LEN tokens per sequence), plus a spans_boundary flag for
+    docs split across two sequences."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    parts = docs.repartitionByRange(PACK_PARTITIONS, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    # persisted: the totals collect AND the final projection read it, and
+    # pinning one materialization makes the pid/boundary assignment
+    # trivially consistent between the two passes
+    local = tracked_persist(parts.withColumn("local_cum", F.sum("n_tokens").over(w)))
+    # one tiny row per partition -> driver -> exclusive prefix offsets
+    totals = (
+        local.groupBy("pid")
+        .agg(F.max("local_cum").alias("total"), F.min("doc_id").alias("first_id"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r.first_id):
+        offsets[r.pid] = acc
+        acc += r.total
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("pid"),
+    )
+    cum = F.col("local_cum") + off
+    first = cum - F.col("n_tokens")
+    seq_id = F.floor(first / PACK_SEQ_LEN)
+    return local.select(
+        "doc_id",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (first % PACK_SEQ_LEN).alias("seq_offset"),
+        (F.floor((cum - 1) / PACK_SEQ_LEN) > seq_id).alias("spans_boundary"),
+    )
+
+
+CORPUS_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+       ((cum - 1) // {PACK_SEQ_LEN}) > ((cum - n_tokens) // {PACK_SEQ_LEN})
+         AS spans_boundary
+FROM c
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -980,4 +1065,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
+    "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
 }

@@ -140,6 +140,12 @@ DRIVER_EXCLUDE = {
     # chain + the int8 stage the plain form lacks), which takes the slot;
     # stays oracle-verified in tests + driver_sim --all
     "ann_topk_ivf",
+    # driver-green r1+r2; the md5-fingerprint groupBy is the first stage
+    # of corpus_curation AND plan-identical to dedup_substring's window
+    # count (driver slot); dedup keeps 5 driver slots (substring, jaccard,
+    # minhash, simhash, cluster); stays oracle-verified in tests +
+    # driver_sim --all.  Slot freed for corpus_pack_sequences
+    "dedup_exact",
 }
 
 # Entries the driver has not yet verified (new this round, or previously
@@ -150,6 +156,7 @@ _DRIVER_FIRST = [
     "text_repetition",
     "text_winnow",
     "ann_topk_ivf_sq8",
+    "corpus_pack_sequences",
     "dedup_cluster",
     "text_contamination",
     "corpus_mix_sources",

@@ -584,3 +584,40 @@ def test_ivf_sq8_recall_and_agreement(spark, sf_dir):
     for r in comp:
         if (r.query_id, r.neighbor_id) in bf_cos:
             assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cosine) <= 1e-4 + 1e-9
+
+
+def test_pack_sequences_equals_global_window(spark, sf_dir):
+    """The two-pass distributed prefix sum must equal the single-reducer
+    global-window form exactly — packing assignments are data, and an
+    off-by-one at a partition boundary silently corrupts every sequence
+    after it."""
+    from pyspark.sql import Window
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        PACK_SEQ_LEN,
+        corpus_pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n")
+    )
+    cum = F.sum("n").over(Window.orderBy("doc_id"))
+    first = cum - F.col("n")
+    golden = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.spans)
+        for r in docs.select(
+            "doc_id",
+            F.floor(first / PACK_SEQ_LEN).alias("seq_id"),
+            (first % PACK_SEQ_LEN).alias("seq_offset"),
+            (F.floor((cum - 1) / PACK_SEQ_LEN) > F.floor(first / PACK_SEQ_LEN)).alias(
+                "spans"
+            ),
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in corpus_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == golden and len(got) > 0
+    # boundary-spanning docs must exist at this corpus/seq-len ratio
+    assert any(v[2] for v in got.values())

@@ -361,3 +361,20 @@ def test_ivf_sq8_stage1_is_cell_equijoin_on_codes(spark, sf_dir):
     # the probe join is an equi-join keyed on the cell id (partition
     # pruning at scale), not an all-pairs scan like plain SQ8's stage 1
     assert "Left keys [1]: [cell" in plan or "[cell#" in plan.split("Join")[1]
+
+
+def test_pack_sequences_no_single_partition_sort(spark, sf_dir):
+    """corpus_pack_sequences must run as the range-partitioned two-pass
+    prefix sum — never the naive global window whose SinglePartition
+    exchange is a one-reducer bottleneck at corpus scale."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_pack_sequences,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_pack_sequences(spark, sf_dir))
+    release_tracked_caches()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning(doc_id" in plan
