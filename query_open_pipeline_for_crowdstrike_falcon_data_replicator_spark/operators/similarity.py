@@ -534,11 +534,15 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 def _write_assignment(
     emb_u: DataFrame, cents: list[list[float]], index_path: str, mode: str
 ) -> None:
-    """Write (neighbor_id, cu, cell=nearest centroid) PARTITIONED BY cell."""
+    """Write (neighbor_id, cu, cc=int8 code, cell=nearest centroid)
+    PARTITIONED BY cell.  Storing the SQ8 code next to the full-precision
+    vector costs 1 byte/dim and lets a probe's first pass read ONLY the
+    code column (parquet column pruning) — the IVF-SQ8 serving layout."""
     (
         emb_u.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("u").alias("cu"),
+            _sq8_code(F.col("u")).alias("cc"),
             _nearest_cell(F.col("u"), cents).alias("cell"),
         )
         .write.partitionBy("cell")
@@ -707,12 +711,20 @@ def ivf_query_index(
     index_path: str,
     queries: DataFrame,
     cents: list[list[float]],
+    *,
+    sq8: bool = False,
 ) -> DataFrame:
     """Top-k ANN over a persisted IVF index.  ``queries`` carries
     (query_id, u); each query probes its IVF_NPROBE nearest cells and the
     ``cell IN (...)``-style join key reaches the parquet scan as a
-    partition filter, so only the probed cell directories are read."""
-    index = spark.read.parquet(index_path)
+    partition filter, so only the probed cell directories are read.
+
+    With ``sq8=True`` the probe runs the full IVF-SQ8 serving path: the
+    first pass scans ONLY the stored int8 code column of the probed cells
+    (partition pruning x column pruning — the scan that fits page cache
+    at 100 TB), keeps the top SQ8_CAND integer-scored candidates per
+    query, and a second pruned read fetches full-precision vectors for
+    exact re-ranking of the candidates alone."""
     probe_entries = [
         F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
         for k, c in enumerate(cents)
@@ -721,19 +733,51 @@ def ivf_query_index(
     q = queries.select(
         F.col("query_id"),
         F.col("u").alias("qu"),
+        _sq8_code(F.col("u")).alias("qc"),
         F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
-    )
-    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
-    scored = (
-        q.join(index, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-        .distinct()
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    if not sq8:
+        index = spark.read.parquet(index_path)
+        sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+        scored = (
+            q.join(index, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("cosine"))
+            .distinct()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+        )
+    codes = spark.read.parquet(index_path).select("neighbor_id", "cc", "cell")
+    qscore = F.aggregate(
+        F.zip_with("qc", "cc", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        q.select("query_id", "qc", "cell")
+        .join(codes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qscore.alias("qscore"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    vectors = spark.read.parquet(index_path).select("neighbor_id", "cu")
+    qu = queries.select("query_id", F.col("u").alias("qu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(vectors, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
 
 
 def ivf_probe_cells(qvec: list[float], cents: list[list[float]]) -> list[int]:

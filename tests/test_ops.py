@@ -621,3 +621,52 @@ def test_pack_sequences_equals_global_window(spark, sf_dir):
     assert got == golden and len(got) > 0
     # boundary-spanning docs must exist at this corpus/seq-len ratio
     assert any(v[2] for v in got.values())
+
+
+def test_ivf_index_sq8_serving_path(spark, sf_dir, tmp_path):
+    """The persisted IVF-SQ8 serving path: stage-1 reads ONLY the int8
+    code column of the probed cells (column pruning next to partition
+    pruning), and the staged probe returns exactly the inline
+    ann_topk_ivf_sq8 rows (same deterministic training rule)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        N_QUERIES,
+        ann_topk_ivf_sq8,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        _embedded,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    path = str(tmp_path / "ivf_sq8_index")
+    cents = ivf_build_index(spark, sf_dir, path)
+    queries = (
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "u")
+    )
+    df = ivf_query_index(spark, path, queries, cents, sq8=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # one scan reads codes WITHOUT the full-precision vectors
+    code_scans = [
+        s for s in plan.split("ReadSchema: ")[1:] if "cc" in s[:120] and "cu" not in s[:120]
+    ]
+    assert code_scans, "stage-1 must scan the code column only"
+
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in df.collect()}
+    inline = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ann_topk_ivf_sq8(spark, sf_dir).collect()
+    }
+    release_tracked_caches()
+    assert got == inline and len(got) > 0
