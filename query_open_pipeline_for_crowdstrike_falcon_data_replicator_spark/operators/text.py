@@ -986,14 +986,11 @@ PACK_SEQ_LEN = 2048
 PACK_PARTITIONS = 8  # local-test value; a real corpus uses the lake's
 
 
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every document its training-sequence id and intra-sequence
-    token offset under concat-and-chunk packing (canonical doc_id order,
-    PACK_SEQ_LEN tokens per sequence), plus a spans_boundary flag for
-    docs split across two sequences."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
-    )
+def pack_assignments(docs: DataFrame, *, base: int = 0) -> DataFrame:
+    """The parametric packing core over any (doc_id, n_tokens) frame:
+    sequence assignments for concat-and-chunk packing starting ``base``
+    tokens into the stream (``base`` > 0 is the streaming twin's running
+    total carried across micro-batches)."""
     from pyspark.sql import Window
 
     parts = docs.repartitionByRange(PACK_PARTITIONS, "doc_id").withColumn(
@@ -1010,7 +1007,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("local_cum").alias("total"), F.min("doc_id").alias("first_id"))
         .collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = {}, int(base)
     for r in sorted(totals, key=lambda r: r.first_id):
         offsets[r.pid] = acc
         acc += r.total
@@ -1029,6 +1026,18 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_id.alias("seq_id"),
         (first % PACK_SEQ_LEN).alias("seq_offset"),
         (F.floor((cum - 1) / PACK_SEQ_LEN) > seq_id).alias("spans_boundary"),
+    )
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its training-sequence id and intra-sequence
+    token offset under concat-and-chunk packing (canonical doc_id order,
+    PACK_SEQ_LEN tokens per sequence), plus a spans_boundary flag for
+    docs split across two sequences."""
+    return pack_assignments(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+        )
     )
 
 

@@ -100,3 +100,82 @@ def test_curation_stream_exactly_once(spark, tmp_path):
     q3 = run_curation_stream(spark, src, out, ckpt)
     q3.awaitTermination(120)
     assert _doc_ids(spark, out) == [1, 3, 102]
+
+
+# --------------------------------------------------------------------- #
+# streaming sequence packing (streaming/packing.py)
+# --------------------------------------------------------------------- #
+def test_packing_stream_continuous_and_exactly_once(spark, tmp_path):
+    """Streamed packing must (a) continue the token stream across
+    micro-batches — assignments equal the batch operator over the
+    concatenated corpus — and (b) replay idempotently: re-running a batch
+    leaves the packed table and the running total untouched."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        pack_assignments,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.packing import (
+        pack_batch,
+        run_packing_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [(i, _text(f"a{i}_", 30 + i)) for i in range(5)]
+    batch2 = [(i, _text(f"b{i}_", 25 + i)) for i in range(5, 10)]
+    _write_batch(src, "f0.json", batch1)
+    _write_batch(src, "f1.json", batch2)
+
+    q = run_packing_stream(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    packed = read_snapshot(spark, f"{out}/packed")
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in packed.collect()
+    }
+    # batch twin over the concatenated corpus (same doc order)
+    union = spark.createDataFrame(batch1 + batch2, ["doc_id", "text"]).select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
+    )
+    golden = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in pack_assignments(union).collect()
+    }
+    assert got == golden and len(got) == 10
+
+    state = read_snapshot(spark, f"{out}/state").collect()
+    assert len(state) == 1
+    total = sum(v[0] for v in golden.values())
+    assert state[0]["total_tokens"] == total
+
+    # replay the LAST batch directly (crash-after-commit): both commits
+    # skip on the txn mark; nothing changes
+    import hashlib as _h
+
+    app = "pack-" + _h.md5(ckpt.encode()).hexdigest()[:12]
+    v_packed = current_version(spark, f"{out}/packed")
+    v_state = current_version(spark, f"{out}/state")
+    replay = spark.createDataFrame(batch2, ["doc_id", "text"])
+    pack_batch(spark, replay, out, 1, txn_app=app)
+    assert current_version(spark, f"{out}/packed") == v_packed
+    assert current_version(spark, f"{out}/state") == v_state
+    assert read_snapshot(spark, f"{out}/packed").count() == 10
+
+    # a replayed batch that died between the two commits re-derives the
+    # same rows against the OLD state; only the state commit advances
+    batch3 = [(i, _text(f"c{i}_", 20)) for i in range(10, 12)]
+    df3 = spark.createDataFrame(batch3, ["doc_id", "text"])
+    pack_batch(spark, df3, out, 2, txn_app=app)
+    after_once = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in read_snapshot(spark, f"{out}/packed").collect()
+    }
+    pack_batch(spark, df3, out, 2, txn_app=app)  # full replay
+    after_twice = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in read_snapshot(spark, f"{out}/packed").collect()
+    }
+    assert after_once == after_twice and len(after_twice) == 12
