@@ -1061,6 +1061,79 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------- #
+# hashed linear quality model (fastText-style scoring, JVM-side)
+# --------------------------------------------------------------------- #
+# Production corpora replace heuristic gates with a trained quality
+# classifier (fastText in CCNet/LLaMA pipelines): hash each token into a
+# weight bucket, average the weights, threshold the logit.  INFERENCE is
+# the part that must scale — one scan, no shuffle, no Python — so the
+# model here is a deterministic stand-in (pseudo-weights derived from the
+# bucket id by Knuth multiplicative hashing) while the scoring path is
+# the real thing: portable md5 bucket hash, dyadic-rational weights
+# (k/512 — exact in binary floating point, so the cross-engine fold is
+# bit-equal), left-fold accumulation in token order.
+QUALITY_MODEL_BUCKETS = 64
+_QM_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth 6.4
+
+
+def _qm_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight in [-1, 1): ((b*K) % 1024)/512 - 1.
+    Integer arithmetic then division by a power of two — every weight is
+    a dyadic rational, so sums are exact doubles in any engine."""
+    return ((bucket * _QM_KNUTH) % 1024) / F.lit(512.0) - 1.0
+
+
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from the hashed linear model: mean
+    bucket weight as the logit, thresholded at 0.  One parquet-scan
+    projection — model inference never leaves whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    bucket = lambda tok: (  # noqa: E731 - tiny local expression builder
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        % QUALITY_MODEL_BUCKETS
+    )
+    score = F.aggregate(
+        F.transform(t, lambda tok: _qm_weight(bucket(tok))),
+        F.lit(0.0),
+        lambda acc, w: acc + w,
+    )
+    n_tokens = F.size(t).cast("long")
+    logit = F.round(score / n_tokens, 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+TEXT_QUALITY_MODEL_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       round(
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(string_split(lower(text), ' '),
+               tok -> ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                        % {QUALITY_MODEL_BUCKETS}) * {_QM_KNUTH} % 1024)
+                      / 512.0 - 1.0)),
+           (acc, w) -> acc + w)
+         / len(string_split(lower(text), ' ')), 6) AS logit,
+       round(
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(string_split(lower(text), ' '),
+               tok -> ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                        % {QUALITY_MODEL_BUCKETS}) * {_QM_KNUTH} % 1024)
+                      / 512.0 - 1.0)),
+           (acc, w) -> acc + w)
+         / len(string_split(lower(text), ' ')), 6) > 0 AS keep
+FROM documents
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -1075,4 +1148,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
+    "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
 }

@@ -140,6 +140,11 @@ DRIVER_EXCLUDE = {
     # chain + the int8 stage the plain form lacks), which takes the slot;
     # stays oracle-verified in tests + driver_sim --all
     "ann_topk_ivf",
+    # same single-projection scan shape as text_token_fingerprint (driver
+    # slot, harder expressions: dual tokenizers + rolling-hash fold); the
+    # model-scoring fold is oracle-verified every session by the
+    # full-registry runs (tests/test_relational.py, driver_sim --all)
+    "text_quality_model",
     # driver-green r1+r2; the md5-fingerprint groupBy is the first stage
     # of corpus_curation AND plan-identical to dedup_substring's window
     # count (driver slot); dedup keeps 5 driver slots (substring, jaccard,
