@@ -759,21 +759,23 @@ def ivf_query_index(
         lambda acc, x: acc + x,
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    # cands keeps each candidate's cell so the re-rank read can prune to
+    # the probed partitions instead of scanning every cell's vectors
     cands = (
         q.select("query_id", "qc", "cell")
         .join(codes, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", qscore.alias("qscore"))
+        .select("query_id", "neighbor_id", "cell", qscore.alias("qscore"))
         .withColumn("r1", F.row_number().over(w1))
         .filter(F.col("r1") <= SQ8_CAND)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "cell")
     )
-    vectors = spark.read.parquet(index_path).select("neighbor_id", "cu")
+    vectors = spark.read.parquet(index_path).select("neighbor_id", "cu", "cell")
     qu = queries.select("query_id", F.col("u").alias("qu"))
     sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
     return (
-        cands.join(F.broadcast(qu), "query_id")
-        .join(vectors, "neighbor_id")
+        F.broadcast(cands.join(F.broadcast(qu), "query_id"))
+        .join(vectors, ["cell", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

@@ -662,6 +662,8 @@ def test_ivf_index_sq8_serving_path(spark, sf_dir, tmp_path):
         s for s in plan.split("ReadSchema: ")[1:] if "cc" in s[:120] and "cu" not in s[:120]
     ]
     assert code_scans, "stage-1 must scan the code column only"
+    # both index reads prune to the probed/candidate cells at runtime
+    assert "dynamicpruningexpression(cell" in plan
 
     got = {(r.query_id, r.neighbor_id, r.cosine) for r in df.collect()}
     inline = {
