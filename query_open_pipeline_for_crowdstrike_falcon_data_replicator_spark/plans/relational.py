@@ -779,8 +779,84 @@ FROM stats s LEFT JOIN outliers o USING (event_type)
 """
 
 
+# 30-minute resample grid (events span 30 days -> 1440 slots x 5 types;
+# ~1.4 events per (type, slot) at sf0.01, so real gaps exercise the LOCF)
+RESAMPLE_SECONDS = 1_800
+
+
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with gap fill: per event type, the value
+    series downsampled to one row per 30-minute slot over the table's full
+    span, empty slots carrying the last observation forward (LOCF) — the
+    time-series primitive behind dashboard sparklines and feature grids.
+
+    Scale shape: ONE fact aggregation to (type, slot) grain — count +
+    ``max_by(value, ts)`` both partial-aggregate map-side — then the
+    dense grid is built from a broadcast 1-row (min, max) slot span
+    crossed with the tiny distinct-type list and exploded; the LOCF gap
+    fill is an ``ignoreNulls last`` frame window over the RESAMPLED
+    grain (types x slots rows, not events), so the window never sees the
+    fact table.  Ties inside a slot resolve by max ts (at scale, make
+    the ordinal a (ts, event_id) struct for total determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = (F.unix_timestamp("ts") / RESAMPLE_SECONDS).cast("long")
+    agg = ev.select("event_type", slot.alias("slot"), "ts", "value").groupBy(
+        "event_type", "slot"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    span = agg.agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("slot"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "slot"], "left")
+        .select(
+            "event_type",
+            (F.col("slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+EVENTS_RESAMPLE_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         datediff('second', TIMESTAMP '1970-01-01', ts) // {RESAMPLE_SECONDS} AS slot,
+         count(*) AS n_events,
+         arg_max(value, ts) AS last_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(slot) AS lo, max(slot) AS hi FROM agg),
+grid AS (
+  SELECT t.event_type, s.slot
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS slot FROM span) s
+)
+SELECT g.event_type,
+       CAST(g.slot * {RESAMPLE_SECONDS} AS BIGINT) AS slot_start_epoch,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.last_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN agg a USING (event_type, slot)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
+    "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),
     "profile_quantiles_approx": (profile_quantiles_approx, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

