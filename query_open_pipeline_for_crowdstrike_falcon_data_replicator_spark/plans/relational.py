@@ -854,9 +854,131 @@ FROM grid g LEFT JOIN agg a USING (event_type, slot)
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — THE product-analytics query
+    the reference's Athena surface would serve.  Weeks are 7-day buckets
+    from the epoch (engine-portable integer arithmetic, no engine week
+    conventions).
+
+    Scale shape: per-user first-seen is ONE groupBy on user_id; the join
+    back to events is keyed on user_id too, so with both sides
+    hash-partitioned on the same key the matrix costs two co-partitioned
+    shuffles and a (cohort, offset) count-distinct — no window over the
+    fact table, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    with_day = ev.select("user_id", day.alias("day"))
+    first = with_day.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohort_week = (F.floor(F.col("first_day") / 7) * 7).cast("long")
+    offset = (
+        F.floor(F.col("day") / 7) - F.floor(F.col("first_day") / 7)
+    ).cast("long")
+    return (
+        with_day.join(first, "user_id")
+        .groupBy(
+            cohort_week.alias("cohort_week"), offset.alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH d AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+SELECT CAST((first_day // 7) * 7 AS BIGINT) AS cohort_week,
+       CAST((day // 7) - (first_day // 7) AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM d JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    converts a step only with an event strictly after their previous
+    step's first qualifying event AND within the 24-hour conversion
+    window (without the window every active user trivially converts).  Three per-user conditional-min
+    aggregations chained by user_id joins — each pass scans only its
+    event type (predicate pushed to the parquet scan), every join is
+    keyed on user_id, and the funnel row is a final tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None, out: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    views = first_after("view", None, None, "t_view")
+    clicks = first_after("click", views, "t_view", "t_click")
+    purchases = first_after("purchase", clicks, "t_click", "t_purchase")
+    # three 1-row aggregates combined by broadcast cross join (the q11
+    # scalar-attach pattern) — no driver-side counts
+    nv = views.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = clicks.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = purchases.agg(F.count(F.lit(1)).alias("n_purchase_users"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            F.round(
+                F.col("n_click_users") * 1.0 / F.col("n_view_users"), 4
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_users") * 1.0 / F.col("n_click_users"), 4
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view_users,
+       (SELECT count(*) FROM c) AS n_click_users,
+       (SELECT count(*) FROM p) AS n_purchase_users,
+       round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 4)
+         AS click_to_purchase
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),
     "profile_quantiles_approx": (profile_quantiles_approx, None),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

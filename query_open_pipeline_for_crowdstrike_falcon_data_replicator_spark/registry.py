@@ -140,6 +140,13 @@ DRIVER_EXCLUDE = {
     # chain + the int8 stage the plain form lacks), which takes the slot;
     # stays oracle-verified in tests + driver_sim --all
     "ann_topk_ivf",
+    # compositions of driver-covered primitives over the events feed:
+    # retention = min-groupBy + co-keyed join + count-distinct (q16's
+    # distinct agg, q13's join-then-distribution); funnel = chained
+    # conditional-min joins + the q11 broadcast scalar-attach.  Both stay
+    # oracle-verified every session in tests + driver_sim --all
+    "events_retention_cohorts",
+    "events_funnel",
     # join + agg + deterministic top-k over the same 3-table chain as q3
     # (which keeps its driver slot); q10 adds only a broadcast nation dim
     # to the shape.  Slot freed for events_resample_locf; stays
