@@ -1,0 +1,141 @@
+"""Dedup/text-operator throughput probe at a corpus size where fixed
+overhead is noise: N synthetic documents (seeded Spark-side generation —
+deterministic token streams with planted near-duplicates and shared
+boilerplate spans) through the three heaviest corpus operators:
+
+- MinHash-LSH dedup (profile -> band -> candidate -> verify),
+- substring (span-grain) dedup (window hash -> corpus count -> coverage),
+- winnowing fingerprints (k-gram hash -> window min -> overlap).
+
+The sf0.1 bench corpus is 5k docs — small enough that JVM fixed costs
+dominate; this probe runs at 50k+ docs and reports docs/s per operator,
+the scaling evidence BASELINE.md cites for the text family.  Generation
+happens in the executors (spark.range -> column expressions; the driver
+never sees a document).
+
+Usage: python tools/dedup_scale_probe.py [N] [runs]
+Prints one JSON line: {"n_docs": ..., "cores": ..., "ops": {name:
+{"best_sec": ..., "docs_per_sec": ...}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = 500  # small vocabulary -> realistic shingle collisions
+DOC_TOKENS = 60
+NEARDUP_EVERY = 10  # every 10th doc is a near-copy of its predecessor
+BOILER_EVERY = 7  # every 7th doc embeds the shared 20-token span
+
+
+def synthetic_docs(spark, n: int):
+    """(doc_id, text): deterministic token streams; near-dups and planted
+    boilerplate give the operators real signal at any scale."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(VOCAB)),
+    )
+    # near-dup: doc 10k+1 copies doc 10k's stream except the last token
+    src = F.when(
+        F.col("doc_id") % NEARDUP_EVERY == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    tok_src = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(src * 1000 + i), F.lit(VOCAB))
+    )
+    body = F.concat_ws(" ", *[tok_src(i) for i in range(DOC_TOKENS - 1)], tok(999))
+    boiler = " ".join(f"boiler{i}" for i in range(20))
+    text = F.when(
+        F.col("doc_id") % BOILER_EVERY == 0,
+        F.concat(F.lit(boiler + " "), body),
+    ).otherwise(body)
+    return base.select("doc_id", text.alias("text"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        _window_hashes,
+        lsh_bands,
+        minhash_profiles,
+        postings_of,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        fingerprints_of,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        get_spark,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    docs = synthetic_docs(spark, n)
+    docs.write.mode("overwrite").parquet("/tmp/dedup_probe_corpus")
+    corpus = spark.read.parquet("/tmp/dedup_probe_corpus")
+    toks = corpus.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+
+    def run_minhash():
+        profiles = minhash_profiles(postings_of(corpus))
+        bands = lsh_bands(profiles)
+        cands = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_doc"), F.col("b.doc_id").alias("b_doc"))
+            .distinct()
+        )
+        return cands.count()
+
+    def run_substring():
+        base = toks.select(
+            "doc_id", _window_hashes(F.col("toks"), SUBSTRING_K).alias("wins")
+        )
+        pos = base.select("doc_id", F.explode("wins").alias("w"))
+        nd = (
+            pos.groupBy("w")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+        )
+        return pos.join(nd.select("w"), "w").groupBy("doc_id").count().count()
+
+    def run_winnow():
+        fp = fingerprints_of(toks)
+        nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+        return fp.join(nd, "fp").groupBy("doc_id").count().count()
+
+    ops = {"minhash_lsh": run_minhash, "substring": run_substring, "winnow": run_winnow}
+    out = {}
+    for name, fn in ops.items():
+        fn()  # warmup (codegen JIT)
+        best = min(_timed(fn) for _ in range(runs))
+        out[name] = {"best_sec": round(best, 2), "docs_per_sec": int(n / best)}
+    print(json.dumps({"n_docs": n, "cores": cpus, "ops": out}))
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
+if __name__ == "__main__":
+    main()
