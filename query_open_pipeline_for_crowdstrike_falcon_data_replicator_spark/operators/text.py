@@ -1134,6 +1134,57 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------- #
+# unigram LM perplexity scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------- #
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one-
+    smoothed unigram LM trained on the corpus itself — the shape of
+    CCNet's KenLM perplexity filter (score docs against a reference LM,
+    drop the high-perplexity tail), with the unigram model standing in
+    for the 5-gram (the pipeline — count, attach scalars, score by a
+    token-keyed join — is what must scale, and is identical).
+
+    Scale shape: one explode -> token-count groupBy (map-side combine);
+    the two model scalars (total tokens, vocab size) ride a broadcast
+    1-row cross join; scoring joins the postings to the count table on
+    the token key (zipfian skew handled by AQE; a trained-weights
+    broadcast replaces the join when the LM is external) and one per-doc
+    average.  flagged = above-median NLL would need a quantile; the
+    fixed threshold keeps the query scalar-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    scal = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    nll = -F.log(
+        (F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab"))
+    )
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+    )
+
+
+TEXT_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+scal AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM counts)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln((cnt + 1.0) / (total + vocab))), 6) AS mean_nll
+FROM toks JOIN counts USING (tok) CROSS JOIN scal
+GROUP BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -1149,4 +1200,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
+    "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
 }

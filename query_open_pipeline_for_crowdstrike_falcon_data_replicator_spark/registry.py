@@ -152,6 +152,11 @@ DRIVER_EXCLUDE = {
     # to the shape.  Slot freed for events_resample_locf; stays
     # oracle-verified in tests + driver_sim --all
     "q10_returned_items",
+    # explode -> count -> scalar-attach -> token-keyed join composition of
+    # text_vocabulary's count machinery (excluded twin) and the q11
+    # broadcast scalar pattern; oracle-verified every session in tests +
+    # driver_sim --all
+    "text_lm_score",
     # same single-projection scan shape as text_token_fingerprint (driver
     # slot, harder expressions: dual tokenizers + rolling-hash fold); the
     # model-scoring fold is oracle-verified every session by the
