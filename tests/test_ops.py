@@ -672,3 +672,44 @@ def test_ivf_index_sq8_serving_path(spark, sf_dir, tmp_path):
     }
     release_tracked_caches()
     assert got == inline and len(got) > 0
+
+
+def test_winnow_guarantee_property(spark):
+    """Property check of the winnowing guarantee over randomized corpora:
+    for ANY two docs sharing a contiguous run of >= w + k - 1 tokens,
+    the winnowed fingerprint sets intersect.  Deterministic seeds, many
+    shapes (run position, doc lengths, vocab overlap) in one Spark job."""
+    import random
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        fingerprints_of,
+    )
+
+    rng = random.Random(42)
+    need = WINNOW_K + WINNOW_W - 1
+    docs, expected_pairs = [], []
+    did = 0
+    for case in range(20):
+        run_len = need + rng.randint(0, 6)
+        run = [f"r{case}_{i}" for i in range(run_len)]
+        a_pre = [f"a{case}_{i}" for i in range(rng.randint(0, 15))]
+        a_post = [f"ap{case}_{i}" for i in range(rng.randint(0, 15))]
+        b_pre = [f"b{case}_{i}" for i in range(rng.randint(0, 15))]
+        docs.append((did, " ".join(a_pre + run + a_post)))
+        docs.append((did + 1, " ".join(b_pre + run)))
+        expected_pairs.append((did, did + 1))
+        did += 2
+    toks = spark.createDataFrame(docs, ["doc_id", "text"]).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    sets = {
+        r.doc_id: set(r.fs)
+        for r in fingerprints_of(toks)
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fs"))
+        .collect()
+    }
+    for a, b in expected_pairs:
+        assert sets[a] & sets[b], f"docs {a},{b} share a {need}+-token run but no fingerprint"
