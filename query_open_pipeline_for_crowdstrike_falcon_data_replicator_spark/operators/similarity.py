@@ -819,53 +819,63 @@ def ivf_query_one(
     )
 
 
-def _ivf_oracle_sql() -> str:
-    """Exact DuckDB replay of the IVF pipeline.  Every stage is
-    deterministic: unit vectors are sequential-fold arithmetic (bit-equal
-    across engines), seeds are the first IVF_CELLS training rows by
-    vec_id, each Lloyd mean is rounded to 6 decimals (so the two engines'
-    differently-ordered float sums collapse to the same centroid), and
-    assignment/probing breaks distance ties toward the lower cell — the
-    IVF_ITERS=2 iterations unroll as chained CTEs."""
-    assign = (
-        "SELECT vec_id, u, cell FROM (\n"
-        "    SELECT t.vec_id, t.u, s.cell,\n"
-        "           row_number() OVER (PARTITION BY t.vec_id\n"
-        "               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn\n"
-        "    FROM {src} t CROSS JOIN {cents} s)\n"
-        "  WHERE rn = 1"
-    )
-    mean = (
-        "SELECT cell, i.i AS pos, round(avg(u[i.i]), 6) AS m\n"
-        "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
-        "  GROUP BY cell, i.i"
-    )
-    # empty cells keep their previous centroid (the Spark loop's `if k in
-    # by_cell` branch)
-    update = (
-        "SELECT p.cell, coalesce(g.c, p.c) AS c\n"
-        "  FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c\n"
-        "                           FROM {means} GROUP BY cell) g USING (cell)"
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared DuckDB replay of the deterministic Lloyd chain (`_ivf_train`):
+# every consumer oracle (IVF, IVF-SQ8, SemDeDup) reuses the same unrolled
+# CTE prefix.  Empty cells keep their previous centroid in _UPDATE_T (the
+# Spark loop's `if k in by_cell` branch).
+_ASSIGN_T = (
+    "SELECT vec_id, u, cell FROM (\n"
+    "    SELECT t.vec_id, t.u, s.cell,\n"
+    "           row_number() OVER (PARTITION BY t.vec_id\n"
+    "               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn\n"
+    "    FROM {src} t CROSS JOIN {cents} s)\n"
+    "  WHERE rn = 1"
+)
+_MEAN_T = (
+    "SELECT cell, i.i AS pos, round(avg(u[i.i]), 6) AS m\n"
+    "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
+    "  GROUP BY cell, i.i"
+)
+_UPDATE_T = (
+    "SELECT p.cell, coalesce(g.c, p.c) AS c\n"
+    "  FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c\n"
+    "                           FROM {means} GROUP BY cell) g USING (cell)"
+)
+
+
+def _lloyd_chain(after_u: str = "") -> str:
+    """CTE prefix replaying ``_ivf_train`` exactly: unit vectors, the %5
+    training sample, first-IVF_CELLS-by-vec_id seeds, and IVF_ITERS=2
+    unrolled assign/mean/update rounds ending in centroid table ``c2``.
+    Deterministic across engines because unit vectors are sequential-fold
+    arithmetic, each Lloyd mean is rounded to 6 decimals, and assignment
+    breaks distance ties toward the lower cell."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 u AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-      FROM e),
+      FROM e),{after_u}
 train AS (SELECT vec_id, u FROM u WHERE vec_id % 5 = 0),
 seed AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
   FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
 ),
-a1 AS ({assign.format(src="train", cents="seed")}),
-m1 AS ({mean.format(assigned="a1", dimp1=DIM + 1)}),
-c1 AS ({update.format(prev="seed", means="m1")}),
-a2 AS ({assign.format(src="train", cents="c1")}),
-m2 AS ({mean.format(assigned="a2", dimp1=DIM + 1)}),
-c2 AS ({update.format(prev="c1", means="m2")}),
+a1 AS ({_ASSIGN_T.format(src="train", cents="seed")}),
+m1 AS ({_MEAN_T.format(assigned="a1", dimp1=DIM + 1)}),
+c1 AS ({_UPDATE_T.format(prev="seed", means="m1")}),
+a2 AS ({_ASSIGN_T.format(src="train", cents="c1")}),
+m2 AS ({_MEAN_T.format(assigned="a2", dimp1=DIM + 1)}),
+c2 AS ({_UPDATE_T.format(prev="c1", means="m2")})"""
+
+
+def _ivf_oracle_sql() -> str:
+    """Exact DuckDB replay of the IVF pipeline: the `_lloyd_chain` CTE
+    prefix for training, then assignment, nprobe probing, and the cosine
+    re-rank — every stage deterministic (see _lloyd_chain)."""
+    return f"""
+WITH {_lloyd_chain()},
 assigned AS (
   SELECT vec_id AS neighbor_id, u AS cu, cell
-  FROM ({assign.format(src="u", cents="c2")})
+  FROM ({_ASSIGN_T.format(src="u", cents="c2")})
 ),
 probes AS (
   SELECT vec_id AS query_id, u AS qu, cell FROM (
@@ -967,52 +977,23 @@ def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sq8_oracle_sql() -> str:
-    """DuckDB replay of IVF-SQ8: the ``_ivf_oracle_sql`` Lloyd chain for
-    cells and probes, int8 codes for the pruned stage-1 scan, exact
-    re-rank of the SQ8_CAND survivors."""
-    assign = (
-        "SELECT vec_id, u, cell FROM (\n"
-        "    SELECT t.vec_id, t.u, s.cell,\n"
-        "           row_number() OVER (PARTITION BY t.vec_id\n"
-        "               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn\n"
-        "    FROM {src} t CROSS JOIN {cents} s)\n"
-        "  WHERE rn = 1"
-    )
-    mean = (
-        "SELECT cell, i.i AS pos, round(avg(u[i.i]), 6) AS m\n"
-        "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
-        "  GROUP BY cell, i.i"
-    )
-    update = (
-        "SELECT p.cell, coalesce(g.c, p.c) AS c\n"
-        "  FROM {prev} p LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c\n"
-        "                           FROM {means} GROUP BY cell) g USING (cell)"
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-u AS (SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-      FROM e),
+_SQ8_CODES_CTE = """
 codes AS (
   SELECT vec_id, u,
          list_transform(u, x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS code
   FROM u
-),
-train AS (SELECT vec_id, u FROM u WHERE vec_id % 5 = 0),
-seed AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
-  FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
-),
-a1 AS ({assign.format(src="train", cents="seed")}),
-m1 AS ({mean.format(assigned="a1", dimp1=DIM + 1)}),
-c1 AS ({update.format(prev="seed", means="m1")}),
-a2 AS ({assign.format(src="train", cents="c1")}),
-m2 AS ({mean.format(assigned="a2", dimp1=DIM + 1)}),
-c2 AS ({update.format(prev="c1", means="m2")}),
+),"""
+
+
+def _ivf_sq8_oracle_sql() -> str:
+    """DuckDB replay of IVF-SQ8: the ``_lloyd_chain`` prefix for cells
+    and probes, int8 codes for the pruned stage-1 scan, exact re-rank of
+    the SQ8_CAND survivors."""
+    return f"""
+WITH {_lloyd_chain(after_u=_SQ8_CODES_CTE)},
 assigned AS (
   SELECT a.vec_id AS neighbor_id, a.u AS cu, k.code AS cc, a.cell
-  FROM ({assign.format(src="u", cents="c2")}) a JOIN codes k USING (vec_id)
+  FROM ({_ASSIGN_T.format(src="u", cents="c2")}) a JOIN codes k USING (vec_id)
 ),
 probes AS (
   SELECT p.vec_id AS query_id, p.u AS qu, k.code AS qc, p.cell
@@ -1048,11 +1029,99 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# SemDeDup: semantic dedup via k-means cells + within-cell cosine prune
+# --------------------------------------------------------------------- #
+SEMDEDUP_TAU = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    relationally: k-means cells are the semantic blocking structure (the
+    SAME deterministic Lloyd quantizer the IVF index trains, so cells are
+    reusable between dedup and serving), exact cosine is computed only
+    between a vector and its lower-id cellmates, and a vector is dropped
+    iff some lower-id cellmate is nearer than SEMDEDUP_TAU — the paper's
+    keep-one-per-semantic-neighborhood rule with a deterministic
+    (id-ascending) survivor.
+
+    Returns one row per vector: (vec_id, cell, n_dups, max_sim, is_kept).
+
+    Scale shape: pair generation is an equi-join on the cell key — work
+    is sum(|cell|^2)/2, bounded by the quantizer granularity, never the
+    corpus-wide n^2 (that is the entire point of SemDeDup's clustering
+    stage; at 100 TB K grows with the corpus — the paper uses 50k cells
+    on LAION — and an oversized cell would be recursively sub-clustered).
+    The synthetic embeddings carry no planted near-dups (max in-cell
+    cosine ~0.47 at sf0.01), so the registered operating point TAU=0.3
+    sits in the in-cell cosine distribution's upper tail: both the drop
+    path (165/500 docs at sf0.01) and the keep path carry real rows; a
+    production corpus sweeps TAU."""
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    assigned = emb.select(
+        "vec_id", "u", _nearest_cell(F.col("u"), cents).alias("cell")
+    )
+    prior = assigned.select(
+        F.col("vec_id").alias("prior_id"), F.col("u").alias("pu"), "cell"
+    )
+    sim = F.round(_dot(F.col("u"), F.col("pu")), 4)
+    dups = (
+        assigned.join(prior, "cell")
+        .filter(F.col("prior_id") < F.col("vec_id"))
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"), F.max("sim").alias("max_sim"))
+    )
+    return assigned.select("vec_id", "cell").join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("dup_cnt"), F.lit(0)).cast("long").alias("n_dups"),
+        "max_sim",
+        F.when(F.col("dup_cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replay of SemDeDup: the ``_lloyd_chain`` prefix for cells,
+    then the within-cell lower-id pair scan and keep/drop decision —
+    exact because cosine is rounded to 4 decimals BEFORE the threshold
+    compare in both engines."""
+    return f"""
+WITH {_lloyd_chain()},
+assigned AS (
+  SELECT vec_id, u, cell FROM ({_ASSIGN_T.format(src="u", cents="c2")})
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, round(list_dot_product(a.u, b.u), 4) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.u, b.u), 4) >= {SEMDEDUP_TAU}
+),
+d AS (
+  SELECT vec_id, count(*) AS dup_cnt, max(sim) AS max_sim
+  FROM pairs GROUP BY vec_id
+)
+SELECT s.vec_id, s.cell,
+       CAST(coalesce(d.dup_cnt, 0) AS BIGINT) AS n_dups,
+       d.max_sim AS max_sim,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM assigned s LEFT JOIN d ON s.vec_id = d.vec_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
     "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
     "ann_topk_ivf_sq8": (ann_topk_ivf_sq8, _ivf_sq8_oracle_sql()),
+    "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

@@ -168,12 +168,21 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # driver row matched 0 rows vs 0 rows at sf0.01 every round (the
+    # synthetic embeddings have no cosine>=0.9 pairs) — zero content
+    # signal, same rule as the q22/anti_join exclusions; slot goes to
+    # dedup_semantic, which runs the same embedding-cosine machinery at
+    # an operating point with real drops AND real kept rows.  The banded
+    # LSH candidate path stays pinned by synthetic-cluster tests and the
+    # exact all-pairs oracle in tests + driver_sim --all
+    "embedding_neardup_pairs",
 }
 
 # Entries the driver has not yet verified (new this round, or previously
 # past the 50-entry cap) — listed first in driver order so they are inside
 # any count or time budget this round.
 _DRIVER_FIRST = [
+    "dedup_semantic",
     "dedup_substring",
     "text_repetition",
     "text_winnow",

@@ -713,3 +713,40 @@ def test_winnow_guarantee_property(spark):
     }
     for a, b in expected_pairs:
         assert sets[a] & sets[b], f"docs {a},{b} share a {need}+-token run but no fingerprint"
+
+
+def test_dedup_semantic_drops_planted_duplicates(spark, tmp_path):
+    """SemDeDup keep/drop: exact duplicate vectors always share a k-means
+    cell (identical argmin), so every non-minimal copy must be dropped
+    with max_sim == 1.0; the deterministic survivor is the lowest id."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        dedup_semantic,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, groups, vid = [], [], 0
+    for g in range(3):
+        base = [float(x) for x in rng.normal(size=64)]
+        ids = []
+        for _ in range(3):
+            rows.append((vid, base, g))
+            ids.append(vid)
+            vid += 1
+        groups.append(ids)
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.normal(size=64)], vid % 5))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert len(out) == vid
+    for ids in groups:
+        assert len({out[i].cell for i in ids}) == 1
+        for i in ids[1:]:
+            r = out[i]
+            assert r.is_kept == 0 and r.n_dups >= 1 and r.max_sim == 1.0
+    assert sum(r.is_kept for r in out.values()) >= 1
