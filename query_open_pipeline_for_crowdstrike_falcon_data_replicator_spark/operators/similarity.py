@@ -306,20 +306,28 @@ def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
     return F.array_min(F.array(*entries))["c"]
 
 
-def _ivf_train(emb: DataFrame, spark: SparkSession) -> list[list[float]]:
+def _ivf_train(
+    emb: DataFrame,
+    spark: SparkSession,
+    nearest: Callable[[Column, list[list[float]]], Column] | None = None,
+    k: int = IVF_CELLS,
+) -> list[list[float]]:
     """Lloyd's iterations, Spark-distributed: assignment is a plan literal
     expression, the centroid update is a two-level (cell, dim) mean — the
     only driver-side data is the K x DIM centroid matrix itself.
 
-    Deterministic AND engine-replayable: seeds are the first IVF_CELLS
+    Deterministic AND engine-replayable: seeds are the first ``k``
     rows of the training set (by vec_id), and each mean is rounded to 6
     decimals — a distributed float sum is order-dependent at ~1e-15, so
     the rounding makes the centroids (and every downstream argmin)
-    identical across engines; see _ivf_oracle_sql."""
-    seed = emb.orderBy("vec_id").limit(IVF_CELLS).select("u").collect()
+    identical across engines; see _ivf_oracle_sql.  ``nearest`` picks the
+    assignment metric (default: max inner product, `_nearest_cell`; PQ
+    passes the L2 form)."""
+    nearest = nearest or _nearest_cell
+    seed = emb.orderBy("vec_id").limit(k).select("u").collect()
     cents = [list(r["u"]) for r in seed]
     for _ in range(IVF_ITERS):
-        assigned = emb.select(_nearest_cell(F.col("u"), cents).alias("cell"), "u")
+        assigned = emb.select(nearest(F.col("u"), cents).alias("cell"), "u")
         means = (
             assigned.select("cell", F.posexplode("u").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -1116,12 +1124,207 @@ FROM assigned s LEFT JOIN d ON s.vec_id = d.vec_id
 """
 
 
+# --------------------------------------------------------------------- #
+# Product quantization (PQ): codebook compression + ADC lookup-table scan
+# --------------------------------------------------------------------- #
+# The last member of the FAISS-family quartet (IVF / SQ8 / IVF-SQ8 / PQ):
+# the unit vector is split into PQ_M subspaces, each sub-vector replaced
+# by the id of its nearest (L2) codeword from a per-subspace 16-entry
+# codebook — 4 x 4 bits = 2 bytes per vector in the stage-1 scan, vs 64
+# for SQ8 codes and 512 for float64 work vectors.  A query precomputes a
+# 64-entry lookup table (dot product against every codeword, done ONCE on
+# the 20-row query side), and the asymmetric-distance (ADC) score of a
+# candidate is 4 table lookups + 3 adds — no per-pair vector math at all.
+PQ_M = 4
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+
+
+def _l2_nearest(u: Column, cents: list[list[float]]) -> Column:
+    """argmin_k ||u - c_k||^2, ties to the lower code.  The distance is
+    expanded to three sequential-fold dot products combined in fixed
+    order — bit-replayable in DuckDB (see _pq_oracle_sql)."""
+    entries = []
+    for k, c in enumerate(cents):
+        cv = F.lit(c)
+        d = _dot(u, u) - 2 * _dot(u, cv) + _dot(cv, cv)
+        entries.append(F.struct(d.alias("d"), F.lit(k).alias("c")))
+    return F.array_min(F.array(*entries))["c"]
+
+
+def _subvec(u: Column, s: int) -> Column:
+    return F.slice(u, s * PQ_SUB + 1, PQ_SUB)
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC two-stage top-k: per-subspace Lloyd codebooks (the same
+    deterministic recipe as the IVF quantizer, L2 metric), candidates
+    carried as PQ_M small int codes, stage-1 ADC scores from the
+    broadcast per-query lookup tables, exact cosine re-rank of the top
+    SQ8_CAND survivors.
+
+    Scale shape: the scan side of stage 1 is (id, 4 codes) — ~2 bytes of
+    code per vector in flight/memory; all dot products happen once per
+    QUERY (the LUT), never per (query, candidate) pair.  Deterministic
+    end-to-end: 6-decimal codebook means, fixed-order ADC adds rounded to
+    4 decimals before ranking, id-ascending tie-breaks."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    train = emb.filter(F.col("vec_id") % 5 == 0)
+    books = [
+        _ivf_train(
+            train.select("vec_id", _subvec(F.col("u"), s).alias("u")),
+            spark,
+            nearest=_l2_nearest,
+            k=PQ_K,
+        )
+        for s in range(PQ_M)
+    ]
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    lut_entries = [
+        _dot(_subvec(F.col("u"), s), F.lit(c)) for s in range(PQ_M) for c in books[s]
+    ]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.array(*lut_entries).alias("lut")
+    )
+    parts = [
+        F.element_at(F.col("lut"), (F.col(f"c{s}") + 1 + s * PQ_K).cast("int"))
+        for s in range(PQ_M)
+    ]
+    adc = F.round(((parts[0] + parts[1]) + parts[2]) + parts[3], 4)
+    stage1 = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("qscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qu = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cu = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_ASSIGN_L2_T = (
+    "SELECT vec_id, u, cell FROM (\n"
+    "    SELECT t.vec_id, t.u, s.cell,\n"
+    "           row_number() OVER (PARTITION BY t.vec_id\n"
+    "               ORDER BY list_dot_product(t.u, t.u)"
+    " - 2 * list_dot_product(t.u, s.c)"
+    " + list_dot_product(s.c, s.c), s.cell) AS rn\n"
+    "    FROM {src} t CROSS JOIN {cents} s)\n"
+    "  WHERE rn = 1"
+)
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of PQ-ADC: one unrolled L2 Lloyd chain per subspace
+    (same determinism recipe as `_lloyd_chain`), per-subspace partial ADC
+    terms joined and summed in the SAME fixed order as the Spark
+    expression, then the shared rerank tail."""
+    ctes = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e)"""
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        ctes.append(f"u{s} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM u)")
+        ctes.append(f"tr{s} AS (SELECT vec_id, u FROM u{s} WHERE vec_id % 5 = 0)")
+        ctes.append(
+            f"""sd{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
+  FROM tr{s} QUALIFY row_number() OVER (ORDER BY vec_id) <= {PQ_K})"""
+        )
+        prev = f"sd{s}"
+        for it in (1, 2):
+            ctes.append(
+                f"a{it}_{s} AS ({_ASSIGN_L2_T.format(src=f'tr{s}', cents=prev)})"
+            )
+            ctes.append(
+                f"m{it}_{s} AS ({_MEAN_T.format(assigned=f'a{it}_{s}', dimp1=PQ_SUB + 1)})"
+            )
+            ctes.append(
+                f"cb{it}_{s} AS ({_UPDATE_T.format(prev=prev, means=f'm{it}_{s}')})"
+            )
+            prev = f"cb{it}_{s}"
+        ctes.append(f"cs{s} AS ({_ASSIGN_L2_T.format(src=f'u{s}', cents=prev)})")
+        ctes.append(
+            f"""p{s} AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.u, b.c) AS d
+  FROM u{s} q
+  CROSS JOIN {prev} b
+  JOIN cs{s} a ON a.cell = b.cell
+  WHERE q.vec_id < {N_QUERIES})"""
+        )
+    joins = "\n  ".join(
+        f"JOIN p{s} USING (query_id, neighbor_id)" for s in range(1, PQ_M)
+    )
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql},
+stage1 AS (
+  SELECT query_id, neighbor_id,
+         round(((p0.d + p1.d) + p2.d) + p3.d, 4) AS qscore
+  FROM p0
+  {joins}
+  WHERE query_id <> neighbor_id
+),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id ASC) AS r1
+    FROM stage1)
+  WHERE r1 <= {SQ8_CAND}
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.u, n.u), 4) AS cosine
+  FROM cands c
+  JOIN u q ON q.vec_id = c.query_id
+  JOIN u n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM rerank
+QUALIFY rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
     "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
     "ann_topk_ivf_sq8": (ann_topk_ivf_sq8, _ivf_sq8_oracle_sql()),
+    "ann_topk_pq": (ann_topk_pq, _pq_oracle_sql()),
     "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

@@ -168,6 +168,12 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # the flat int8-scan two-stage machinery is a strict subset of
+    # ann_topk_ivf_sq8 (driver slot: same codes, same integer stage-1,
+    # same rerank tail, PLUS the cell pruning); its slot goes to
+    # ann_topk_pq, which adds the genuinely new codebook/ADC form.
+    # Stays oracle-verified in tests + driver_sim --all
+    "ann_topk_sq8",
     # driver row matched 0 rows vs 0 rows at sf0.01 every round (the
     # synthetic embeddings have no cosine>=0.9 pairs) — zero content
     # signal, same rule as the q22/anti_join exclusions; slot goes to
@@ -182,6 +188,7 @@ DRIVER_EXCLUDE = {
 # past the 50-entry cap) — listed first in driver order so they are inside
 # any count or time budget this round.
 _DRIVER_FIRST = [
+    "ann_topk_pq",
     "dedup_semantic",
     "dedup_substring",
     "text_repetition",
