@@ -367,3 +367,51 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         for r in l_b.join(r_b, cond).select("l_user", "l_event", "r_event").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` suppresses
+    re-deliveries of the same event_id arriving in LATER micro-batches
+    (even with a different event time — the at-least-once re-delivery
+    shape), while its state stays bounded by the watermark delay instead
+    of growing forever like plain dropDuplicates.  All test timestamps
+    sit inside one delay window, so the expected output is exactly the
+    distinct key set regardless of file arrival order."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=10 * i), i % 3) for i in range(30)]
+    dups = [
+        (i, base + dt.timedelta(seconds=10 * i + 5), i % 3) for i in range(10)
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    ).repartition(3).write.json(src)
+    spark.createDataFrame(
+        dups, "event_id long, ts timestamp, user_id long"
+    ).repartition(2).write.mode("append").json(src)
+
+    schema = spark.read.json(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == list(range(30))  # every key exactly once, dups suppressed
