@@ -396,3 +396,42 @@ def test_resample_window_runs_on_grid_not_facts(spark, sf_dir):
     # exactly one Window operator, above the grid join, keyed per type
     assert plan.count("Window") >= 1
     assert "partial_count" in plan  # the fact agg partial-aggregates
+
+
+def test_pq_stage1_broadcasts_query_lut(spark, sf_dir):
+    """PQ's ADC scan joins the 20-row (query, LUT) side to the code
+    table via a broadcast nested-loop — the big side carries only ids +
+    small int codes; and the exact rerank never cross-joins (candidate
+    list drives equi-joins)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_pq,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(ann_topk_pq(spark, sf_dir))
+    release_tracked_caches()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the ADC stage ranks on the LUT-sum score
+    assert "qscore" in plan
+
+
+def test_dedup_semantic_joins_on_cell_only(spark, sf_dir):
+    """SemDeDup's pair generation must be an equi-join on the cell key —
+    never a corpus-wide cartesian/nested-loop product.  (Within-cell
+    pairs are the algorithm's intended quadratic, bounded by quantizer
+    granularity.)"""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        dedup_semantic,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(dedup_semantic(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan
