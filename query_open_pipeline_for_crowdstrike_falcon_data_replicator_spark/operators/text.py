@@ -1185,6 +1185,137 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- #
+# Gopher quality rules (Rae et al. 2021, table A1) as ONE projection
+# --------------------------------------------------------------------- #
+# The published heuristic filter battery reused by MassiveText / RefinedWeb
+# / FineWeb-style pipelines.  Every rule is a column expression over one
+# scan — at 100 TB this is a single codegen stage with zero shuffles.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules composite quality filter: word-count bounds, mean
+    word length bounds, symbol-to-word ratio (#/ellipsis), bullet-line
+    and ellipsis-line fractions, alphabetic-word fraction, and a
+    stopword floor — each an independent flag plus the conjunction
+    ``keep``.  All ratios are rounded to 4 decimals BEFORE the threshold
+    compares so the DuckDB replay decides every boundary identically.
+
+    The synthetic docs are single-line with 10-99 words, so the
+    word-count floor and the stopword floor carry the live keep/drop
+    signal; the line-shape rules are exercised degenerate-true (the
+    planted-fixture test drives them with real multi-line text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lw = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words)
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    lines = F.split(F.col("text"), "\n")
+    mwl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words, 4
+    )
+    n_hash = F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ell).cast("double") / n_words, 4)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n_lines, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n_words, 4
+    )
+    n_stop = F.size(F.filter(lw, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    flags = {
+        "ok_words": (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mwl": (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL),
+        "ok_symbols": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullets": bullet_frac < GOPHER_MAX_BULLET_FRAC,
+        "ok_ellipsis": ellipsis_frac < GOPHER_MAX_ELLIPSIS_FRAC,
+        "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
+        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+_GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+TEXT_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         round(length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')), 4) AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+               / len(string_split(text, ' ')), 4) AS symbol_ratio,
+         round(len(list_filter(string_split(text, chr(10)),
+                   x -> starts_with(x, '-') OR starts_with(x, '*')
+                        OR starts_with(x, '•'))) * 1.0
+               / len(string_split(text, chr(10))), 4) AS bullet_frac,
+         round(len(list_filter(string_split(text, chr(10)),
+                   x -> ends_with(x, '...'))) * 1.0
+               / len(string_split(text, chr(10))), 4) AS ellipsis_frac,
+         round(len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+               / len(string_split(text, ' ')), 4) AS alpha_frac,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ({_GOPHER_STOP_IN}))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stopwords,
+       CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS ok_words,
+       CAST(mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL} AS INT) AS ok_mwl,
+       CAST(symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS INT) AS ok_symbols,
+       CAST(bullet_frac < {GOPHER_MAX_BULLET_FRAC} AS INT) AS ok_bullets,
+       CAST(ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC} AS INT) AS ok_ellipsis,
+       CAST(alpha_frac > {GOPHER_MIN_ALPHA_FRAC} AS INT) AS ok_alpha,
+       CAST(n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stopwords,
+       CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL}
+            AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+            AND bullet_frac < {GOPHER_MAX_BULLET_FRAC}
+            AND ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
+            AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+FROM m
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -1201,4 +1332,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
+    "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
 }

@@ -168,6 +168,11 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # single-projection composite of the same scan-and-ratio machinery
+    # the driver already verifies via text_token_fingerprint /
+    # text_repetition (flags are plain threshold compares over those
+    # ratios); oracle-verified every session in tests + driver_sim --all
+    "text_gopher_filter",
     # the flat int8-scan two-stage machinery is a strict subset of
     # ann_topk_ivf_sq8 (driver slot: same codes, same integer stage-1,
     # same rerank tail, PLUS the cell pruning); its slot goes to

@@ -765,3 +765,41 @@ def test_dedup_semantic_drops_planted_duplicates(spark, tmp_path):
             r = out[i]
             assert r.is_kept == 0 and r.n_dups >= 1 and r.max_sim == 1.0
     assert sum(r.is_kept for r in out.values()) >= 1
+
+
+def test_gopher_filter_planted_rule_violations(spark, tmp_path):
+    """Each Gopher rule trips on a document crafted to violate exactly
+    it (the synthetic corpus only exercises the word-count and stopword
+    rules; this drives the line-shape/symbol/alpha/mwl rules)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_gopher_filter,
+    )
+
+    good = " ".join(["the", "and", "of", "word"] * 15)  # 60 words, stopwords
+    bullets = "\n".join(f"- {w}" for w in ["the and of word"] * 20)
+    symbols = " ".join(["the", "and", "#tag"] * 20)
+    ellipsis = "\n".join(["the and of word..."] * 10)
+    numbers = " ".join(["the", "and"] + ["123"] * 58)
+    short = "the and of to be that have with"
+    longwords = " ".join(["the", "and"] + ["x" * 30] * 58)
+    rows = [
+        (0, good, "en", "s", len(good)),
+        (1, bullets, "en", "s", len(bullets)),
+        (2, symbols, "en", "s", len(symbols)),
+        (3, ellipsis, "en", "s", len(ellipsis)),
+        (4, numbers, "en", "s", len(numbers)),
+        (5, short, "en", "s", len(short)),
+        (6, longwords, "en", "s", len(longwords)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in text_gopher_filter(spark, str(tmp_path)).collect()}
+    assert got[0].keep == 1
+    assert got[1].ok_bullets == 0 and got[1].keep == 0
+    assert got[2].ok_symbols == 0 and got[2].keep == 0
+    assert got[3].ok_ellipsis == 0 and got[3].keep == 0
+    assert got[4].ok_alpha == 0 and got[4].keep == 0
+    assert got[5].ok_words == 0 and got[5].keep == 0
+    assert got[6].ok_mwl == 0 and got[6].keep == 0
