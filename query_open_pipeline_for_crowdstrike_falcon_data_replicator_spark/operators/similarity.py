@@ -1069,7 +1069,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embedded(spark, sf_dir)
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     )
-    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    return semdedup_from(emb, spark)
+
+
+def semdedup_from(
+    emb: DataFrame,
+    spark: SparkSession,
+    k: int = IVF_CELLS,
+    tau: float = SEMDEDUP_TAU,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup core over a prepared (vec_id, u) unit-vector frame; ``k``
+    is the quantizer granularity (grow it with the corpus — K ∝ N keeps
+    per-vector pair work constant).  Pass pre-trained ``cents`` to reuse
+    an existing quantizer (e.g. the IVF index's)."""
+    if cents is None:
+        cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark, k=k)
     assigned = emb.select(
         "vec_id", "u", _nearest_cell(F.col("u"), cents).alias("cell")
     )
@@ -1081,7 +1096,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(prior, "cell")
         .filter(F.col("prior_id") < F.col("vec_id"))
         .select("vec_id", sim.alias("sim"))
-        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .filter(F.col("sim") >= tau)
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("dup_cnt"), F.max("sim").alias("max_sim"))
     )

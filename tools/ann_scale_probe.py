@@ -1,0 +1,180 @@
+"""Embedding-operator throughput probe at a corpus size where fixed
+overhead is noise: N synthetic unit vectors (seeded Spark-side generation
+— xxhash64-derived components, every 10th vector an exact copy of its
+predecessor so the dedup path has real drops) through the embedding
+family's heaviest operators:
+
+- SemDeDup (Lloyd cells -> within-cell cosine prune -> keep/drop), with
+  quantizer granularity K grown proportionally to N (K ~ N/780) so
+  per-vector pair work stays constant — the 100 TB operating rule the
+  operator docstring states;
+- PQ encode + ADC scan (4x16 codebooks, 20-query LUT stage-1 top-50);
+- IVF assignment (the index build's bulk step).
+
+The sf0.1 bench corpus is 5k vectors — small enough that JVM fixed costs
+dominate; this probe runs at 50k+ and reports vecs/s per operator, the
+scaling evidence BASELINE.md cites for the embedding family.  Generation
+happens in the executors (spark.range -> column expressions; the driver
+only ever sees the K x DIM centroid model state).
+
+Usage: python tools/ann_scale_probe.py [N] [runs]
+Prints one JSON line: {"n_vecs": ..., "cores": ..., "ops": {name:
+{"best_sec": ..., "vecs_per_sec": ...}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NEARDUP_EVERY = 10
+
+
+def synthetic_vecs(spark, n: int):
+    """(vec_id, u): deterministic unit vectors; every 10th is an exact
+    copy of its predecessor (planted semantic duplicates)."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        DIM,
+    )
+
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    src = F.when(
+        F.col("vec_id") % NEARDUP_EVERY == 1, F.col("vec_id") - 1
+    ).otherwise(F.col("vec_id"))
+    comps = [
+        (F.xxhash64(src * DIM + F.lit(d)) / F.lit(float(2**63))).alias(f"x{d}")
+        for d in range(DIM)
+    ]
+    v = F.array(*comps)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return base.select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("u")
+    )
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        SQ8_CAND,
+        _dot,
+        _ivf_train,
+        _l2_nearest,
+        _nearest_cell,
+        _subvec,
+        semdedup_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark()
+    path = "/tmp/ann_probe_corpus"
+    synthetic_vecs(spark, n).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    train = emb.filter(F.col("vec_id") % 5 == 0)
+
+    k_cells = max(16, n // 780)  # K ~ N: constant per-vector pair work
+
+    # Codebooks/centroids are model state, trained ONCE per corpus
+    # refresh (a handful of small jobs over the 20% sample); the probe
+    # times the per-vector scan paths that grow with the corpus.
+    cents = _ivf_train(train, spark, k=k_cells)
+    books = [
+        _ivf_train(
+            train.select("vec_id", _subvec(F.col("u"), s).alias("u")),
+            spark,
+            nearest=_l2_nearest,
+            k=PQ_K,
+        )
+        for s in range(PQ_M)
+    ]
+
+    def run_semdedup():
+        return semdedup_from(emb, spark, cents=cents).filter(
+            F.col("is_kept") == 0
+        ).count()
+
+    def run_pq_adc():
+        codes = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
+                for s in range(PQ_M)
+            ],
+        )
+        lut_entries = [
+            _dot(_subvec(F.col("u"), s), F.lit(c))
+            for s in range(PQ_M)
+            for c in books[s]
+        ]
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.array(*lut_entries).alias("lut")
+        )
+        parts = [
+            F.element_at(F.col("lut"), (F.col(f"c{s}") + 1 + s * PQ_K).cast("int"))
+            for s in range(PQ_M)
+        ]
+        adc = F.round(((parts[0] + parts[1]) + parts[2]) + parts[3], 4)
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.desc("qscore"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .crossJoin(codes)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", adc.alias("qscore"))
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= SQ8_CAND)
+            .count()
+        )
+
+    def run_ivf_assign():
+        return (
+            emb.select(_nearest_cell(F.col("u"), cents).alias("cell"))
+            .groupBy("cell")
+            .count()
+            .count()
+        )
+
+    ops = {
+        "semdedup": run_semdedup,
+        "pq_encode_adc": run_pq_adc,
+        "ivf_assign": run_ivf_assign,
+    }
+    out = {}
+    for name, fn in ops.items():
+        fn()  # warmup (codegen JIT, one Lloyd train)
+        best = min(_timed(fn) for _ in range(runs))
+        out[name] = {"best_sec": round(best, 2), "vecs_per_sec": int(n / best)}
+
+    print(
+        json.dumps(
+            {"n_vecs": n, "dim": 64, "cores": cpus, "k_cells": k_cells, "ops": out}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
