@@ -137,9 +137,151 @@ def sketch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# Count-min: the mergeable FREQUENCY sketch (completes HLL distinct /
+# KLL quantile / CM frequency)
+# --------------------------------------------------------------------- #
+# Spark ships a count_min_sketch aggregate but no SQL-side union for its
+# binary blobs.  A CM sketch is just a d x w counter array and merging is
+# element-wise addition — both fully relational — so the rollup keeps the
+# counters as a plain array<long> column: daily sketches merge with one
+# (idx, sum) shuffle of d*w-row granularity, never a rescan of the feed.
+# Hashes are md5-derived (the SimHash precedent), so unlike the
+# DataSketches blobs the whole pipeline is engine-portable and the DuckDB
+# oracle can replay it EXACTLY: Spark estimates from merged daily
+# sketches, the oracle counts buckets over the whole range directly —
+# equality proves the merge is lossless.
+CM_W = 512  # buckets per row
+CM_D = 4  # hash rows; est = min over rows (never underestimates)
+CM_TOPK = 20
+
+
+def _cm_bucket(col, j: int):
+    """Portable 60-bit md5 hash of the key, salted per CM row, mod W."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cm{j}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CM_W))
+
+
+def cm_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CM sketch of user_id as a dense d*w array<long> — the
+    persisted-rollup shape, built with ONE shuffle on (day, idx)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(j) * CM_W + _cm_bucket(F.col("user_id"), j)).alias("i")
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("idx"),
+    )
+    counts = rows.groupBy("day", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(CM_D * CM_W - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)),
+    )
+    return (
+        counts.groupBy("day")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx").cast("int"), "cnt"))
+            ).alias("m")
+        )
+        .select("day", dense.alias("cm"))
+    )
+
+
+def cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters FROM the merged daily CM sketches: daily counter
+    arrays merge by (idx, sum) — element-wise addition, the linearity
+    that makes CM mergeable — then every candidate key reads its d
+    counters from the broadcast 1-row merged sketch (the q11
+    scalar-attach pattern) and the estimate is their min.  Top-CM_TOPK
+    by (estimate desc, user_id).
+
+    Exact-oracled: DuckDB skips the daily stage and counts buckets over
+    the whole range — hash-equality of the outputs proves the
+    daily-merge is lossless.  CM over-counts under collisions (est >=
+    true count, pinned in tests); both engines over-count identically."""
+    daily = cm_daily_sketches(spark, sf_dir)
+    merged = (
+        daily.select(F.posexplode("cm").alias("idx", "cnt"))
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("idx", "cnt"))).alias("cmm")
+        )
+    )
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("cmm"),
+                    (F.lit(j) * CM_W + _cm_bucket(F.col("user_id"), j)).cast("int"),
+                ),
+                F.lit(0),
+            )
+            for j in range(CM_D)
+        ]
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+    return (
+        users.crossJoin(F.broadcast(merged))
+        .select("user_id", est.cast("long").alias("est_count"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CM_TOPK)
+    )
+
+
+def _cm_oracle_sql() -> str:
+    """Direct whole-range bucket counts (no daily stage): equality with
+    the Spark daily-merge pipeline proves CM merge losslessness."""
+    bucket = (
+        "CAST(('0x' || substr(md5('cm{j}:' || CAST(user_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % {w}"
+    )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS j, {bucket.format(j=j, w=CM_W)} AS bucket, count(*) AS c"
+        f" FROM events GROUP BY 1, 2"
+        for j in range(CM_D)
+    )
+    lookups = "\n    ".join(
+        f"JOIN counts c{j} ON c{j}.j = {j} AND c{j}.bucket = "
+        + bucket.format(j=j, w=CM_W).replace("user_id", "u.user_id")
+        for j in range(CM_D)
+    )
+    least = ", ".join(f"c{j}.c" for j in range(CM_D))
+    return f"""
+WITH counts AS (
+  {union}
+),
+users AS (SELECT DISTINCT user_id FROM events),
+est AS (
+  SELECT u.user_id, CAST(least({least}) AS BIGINT) AS est_count
+  FROM users u
+    {lookups}
+)
+SELECT user_id, est_count,
+       row_number() OVER (ORDER BY est_count DESC, user_id ASC) AS rank
+FROM est
+QUALIFY rank <= {CM_TOPK}
+"""
+
+
 SKETCH_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # approximate by construction -> no exact oracle (rows-only check);
     # accuracy + merge-consistency pinned in tests/test_sketches.py
     "events_sketch_rollup": (sketch_rollup, None),
     "events_sketch_range": (sketch_range_query, None),
+    "events_cm_topk": (cm_topk, _cm_oracle_sql()),
 }

@@ -168,6 +168,13 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # every plan shape it composes is driver-covered (bucket-count
+    # groupBy = q16's distinct agg family, broadcast 1-row scalar attach
+    # = q11, global top-k window = window_top_orders/q2); the novel part
+    # — CM merge losslessness (daily sketches -> merged == whole-range
+    # counts) — IS the oracle equality, verified every session in tests
+    # + driver_sim --all
+    "events_cm_topk",
     # single-projection composite of the same scan-and-ratio machinery
     # the driver already verifies via text_token_fingerprint /
     # text_repetition (flags are plain threshold compares over those

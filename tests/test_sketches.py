@@ -194,3 +194,48 @@ def test_streaming_sketch_maintenance_incremental_and_exactly_once(spark, tmp_pa
         for r in read_snapshot(spark, table).select("day", "n_events").collect()
     }
     assert after == {d: r.n_events for d, r in got.items()}
+
+
+def test_cm_estimate_bounds(spark, sf_dir):
+    """CM guarantees: est >= true count always (min over rows of an
+    over-counted bucket), and est <= true + eN with e = e/W per row at
+    failure prob (1/e)^d — checked loosely at e*N with N the stream
+    length (the classical bound holds per row; min over 4 rows is far
+    inside it)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
+        CM_W,
+        cm_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.user_id: r.c for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    bound = 2.718 * n / CM_W
+    for r in cm_topk(spark, sf_dir).collect():
+        t = exact[r.user_id]
+        assert r.est_count >= t, (r.user_id, r.est_count, t)
+        assert r.est_count <= t + bound, (r.user_id, r.est_count, t, bound)
+
+
+def test_cm_planted_heavy_hitter_ranks_first(spark, tmp_path):
+    """A key with 30% of the stream must surface at rank 1 with an
+    estimate within the CM bound of its true count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(3000):
+        uid = 7 if i % 10 < 3 else 1000 + (i % 400)
+        rows.append((i, base + dt.timedelta(minutes=i % 600), uid, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
+        cm_topk,
+    )
+
+    top = cm_topk(spark, str(tmp_path)).collect()
+    assert top[0].user_id == 7 and top[0].rank == 1
+    assert 900 <= top[0].est_count <= 900 + int(2.718 * 3000 / 512) + 1
