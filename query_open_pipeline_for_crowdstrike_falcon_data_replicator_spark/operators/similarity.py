@@ -1140,6 +1140,80 @@ FROM assigned s LEFT JOIN d ON s.vec_id = d.vec_id
 
 
 # --------------------------------------------------------------------- #
+# SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural scaling
+# laws"): drop the most PROTOTYPICAL fraction of each semantic cluster
+# --------------------------------------------------------------------- #
+PROTO_DROP_NUM, PROTO_DROP_DEN = 3, 10  # drop the easiest 30% per cell
+
+
+def corpus_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data pruning by prototypicality: vectors are clustered with the
+    same deterministic Lloyd quantizer as SemDeDup/IVF, each vector's
+    prototypicality is its cosine to the assigned centroid, and the
+    top-30% most prototypical (easiest, most redundant) examples of each
+    cell are dropped — the abundant-data prescription of the paper
+    (keep HARD examples; with scarce data the rule flips).
+
+    One scan + one window over the cell key; the drop count per cell is
+    integer arithmetic (floor(n*3/10)) so both engines decide every
+    boundary identically.  Returns (vec_id, cell, cos_to_centroid,
+    proto_rank, is_kept)."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    entries = [
+        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
+        for k, c in enumerate(cents)
+    ]
+    m = F.array_min(F.array(*entries))
+    assigned = emb.select(
+        "vec_id",
+        m["c"].alias("cell"),
+        F.round(-m["d"], 4).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("cos_to_centroid"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cell")
+    drop_n = F.floor(F.count(F.lit(1)).over(wc) * PROTO_DROP_NUM / PROTO_DROP_DEN)
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn(
+            "is_kept", (F.col("proto_rank") > drop_n).cast("int")
+        )
+    )
+
+
+def _proto_oracle_sql() -> str:
+    """DuckDB replay: the `_lloyd_chain` prefix, assignment keeping BOTH
+    the argmin cell and its (rounded) cosine, then the per-cell
+    prototypicality window and the integer drop rule."""
+    return f"""
+WITH {_lloyd_chain()},
+assigned AS (
+  SELECT vec_id, cell, round(cos, 4) AS cos_to_centroid FROM (
+    SELECT t.vec_id, s.cell, list_dot_product(t.u, s.c) AS cos,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s)
+  WHERE rn = 1
+)
+SELECT vec_id, cell, cos_to_centroid,
+       row_number() OVER (PARTITION BY cell
+           ORDER BY cos_to_centroid DESC, vec_id ASC) AS proto_rank,
+       CAST(row_number() OVER (PARTITION BY cell
+           ORDER BY cos_to_centroid DESC, vec_id ASC)
+            > floor(count(*) OVER (PARTITION BY cell)
+                    * {PROTO_DROP_NUM} / {PROTO_DROP_DEN}) AS INT) AS is_kept
+FROM assigned
+"""
+
+
+# --------------------------------------------------------------------- #
 # Product quantization (PQ): codebook compression + ADC lookup-table scan
 # --------------------------------------------------------------------- #
 # The last member of the FAISS-family quartet (IVF / SQ8 / IVF-SQ8 / PQ):
@@ -1341,5 +1415,6 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "ann_topk_ivf_sq8": (ann_topk_ivf_sq8, _ivf_sq8_oracle_sql()),
     "ann_topk_pq": (ann_topk_pq, _pq_oracle_sql()),
     "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
+    "corpus_prune_prototypes": (corpus_prune_prototypes, _proto_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
 }

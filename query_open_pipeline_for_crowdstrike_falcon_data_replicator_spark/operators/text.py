@@ -1316,6 +1316,99 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------- #
+# BM25 retrieval scoring (Robertson-Sparck Jones / Okapi)
+# --------------------------------------------------------------------- #
+# The standard lexical-retrieval scorer a training-data pipeline uses for
+# targeted corpus search ("find docs about X") and quality-weighted
+# sampling.  Corpus statistics (N, avgdl, per-term df) are one aggregate
+# pass attached via the broadcast 1-row scalar pattern (q11); per-doc
+# term frequencies are array expressions over the same scan — no second
+# corpus pass, no shuffle beyond the final top-k.
+BM25_QUERY = ("table", "join", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for the literal query BM25_QUERY: score(d) = sum over
+    query terms of idf(t) * tf/(tf + k1*(1-b+b*dl/avgdl)) with the
+    +1-smoothed idf ln((N-df+0.5)/(df+0.5)+1).  Scores rounded to 4
+    decimals before ranking; ties break to the lower doc_id."""
+    from pyspark.sql import Window
+
+    docs = tracked_persist(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        )
+    )
+    dl = F.size("toks")
+    tf = {t: F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))) for t in BM25_QUERY}
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(dl).alias("avgdl"),
+        *[
+            F.sum((tf[t] > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    idf = [
+        F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        for i in range(len(BM25_QUERY))
+    ]
+    norm = BM25_K1 * (1 - BM25_B + BM25_B * dl / F.col("avgdl"))
+    score = None
+    for i, t in enumerate(BM25_QUERY):
+        term = idf[i] * tf[t] / (tf[t] + norm)
+        score = term if score is None else score + term
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    tf = {
+        t: f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
+        for t in BM25_QUERY
+    }
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN {tf[t]} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * {tf[t]} / ({tf[t]} + {BM25_K1} * (1 - {BM25_B}"
+        f" + {BM25_B} * len(string_split(lower(text), ' ')) * 1.0 / avgdl)))"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    return f"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(lower(text), ' '))) AS avgdl,
+         {dfs}
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, round({terms}, 4) AS score
+  FROM documents CROSS JOIN stats
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored
+WHERE score > 0
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -1333,4 +1426,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
+    "text_bm25": (text_bm25, _bm25_oracle_sql()),
 }

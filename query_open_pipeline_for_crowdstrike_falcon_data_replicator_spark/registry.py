@@ -168,6 +168,16 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # one-pass stats + broadcast 1-row scalar attach (q11's driver-
+    # covered pattern) + filtered global top-k window (q2/window_top);
+    # the BM25 formula itself is oracle-verified every session in tests
+    # + driver_sim --all
+    "text_bm25",
+    # same Lloyd-chain + per-cell machinery as dedup_semantic (driver
+    # slot) with a window-rank decision (driver-covered by
+    # window_top_orders_per_customer); the novel keep/drop rule is
+    # oracle-verified every session in tests + driver_sim --all
+    "corpus_prune_prototypes",
     # every plan shape it composes is driver-covered (bucket-count
     # groupBy = q16's distinct agg family, broadcast 1-row scalar attach
     # = q11, global top-k window = window_top_orders/q2); the novel part

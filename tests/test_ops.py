@@ -803,3 +803,44 @@ def test_gopher_filter_planted_rule_violations(spark, tmp_path):
     assert got[4].ok_alpha == 0 and got[4].keep == 0
     assert got[5].ok_words == 0 and got[5].keep == 0
     assert got[6].ok_mwl == 0 and got[6].keep == 0
+
+
+def test_prune_prototypes_drop_rule(spark, sf_dir):
+    """Per cell: exactly floor(n*3/10) dropped, and the dropped vectors
+    are precisely the most prototypical ranks (1..drop_n)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        corpus_prune_prototypes,
+    )
+
+    rows = corpus_prune_prototypes(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(by_cell) > 1
+    for cell, members in by_cell.items():
+        n = len(members)
+        drop_n = (n * 3) // 10
+        dropped = {r.proto_rank for r in members if r.is_kept == 0}
+        assert dropped == set(range(1, drop_n + 1)), (cell, n)
+
+
+def test_bm25_planted_relevant_doc_ranks_first(spark, tmp_path):
+    """A doc saturated with the query terms must outrank everything, and
+    docs with no query term must not appear (score 0 filtered)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_bm25,
+    )
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, ("table join spark " * 5) + filler, "en", "s", 0)]
+    rows += [(i, f"{filler} iota kappa {i}", "en", "s", 0) for i in range(1, 40)]
+    rows += [(100, f"one mention of table {filler}", "en", "s", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = text_bm25(spark, str(tmp_path)).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 0  # saturated doc first
+    assert 100 in ids  # single-mention doc scores > 0
+    assert set(ids) == {0, 100}  # no-term docs filtered out
