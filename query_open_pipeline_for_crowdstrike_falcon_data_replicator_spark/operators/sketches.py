@@ -166,16 +166,16 @@ def _cm_bucket(col, j: int):
     return F.pmod(h, F.lit(CM_W))
 
 
-def cm_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day CM sketch of user_id as a dense d*w array<long> — the
-    persisted-rollup shape, built with ONE shuffle on (day, idx)."""
-    ev = load_table(spark, sf_dir, "events")
+def cm_array_agg(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-day CM sketch of ``key`` as a dense d*w array<long> from any
+    events-shaped frame — ONE shuffle on (day, idx).  Shared by the batch
+    rollup and the streaming maintenance loop."""
     rows = ev.select(
         F.date_trunc("day", "ts").alias("day"),
         F.explode(
             F.array(
                 *[
-                    (F.lit(j) * CM_W + _cm_bucket(F.col("user_id"), j)).alias("i")
+                    (F.lit(j) * CM_W + _cm_bucket(F.col(key), j)).alias("i")
                     for j in range(CM_D)
                 ]
             )
@@ -195,6 +195,21 @@ def cm_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", dense.alias("cm"))
     )
+
+
+def cm_merge_fold(cm_list):
+    """Element-wise sum fold over a collected list of CM arrays — the
+    linearity that makes CM mergeable, as a reusable column expression."""
+    return F.aggregate(
+        F.slice(cm_list, 2, 2_000_000_000),
+        F.element_at(cm_list, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def cm_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CM sketch of user_id — the persisted-rollup shape."""
+    return cm_array_agg(load_table(spark, sf_dir, "events"))
 
 
 def cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,19 +59,26 @@ EVENT_SCHEMA = StructType(
 
 
 def _batch_partials(batch_df: DataFrame) -> DataFrame:
-    return batch_df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    from ..operators.sketches import cm_array_agg
+
+    aggs = batch_df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.hll_sketch_agg("user_id").alias("users_hll"),
         F.kll_sketch_agg_double("value").alias("value_kll"),
     )
+    # the count-min counter arrays ride along: same day grain, merged by
+    # element-wise addition downstream (CM is linear)
+    return aggs.join(cm_array_agg(batch_df), "day")
 
 
 def _merge_daily(current: DataFrame, partial: DataFrame) -> DataFrame:
     """Union-merge two daily-sketch tables (<= 2 rows per day by
     construction, so the KLL scalar-merge fold is bounded)."""
-    both = current.select("day", "n_events", "users_hll", "value_kll").unionByName(
-        partial
-    )
+    from ..operators.sketches import cm_merge_fold
+
+    both = current.select(
+        "day", "n_events", "users_hll", "value_kll", "cm"
+    ).unionByName(partial)
     kll_list = F.collect_list("value_kll")
     kll_merged = F.aggregate(
         F.slice(kll_list, 2, 2),
@@ -82,6 +89,7 @@ def _merge_daily(current: DataFrame, partial: DataFrame) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_union_agg("users_hll").alias("users_hll"),
         kll_merged.alias("value_kll"),
+        cm_merge_fold(F.collect_list("cm")).alias("cm"),
     )
 
 

@@ -175,6 +175,27 @@ def test_streaming_sketch_maintenance_incremental_and_exactly_once(spark, tmp_pa
         lo, hi = vals[int(0.35 * len(vals))], vals[int(0.65 * len(vals))]
         assert lo <= r.p50 <= hi, (day, r.p50, lo, hi)
 
+    # the maintained CM counter arrays must EXACTLY equal a direct
+    # per-day CM over the whole feed (CM merge is lossless integer adds)
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
+        cm_array_agg,
+    )
+
+    whole = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"].replace("Z", "+00:00"), e["user_id"],
+             e["event_type"], e["value"])
+            for e in all_rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want_cm = {r.day: list(r.cm) for r in cm_array_agg(whole).collect()}
+    got_cm = {
+        r.day: list(r.cm)
+        for r in read_snapshot(spark, table).select("day", "cm").collect()
+    }
+    assert got_cm == want_cm
+
     # replay the LAST batch id by hand: the txn high-water mark must skip
     # the commit — counts unchanged
     last_batch = spark.createDataFrame(
