@@ -854,6 +854,110 @@ FROM grid g LEFT JOIN agg a USING (event_type, slot)
 """
 
 
+EWMA_HORIZON = 16  # slots of look-back (decay 2^-16 ~ 1.5e-5 beyond it)
+EWMA_SPIKE_ABS = 100.0  # |x - ewma| flag threshold (~2 sigma of the feed)
+
+
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + spike flag per event type over the 30-minute slot
+    series: ewma_t = sum(x_s * 2^-(t-s)) / sum(2^-(t-s)) over observed
+    slots within EWMA_HORIZON, the classic exponentially-weighted monitor
+    for operational dashboards (here with decay q=1/2 per slot).
+
+    Determinism across engines, the hard part of any float recurrence:
+    the decay weights are POWERS OF TWO (exact doubles; x * 2^-k is an
+    exponent shift, no rounding), and both numerator and denominator are
+    folded SEQUENTIALLY in ascending slot-distance order (collect ->
+    sort -> fold here; ``list(... ORDER BY) -> list_sum`` in DuckDB), so
+    the float additions happen in the same order bit-for-bit — no
+    distributed-sum reorder can flip the rounded output.
+
+    Scale shape: the series is the (type, slot) RESAMPLED grain (never
+    the raw feed); the look-back is a banded self-join on slot distance
+    <= H (equi-join on type + range, the range_join bucketing at scale),
+    and each output row folds <= H+1 structs."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = (F.unix_timestamp("ts") / RESAMPLE_SECONDS).cast("long")
+    agg = (
+        ev.select("event_type", slot.alias("slot"), "ts", "value")
+        .groupBy("event_type", "slot")
+        .agg(F.max_by("value", "ts").alias("x"))
+    )
+    a = agg.select("event_type", "slot", "x")
+    b = agg.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("slot").alias("slot_b"),
+        F.col("x").alias("x_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("slot_b") <= F.col("slot"))
+        & (F.col("slot_b") >= F.col("slot") - EWMA_HORIZON),
+    ).select(
+        "event_type",
+        "slot",
+        "x",
+        (F.col("slot") - F.col("slot_b")).alias("delta"),
+        "x_b",
+    )
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col("delta"), F.col("x_b")))
+    )
+    num = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["x_b"] * F.pow(F.lit(0.5), s["delta"]),
+    )
+    den = F.aggregate(
+        F.col("l"), F.lit(0.0), lambda acc, s: acc + F.pow(F.lit(0.5), s["delta"])
+    )
+    return (
+        pairs.groupBy("event_type", "slot", "x")
+        .agg(lst.alias("l"))
+        .select(
+            "event_type",
+            (F.col("slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
+            F.round("x", 4).alias("last_value"),
+            F.round(num / den, 4).alias("ewma"),
+            (F.round(F.abs(F.col("x") - num / den), 4) >= EWMA_SPIKE_ABS)
+            .cast("int")
+            .alias("is_spike"),
+        )
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         datediff('second', TIMESTAMP '1970-01-01', ts) // {RESAMPLE_SECONDS} AS slot,
+         arg_max(value, ts) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.slot, a.x,
+         list(struct_pack(delta := a.slot - b.slot, x_b := b.x)
+              ORDER BY a.slot - b.slot, b.x) AS l
+  FROM agg a JOIN agg b
+    ON a.event_type = b.event_type
+   AND b.slot <= a.slot AND b.slot >= a.slot - {EWMA_HORIZON}
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT event_type, CAST(slot * {RESAMPLE_SECONDS} AS BIGINT) AS slot_start_epoch,
+         round(x, 4) AS last_value,
+         list_sum(list_transform(l, s -> s.x_b * power(0.5, s.delta)))
+           / list_sum(list_transform(l, s -> power(0.5, s.delta))) AS ewma_raw,
+         x
+  FROM pairs
+)
+SELECT event_type, slot_start_epoch, last_value,
+       round(ewma_raw, 4) AS ewma,
+       CAST(round(abs(x - ewma_raw), 4) >= {EWMA_SPIKE_ABS} AS INT) AS is_spike
+FROM scored
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, counted
     distinct in each subsequent week offset — THE product-analytics query
@@ -977,6 +1081,7 @@ SELECT (SELECT count(*) FROM v) AS n_view_users,
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
+    "events_ewma_anomaly": (events_ewma_anomaly, EVENTS_EWMA_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),

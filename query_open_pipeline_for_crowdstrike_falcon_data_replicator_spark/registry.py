@@ -168,6 +168,12 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # banded self-join on the RESAMPLED grain = the range_join family
+    # (range_join_error_follow holds that driver slot) over
+    # events_resample_locf's driver-verified slot aggregation; the
+    # power-of-two fold is oracle-verified every session in tests +
+    # driver_sim --all
+    "events_ewma_anomaly",
     # one-pass stats + broadcast 1-row scalar attach (q11's driver-
     # covered pattern) + filtered global top-k window (q2/window_top);
     # the BM25 formula itself is oracle-verified every session in tests

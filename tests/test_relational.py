@@ -66,3 +66,36 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert rows is not None
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_ewma_planted_step_change(spark, tmp_path):
+    """A flat series that jumps 300 units must flag exactly the jump slot
+    (ewma still anchored to history) and then converge: the very next
+    slot's ewma is already within the spike threshold (q=1/2 halves the
+    gap each slot), so no later slot is flagged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        RESAMPLE_SECONDS,
+        events_ewma_anomaly,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for s in range(40):
+        v = 10.0 if s < 30 else 310.0  # step at slot 30
+        rows.append((s, base + dt.timedelta(seconds=s * RESAMPLE_SECONDS), 1, "m", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.slot_start_epoch: r for r in events_ewma_anomaly(spark, str(tmp_path)).collect()}
+    spikes = [k for k, r in out.items() if r.is_spike == 1]
+    jump_epoch = int((base + dt.timedelta(seconds=30 * RESAMPLE_SECONDS) - dt.datetime(1970, 1, 1)).total_seconds()) // RESAMPLE_SECONDS * RESAMPLE_SECONDS
+    assert spikes == [jump_epoch]
+    # geometric convergence after the step
+    post = sorted(k for k in out if k > jump_epoch)
+    assert abs(out[post[0]].ewma - 310.0) < abs(out[jump_epoch].ewma - 310.0)
