@@ -415,3 +415,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = sorted(r.event_id for r in got)
     assert ids == list(range(30))  # every key exactly once, dups suppressed
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """The stateful streaming EWMA monitor must emit BIT-identical rows
+    to the batch operator over the same feed: same power-of-two decay,
+    same ascending slot-distance fold order, same rounding."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        RESAMPLE_SECONDS,
+        events_ewma_anomaly,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.ewma import (
+        run_ewma_monitor,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    i = 0
+    for s in range(45):
+        for etype in ("api", "dns"):
+            v = 20.0 + (s % 7) if not (etype == "api" and s == 30) else 400.0
+            # two events in some slots: max-ts one must win
+            for k in range(1 + (s % 2)):
+                rows.append(
+                    {
+                        "event_id": i,
+                        "ts": (base + dt.timedelta(seconds=s * RESAMPLE_SECONDS + 60 * k)).isoformat(),
+                        "event_type": etype,
+                        "value": v + k,
+                        "slot": s,
+                    }
+                )
+                i += 1
+
+    import time as _time
+
+    src = str(tmp_path / "ewma_src")
+    _os.makedirs(src)
+    for b, lo, hi in ((0, 0, 15), (1, 15, 30), (2, 30, 45)):
+        with open(_os.path.join(src, f"b{b}.json"), "w") as f:
+            for e in rows:
+                if lo <= e["slot"] < hi:
+                    f.write(_json.dumps({k: v for k, v in e.items() if k != "slot"}) + "\n")
+        _time.sleep(0.05)  # force mtime order -> in-order micro-batches
+
+    q = run_ewma_monitor(
+        spark, src, str(tmp_path / "ckpt"), "ewma_eq", max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r.event_type, r.slot_start_epoch): (r.last_value, r.ewma, r.is_spike)
+        for r in spark.sql("SELECT * FROM ewma_eq").collect()
+    }
+
+    spark.createDataFrame(
+        [
+            (e["event_id"], dt.datetime.fromisoformat(e["ts"]), 1, e["event_type"], e["value"], "{}")
+            for e in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    want = {
+        (r.event_type, r.slot_start_epoch): (r.last_value, r.ewma, r.is_spike)
+        for r in events_ewma_anomaly(spark, str(tmp_path)).collect()
+    }
+    assert got == want and len(got) == 90
+    assert sum(1 for v in got.values() if v[2] == 1) == 1  # the planted spike
