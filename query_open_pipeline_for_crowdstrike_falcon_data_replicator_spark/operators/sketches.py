@@ -249,12 +249,16 @@ def cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no SinglePartition sort of every candidate); the rank window then
+    # runs over CM_TOPK rows only
     w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
     return (
         users.crossJoin(F.broadcast(merged))
         .select("user_id", est.cast("long").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(CM_TOPK)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= CM_TOPK)
     )
 
 

@@ -1365,13 +1365,16 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, t in enumerate(BM25_QUERY):
         term = idf[i] * tf[t] / (tf[t] + norm)
         score = term if score is None else score + term
+    # top-k via orderBy+limit (TakeOrderedAndProject — no SinglePartition
+    # sort of every matching doc); the rank window runs over k rows only
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         docs.crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
     )
 
 
