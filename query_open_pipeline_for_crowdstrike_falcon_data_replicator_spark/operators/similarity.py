@@ -1038,6 +1038,150 @@ QUALIFY rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------- #
+# IVF-PQ: the composed FAISS-canonical index (cell pruning + ADC codes)
+# --------------------------------------------------------------------- #
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale-path quartet member: IVF cells prune the
+    search to nprobe partitions, the PQ codes (4 small ints, ~2 bytes)
+    are all that is scanned inside them via the per-query ADC lookup
+    tables, and exact cosine re-ranks the SQ8_CAND survivors — FAISS's
+    IVFPQ layout (here without residual encoding, FAISS
+    ``by_residual=False``: codes quantize the raw subvectors, so the
+    codebooks are shared verbatim with the flat PQ scan and an existing
+    PQ-encoded corpus composes with a later-trained coarse quantizer).
+
+    Memory/IO story at 100 TB: the probe reads ~nprobe/K of the corpus
+    (partition pruning over the cell layout), and what it reads is 2
+    bytes/vector — 256x less than float64 work vectors; per-candidate
+    cost is 4 table lookups + 3 adds.  Deterministic end-to-end (shared
+    Lloyd recipes, fixed-order ADC adds rounded before ranking,
+    id-ascending ties) -> exact DuckDB replay."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    train = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = _ivf_train(train, spark)
+    books = [
+        _ivf_train(
+            train.select("vec_id", _subvec(F.col("u"), s).alias("u")),
+            spark,
+            nearest=_l2_nearest,
+            k=PQ_K,
+        )
+        for s in range(PQ_M)
+    ]
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _nearest_cell(F.col("u"), cents).alias("cell"),
+        *[
+            _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    probe_entries = [
+        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
+        for k, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+    lut_entries = [
+        _dot(_subvec(F.col("u"), s), F.lit(c)) for s in range(PQ_M) for c in books[s]
+    ]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.array(*lut_entries).alias("lut"),
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+    )
+    parts = [
+        F.element_at(F.col("lut"), (F.col(f"c{s}") + 1 + s * PQ_K).cast("int"))
+        for s in range(PQ_M)
+    ]
+    adc = F.round(((parts[0] + parts[1]) + parts[2]) + parts[3], 4)
+    # each neighbor lives in exactly one cell -> the probe equi-join
+    # yields each (query, neighbor) at most once
+    stage1 = (
+        q.join(codes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("qscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ8_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qu = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cu = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """DuckDB replay of IVF-PQ: the coarse `_lloyd_chain` for cells and
+    probes, the shared PQ subspace chains for codes and partial ADC
+    terms, the probe restriction applied to the joined ADC pairs, then
+    the shared rerank tail."""
+    joins = "\n  ".join(
+        f"JOIN p{s} USING (query_id, neighbor_id)" for s in range(1, PQ_M)
+    )
+    cte_sql = ",\n".join([_lloyd_chain()] + _pq_subspace_ctes())
+    return f"""
+WITH {cte_sql},
+cellof AS (
+  SELECT vec_id AS neighbor_id, cell FROM ({_ASSIGN_T.format(src="u", cents="c2")})
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT t.vec_id, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s
+    WHERE t.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+),
+stage1 AS (
+  SELECT query_id, neighbor_id,
+         round(((p0.d + p1.d) + p2.d) + p3.d, 4) AS qscore
+  FROM p0
+  {joins}
+  JOIN cellof USING (neighbor_id)
+  JOIN probes USING (query_id, cell)
+  WHERE query_id <> neighbor_id
+),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id ASC) AS r1
+    FROM stage1)
+  WHERE r1 <= {SQ8_CAND}
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.u, n.u), 4) AS cosine
+  FROM cands c
+  JOIN u q ON q.vec_id = c.query_id
+  JOIN u n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM rerank
+QUALIFY rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------- #
 # SemDeDup: semantic dedup via k-means cells + within-cell cosine prune
 # --------------------------------------------------------------------- #
 SEMDEDUP_TAU = 0.3
@@ -1330,17 +1474,18 @@ _ASSIGN_L2_T = (
 )
 
 
-def _pq_oracle_sql() -> str:
-    """DuckDB replay of PQ-ADC: one unrolled L2 Lloyd chain per subspace
-    (same determinism recipe as `_lloyd_chain`), per-subspace partial ADC
-    terms joined and summed in the SAME fixed order as the Spark
-    expression, then the shared rerank tail."""
-    ctes = [
-        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_EU_CTE = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 u AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
       FROM e)"""
-    ]
+
+
+def _pq_subspace_ctes() -> list[str]:
+    """The per-subspace L2 Lloyd chains + code/partial-ADC CTEs shared by
+    the flat PQ oracle and the composed IVF-PQ oracle: for each subspace
+    ``s`` defines ``cs{s}`` (codes of every vector) and ``p{s}`` (the
+    per-(query, neighbor) partial ADC term from the query LUT)."""
+    ctes: list[str] = []
     for s in range(PQ_M):
         lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
         ctes.append(f"u{s} AS (SELECT vec_id, u[{lo}:{hi}] AS u FROM u)")
@@ -1372,10 +1517,18 @@ u AS (SELECT vec_id,
   JOIN cs{s} a ON a.cell = b.cell
   WHERE q.vec_id < {N_QUERIES})"""
         )
+    return ctes
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of PQ-ADC: one unrolled L2 Lloyd chain per subspace
+    (same determinism recipe as `_lloyd_chain`), per-subspace partial ADC
+    terms joined and summed in the SAME fixed order as the Spark
+    expression, then the shared rerank tail."""
     joins = "\n  ".join(
         f"JOIN p{s} USING (query_id, neighbor_id)" for s in range(1, PQ_M)
     )
-    cte_sql = ",\n".join(ctes)
+    cte_sql = ",\n".join([_EU_CTE] + _pq_subspace_ctes())
     return f"""
 WITH {cte_sql},
 stage1 AS (
@@ -1414,6 +1567,7 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
     "ann_topk_ivf_sq8": (ann_topk_ivf_sq8, _ivf_sq8_oracle_sql()),
     "ann_topk_pq": (ann_topk_pq, _pq_oracle_sql()),
+    "ann_topk_ivf_pq": (ann_topk_ivf_pq, _ivf_pq_oracle_sql()),
     "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
     "corpus_prune_prototypes": (corpus_prune_prototypes, _proto_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),

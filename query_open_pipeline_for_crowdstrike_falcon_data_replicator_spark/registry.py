@@ -168,6 +168,11 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # pure composition of two driver slots: ann_topk_ivf_sq8's
+    # cell-probe equi-join machinery + ann_topk_pq's codebook/ADC stage
+    # (shared codebooks, shared rerank tail); the composed pipeline is
+    # oracle-verified end-to-end every session in tests + driver_sim --all
+    "ann_topk_ivf_pq",
     # banded self-join on the RESAMPLED grain = the range_join family
     # (range_join_error_follow holds that driver slot) over
     # events_resample_locf's driver-verified slot aggregation; the
