@@ -1412,6 +1412,134 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------- #
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------- #
+# Select pretraining documents that look like a TARGET distribution:
+# hashed token features estimate target and source bucket distributions,
+# each doc gets an importance log-weight sum(ln p_t(b) - ln p_s(b)) over
+# its token buckets, and the paper's Gumbel-top-k sampling (sample
+# without replacement proportional to weight) runs with md5-derived
+# deterministic uniforms so the whole pipeline replays exactly.  Here the
+# target is the lang='en' subset and features are hashed unigrams
+# (DSIR adds bigrams — one more explode, same machinery).
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+DSIR_K = 100
+
+
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: DSIR importance log-weight + deterministic Gumbel key +
+    selected flag for the top-DSIR_K sample.
+
+    Scale shape: two bucket-count aggregations (target subset + full
+    corpus, both map-side combining into <= DSIR_BUCKETS rows), the
+    per-bucket log-ratio table broadcast back onto the token stream, one
+    per-doc sum, and the selection threshold discovered by a
+    TakeOrdered top-k whose ids broadcast into a semi-join flag — no
+    global sort of the corpus, no driver-side data beyond k ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tracked_persist(
+        docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok")).select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+                F.lit(DSIR_BUCKETS),
+            ).alias("bucket"),
+        )
+    )
+    tgt = toks.filter(F.col("lang") == DSIR_TARGET_LANG).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_t")
+    )
+    src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tot = (
+        src.crossJoin(F.broadcast(tgt.agg(F.sum("cnt_t").alias("total_t"))))
+        .join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(src.agg(F.sum("cnt_s").alias("total_s"))))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                    / (F.col("total_t") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cnt_s") + 1.0) / (F.col("total_s") + DSIR_BUCKETS))
+            ).alias("ratio"),
+        )
+    )
+    logw = (
+        toks.join(F.broadcast(tot), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ratio"), 6).alias("log_w"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 60))
+    keyed = logw.select(
+        "doc_id",
+        "log_w",
+        F.round(F.col("log_w") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    top = (
+        keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select(F.col("doc_id").alias("sel_id"))
+    )
+    return (
+        keyed.join(
+            F.broadcast(top), keyed.doc_id == F.col("sel_id"), "left"
+        )
+        .select(
+            "doc_id",
+            "log_w",
+            "gumbel_key",
+            F.col("sel_id").isNotNull().cast("int").alias("selected"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+),
+tgt AS (SELECT bucket, count(*) AS cnt_t FROM toks
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+src AS (SELECT bucket, count(*) AS cnt_s FROM toks GROUP BY 1),
+tt AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS total_t FROM tgt),
+ts AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS total_s FROM src),
+ratio AS (
+  SELECT s.bucket,
+         ln((coalesce(t.cnt_t, 0) + 1.0) / (tt.total_t + {DSIR_BUCKETS}))
+         - ln((s.cnt_s + 1.0) / (ts.total_s + {DSIR_BUCKETS})) AS ratio
+  FROM src s LEFT JOIN tgt t USING (bucket) CROSS JOIN tt CROSS JOIN ts
+),
+logw AS (
+  SELECT doc_id, round(sum(ratio), 6) AS log_w
+  FROM toks JOIN ratio USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, log_w,
+         round(log_w - ln(-ln(
+           (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 0.5) / {float(1 << 60)})), 6) AS gumbel_key
+  FROM logw
+)
+SELECT doc_id, log_w, gumbel_key,
+       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+            <= {DSIR_K} AS INT) AS selected
+FROM keyed
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -1430,4 +1558,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
+    "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),
 }

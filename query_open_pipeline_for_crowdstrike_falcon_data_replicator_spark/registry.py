@@ -168,6 +168,12 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # hashed-bucket count aggregations = text_lm_score's count/attach/
+    # score pipeline (its registry twin), deterministic md5-coin sampling
+    # = corpus_sample_budget's driver-verified pattern, top-k semi-join
+    # flag = q20's shape; the DSIR weight math is oracle-verified every
+    # session in tests + driver_sim --all
+    "corpus_dsir_resample",
     # pure composition of two driver slots: ann_topk_ivf_sq8's
     # cell-probe equi-join machinery + ann_topk_pq's codebook/ADC stage
     # (shared codebooks, shared rerank tail); the composed pipeline is

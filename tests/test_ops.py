@@ -857,3 +857,31 @@ def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
     got = {(r.query_id, r.neighbor_id) for r in ann_topk_ivf_pq(spark, sf_dir).collect()}
     assert len(got & exact) / len(exact) >= 0.3
+
+
+def test_dsir_selects_target_like_docs(spark, tmp_path):
+    """With disjoint vocabularies, docs written in the target (en)
+    vocabulary must dominate the Gumbel-top-k selection even when they
+    are a minority of the corpus — the importance weights, not base
+    rates, drive selection."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        DSIR_K,
+        corpus_dsir_resample,
+    )
+
+    rows = []
+    for i in range(60):  # minority: en-vocab docs (40 are non-target lang
+        # but share the en vocabulary -> still target-LIKE)
+        lang = "en" if i < 20 else "fr"
+        rows.append((i, " ".join(f"envocab{j % 30}" for j in range(i, i + 40)), lang, "s", 0))
+    for i in range(60, 200):  # majority: off-target vocabulary
+        rows.append((i, " ".join(f"other{j % 50}" for j in range(i, i + 40)), "zh", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    df = corpus_dsir_resample(spark, str(tmp_path)).collect()
+    sel = [r.doc_id for r in df if r.selected == 1]
+    assert len(sel) == DSIR_K
+    envocab_share = sum(1 for d in sel if d < 60) / len(sel)
+    assert envocab_share >= 0.55, envocab_share  # 30% of corpus, >55% of sample
