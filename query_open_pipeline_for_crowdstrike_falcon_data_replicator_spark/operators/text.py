@@ -1413,6 +1413,110 @@ QUALIFY rank <= {BM25_TOPK}
 
 
 # --------------------------------------------------------------------- #
+# End-to-end training-data EXPORT probe (the LLM-side ocsf_etl_verify)
+# --------------------------------------------------------------------- #
+EXPORT_SEQS_PER_SHARD = 4
+
+
+def corpus_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled WRITE probe for the training-data side: the full
+    curate -> pack -> shard -> write pipeline, read BACK from disk and
+    aggregated per shard-PARTITION value.
+
+    Stages (each individually driver-verified elsewhere, composed here
+    through an actual partitioned parquet write): the curation gate
+    (fingerprint-dedup canonical + token/distinct-ratio floors, doc
+    grain), two-pass prefix-sum sequence packing (`pack_assignments`),
+    shard = seq_id // EXPORT_SEQS_PER_SHARD, written PARTITIONED BY
+    shard.  The read-back groups by the partition-directory value, so a
+    hash-match proves the gate, the packing arithmetic, the dynamic-
+    partition write, and the parquet round-trip are all value-exact —
+    the LLM-data twin of ``ocsf_etl_verify``."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tokens = F.size(t).cast("long")
+    n_distinct = F.size(F.array_distinct(t))
+    per_doc = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_distinct.cast("double") / F.size(t), 4).alias("distinct_ratio"),
+    )
+    canon = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("fingerprint")
+    )
+    kept = (
+        per_doc.withColumn("canon", canon)
+        .filter(
+            F.col("canon")
+            & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+            & (F.col("distinct_ratio") >= CURATION_MIN_DISTINCT)
+        )
+        .select("doc_id", "n_tokens")
+    )
+    packed = pack_assignments(kept).withColumn(
+        "shard", F.floor(F.col("seq_id") / EXPORT_SEQS_PER_SHARD).cast("long")
+    )
+    base = tempfile.mkdtemp(prefix="qopcfdr_export_")
+    packed.write.mode("overwrite").partitionBy("shard").parquet(base)
+    back = spark.read.parquet(base)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("seq_id").alias("n_seqs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_boundary_docs"),
+    )
+
+
+CORPUS_EXPORT_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, md5(lower(text)) AS fingerprint,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 4) AS distinct_ratio
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens, distinct_ratio,
+           doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+    FROM per_doc)
+  WHERE canon AND n_tokens >= {CURATION_MIN_TOKENS}
+    AND distinct_ratio >= {CURATION_MIN_DISTINCT}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         (cum - n_tokens) // {PACK_SEQ_LEN} AS seq_id,
+         ((cum - 1) // {PACK_SEQ_LEN}) > ((cum - n_tokens) // {PACK_SEQ_LEN})
+           AS spans_boundary
+  FROM c
+)
+SELECT CAST(seq_id // {EXPORT_SEQS_PER_SHARD} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs
+FROM a
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
 # DSIR: data selection via importance resampling (Xie et al. 2023)
 # --------------------------------------------------------------------- #
 # Select pretraining documents that look like a TARGET distribution:
@@ -1559,4 +1663,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
     "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),
+    "corpus_export_verify": (corpus_export_verify, CORPUS_EXPORT_SQL),
 }

@@ -37,7 +37,7 @@ def _cache_scoped(fn: QueryFn) -> QueryFn:
 # orchestration overhead (~10s regardless of rows at local scale) would
 # swamp the per-query timings; its correctness still runs every round and
 # the write path is exercised by tests/test_pipeline.py.
-BENCH_EXCLUDE = {"ocsf_etl_50k", "ocsf_etl_verify"}
+BENCH_EXCLUDE = {"ocsf_etl_50k", "ocsf_etl_verify", "corpus_export_verify"}
 
 
 # The round driver's correctness harness records at most 50 queries()
@@ -168,6 +168,12 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # driver-green r2+r3; its md5-coin/per-stratum-rate machinery is
+    # shared with corpus_mix_sources (driver slot, the harder water-
+    # filling variant).  Slot goes to corpus_export_verify — the
+    # training-data WRITE path probe, which had no driver row at all;
+    # stays oracle-verified in tests + driver_sim --all
+    "corpus_sample_budget",
     # hashed-bucket count aggregations = text_lm_score's count/attach/
     # score pipeline (its registry twin), deterministic md5-coin sampling
     # = corpus_sample_budget's driver-verified pattern, top-k semi-join
@@ -227,6 +233,7 @@ DRIVER_EXCLUDE = {
 # past the 50-entry cap) — listed first in driver order so they are inside
 # any count or time budget this round.
 _DRIVER_FIRST = [
+    "corpus_export_verify",
     "ann_topk_pq",
     "dedup_semantic",
     "dedup_substring",
