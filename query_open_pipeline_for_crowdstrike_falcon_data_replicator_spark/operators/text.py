@@ -1517,6 +1517,109 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------- #
+# PMI phrase mining (collocation detection)
+# --------------------------------------------------------------------- #
+# The standard corpus pass that discovers multi-word units worth fusing
+# before tokenizer training ("new york", "machine learning"): adjacent
+# token pairs scored by pointwise mutual information against the unigram
+# model.  One scan builds bigrams as array expressions (zip of the token
+# array with its shift — no window over the token stream), then two
+# map-side-combining counts and a broadcast scalar attach.
+PHRASE_MIN_COUNT = 5
+PHRASE_TOPK = 50
+
+
+def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PHRASE_TOPK adjacent-pair collocations by PMI:
+    pmi = ln( (c_ab / total_bigrams) / ((c_a/total_uni) * (c_b/total_uni)) )
+    over pairs with c_ab >= PHRASE_MIN_COUNT; ties by pair text.  PMI is
+    rounded to 6 decimals before ranking so both engines agree on every
+    boundary; selection via TakeOrdered top-k (no global-sort window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = docs.select(F.explode(bigrams).alias("pair"))
+    uni = docs.select(F.explode(t).alias("tok"))
+    bc = bi.groupBy("pair").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = bc.agg(F.sum("c_ab").alias("total_bi")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("total_uni"))
+    )
+    left = F.split(F.col("pair"), " ")[0]
+    right = F.split(F.col("pair"), " ")[1]
+    scored = (
+        bc.filter(F.col("c_ab") >= PHRASE_MIN_COUNT)
+        .join(uc.select(F.col("tok"), F.col("c").alias("c_a")), left == F.col("tok"))
+        .drop("tok")
+        .join(uc.select(F.col("tok"), F.col("c").alias("c_b")), right == F.col("tok"))
+        .drop("tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("total_bi"))
+                    / (
+                        (F.col("c_a") / F.col("total_uni"))
+                        * (F.col("c_b") / F.col("total_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), F.asc("pair"))
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(PHRASE_TOPK)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+PHRASE_MINING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks
+),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+bc AS (SELECT pair, count(*) AS c_ab FROM bi GROUP BY 1),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM bc) AS total_bi,
+         (SELECT count(*) FROM uni) AS total_uni
+),
+scored AS (
+  SELECT pair, c_ab,
+         round(ln((c_ab * 1.0 / total_bi)
+               / ((ca.c * 1.0 / total_uni) * (cb.c * 1.0 / total_uni))), 6)
+           AS pmi
+  FROM bc
+  JOIN uc ca ON ca.tok = string_split(pair, ' ')[1]
+  JOIN uc cb ON cb.tok = string_split(pair, ' ')[2]
+  CROSS JOIN tot
+  WHERE c_ab >= {PHRASE_MIN_COUNT}
+)
+SELECT pair, c_ab, pmi,
+       row_number() OVER (ORDER BY pmi DESC, pair ASC) AS rank
+FROM scored
+QUALIFY rank <= {PHRASE_TOPK}
+"""
+
+
+# --------------------------------------------------------------------- #
 # DSIR: data selection via importance resampling (Xie et al. 2023)
 # --------------------------------------------------------------------- #
 # Select pretraining documents that look like a TARGET distribution:
@@ -1664,4 +1767,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
     "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),
     "corpus_export_verify": (corpus_export_verify, CORPUS_EXPORT_SQL),
+    "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
 }

@@ -168,6 +168,11 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # explode -> count -> scalar-attach -> token-keyed join -> TakeOrdered
+    # top-k: every shape is the text_vocabulary/text_lm_score/q11 family
+    # the driver already covers; the PMI formula is oracle-verified every
+    # session in tests + driver_sim --all
+    "text_phrase_mining",
     # driver-green r2+r3; its md5-coin/per-stratum-rate machinery is
     # shared with corpus_mix_sources (driver slot, the harder water-
     # filling variant).  Slot goes to corpus_export_verify — the

@@ -885,3 +885,29 @@ def test_dsir_selects_target_like_docs(spark, tmp_path):
     assert len(sel) == DSIR_K
     envocab_share = sum(1 for d in sel if d < 60) / len(sel)
     assert envocab_share >= 0.55, envocab_share  # 30% of corpus, >55% of sample
+
+
+def test_phrase_mining_finds_planted_collocation(spark, tmp_path):
+    """A pair that ALWAYS co-occurs ("neural networks") must outrank
+    pairs of independently frequent tokens — PMI rewards association,
+    not raw frequency."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_phrase_mining,
+    )
+
+    rows = []
+    for i in range(40):
+        # 'the' and 'model' are everywhere (high frequency, low PMI);
+        # 'neural networks' appears only as the fused pair
+        filler = " ".join(
+            f"the model w{(i * 7 + j) % 60} runs" for j in range(6)
+        )
+        rows.append((i, f"neural networks {filler} neural networks", "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    top = text_phrase_mining(spark, str(tmp_path)).collect()
+    assert top[0].pair == "neural networks" and top[0].rank == 1
+    the_model = {r.pair: r.pmi for r in top}.get("the model")
+    assert the_model is None or the_model < top[0].pmi
