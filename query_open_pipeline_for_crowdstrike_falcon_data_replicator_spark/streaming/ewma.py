@@ -134,8 +134,14 @@ def run_ewma_monitor(
     queryName: str = "ewma_stream",
     *,
     max_files_per_trigger: int | None = None,
+    output_path: str | None = None,
 ):
-    """File-source driver: NDJSON events -> memory sink of EWMA rows."""
+    """File-source driver: NDJSON events -> EWMA rows.  With
+    ``output_path`` the rows append to parquet via foreachBatch (the
+    sink that supports CHECKPOINT RECOVERY — a restart with the same
+    checkpoint resumes the per-key state and processes only new files);
+    without it, a memory sink (single-run inspection only — Spark's
+    memory sink cannot recover from a checkpoint)."""
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -151,12 +157,17 @@ def run_ewma_monitor(
         reader.json(input_path)
         .withColumn("ts", F.to_timestamp("ts"))
     )
+    out = ewma_monitor(stream)
+    if output_path is not None:
+        writer = out.writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(output_path)
+        )
+    else:
+        writer = out.writeStream.format("memory").queryName(queryName).outputMode(
+            "append"
+        )
     return (
-        ewma_monitor(stream)
-        .writeStream.format("memory")
-        .queryName(queryName)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
+        writer.option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

@@ -486,3 +486,74 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 90
     assert sum(1 for v in got.values() if v[2] == 1) == 1  # the planted spike
+
+
+def test_streaming_ewma_restart_resumes_state(spark, tmp_path):
+    """Two sequential availableNow runs over one checkpoint: the second
+    run sees ONLY the files added after the first, restores the
+    (slots, values) state from the checkpoint, and its emissions still
+    equal the batch operator over the full feed — cross-restart state
+    recovery, not just cross-batch."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        RESAMPLE_SECONDS,
+        events_ewma_anomaly,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.ewma import (
+        run_ewma_monitor,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    def mk(s):
+        return {
+            "event_id": s,
+            "ts": (base + dt.timedelta(seconds=s * RESAMPLE_SECONDS)).isoformat(),
+            "event_type": "cpu",
+            "value": 5.0 + (s % 4) if s != 25 else 300.0,
+        }
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "a.json"), "w") as f:
+        for s in range(20):
+            f.write(_json.dumps(mk(s)) + "\n")
+
+    out_pq = str(tmp_path / "ewma_out")
+    q1 = run_ewma_monitor(spark, src, ckpt, output_path=out_pq)
+    q1.awaitTermination(300)
+    q1.stop()
+    first = spark.read.parquet(out_pq).collect()
+    assert len(first) == 20
+
+    _time.sleep(0.05)
+    with open(_os.path.join(src, "b.json"), "w") as f:
+        for s in range(20, 32):
+            f.write(_json.dumps(mk(s)) + "\n")
+
+    q2 = run_ewma_monitor(spark, src, ckpt, output_path=out_pq)
+    q2.awaitTermination(300)
+    q2.stop()
+    allrows = spark.read.parquet(out_pq).collect()
+    assert len(allrows) == 32  # run 2 appended ONLY the 12 new slots
+
+    spark.createDataFrame(
+        [(mk(s)["event_id"], dt.datetime.fromisoformat(mk(s)["ts"]), 1, "cpu", mk(s)["value"], "{}") for s in range(32)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    want = {
+        (r.event_type, r.slot_start_epoch): (r.last_value, r.ewma, r.is_spike)
+        for r in events_ewma_anomaly(spark, str(tmp_path)).collect()
+    }
+    got = {
+        (r.event_type, r.slot_start_epoch): (r.last_value, r.ewma, r.is_spike)
+        for r in allrows
+    }
+    assert got == want
+    # slot 20's EWMA needs slots 4..19 from the FIRST run's state: if the
+    # restart had lost state, its value would be batch-local and differ
+    assert sum(v[2] for v in got.values()) == 1  # planted spike at s=25
