@@ -182,18 +182,21 @@ def cm_array_agg(ev: DataFrame, key: str = "user_id") -> DataFrame:
         ).alias("idx"),
     )
     counts = rows.groupBy("day", "idx").agg(F.count(F.lit(1)).alias("cnt"))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(CM_D * CM_W - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)),
+    # densify via a (day x idx) grid join + one sorted collect per day —
+    # NOT per-element map lookups (element_at on a 2048-entry MAP is a
+    # linear scan; 2048 of them per day-row made densification O(W^2))
+    spark = ev.sparkSession
+    grid = counts.select("day").distinct().crossJoin(
+        spark.range(CM_D * CM_W).select(F.col("id").cast("long").alias("idx"))
     )
-    return (
-        counts.groupBy("day")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("idx").cast("int"), "cnt"))
-            ).alias("m")
-        )
-        .select("day", dense.alias("cm"))
+    filled = grid.join(counts, ["day", "idx"], "left").select(
+        "day", "idx", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+    )
+    return filled.groupBy("day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+            lambda s: s["cnt"],
+        ).alias("cm")
     )
 
 
