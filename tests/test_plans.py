@@ -435,3 +435,54 @@ def test_dedup_semantic_joins_on_cell_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell" in plan
+
+
+def test_cm_topk_plan_uses_takeordered(spark, sf_dir):
+    """CM heavy hitters must select candidates via TakeOrderedAndProject
+    (per-partition heaps), never a SinglePartition sort of every user."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.sketches import (
+        cm_topk,
+    )
+
+    plan = _formatted(cm_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_shapes(spark, sf_dir):
+    """DSIR: selection threshold via TakeOrdered top-k (no global sort);
+    the bucket log-ratio table broadcast onto the token stream."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_dsir_resample,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_dsir_resample(spark, sf_dir))
+    release_tracked_caches()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # ratio table broadcast
+
+
+def test_phrase_mining_plan_uses_takeordered(spark, sf_dir):
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_phrase_mining,
+    )
+
+    plan = _formatted(text_phrase_mining(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_plan_no_cartesian(spark, sf_dir):
+    """The EWMA look-back is a type-keyed self-join with a slot band —
+    never a cartesian product; the fold runs over collected structs."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        events_ewma_anomaly,
+    )
+
+    plan = _formatted(events_ewma_anomaly(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
