@@ -1517,6 +1517,78 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------- #
+# Overlapping document chunking (RAG / context-window ingest)
+# --------------------------------------------------------------------- #
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # start-to-start distance (16-token overlap)
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token-window chunks — the
+    retrieval-ingest primitive (chunk_size=64, stride=48, so consecutive
+    chunks share 16 tokens; a final short chunk keeps the tail).  One
+    scan, chunking entirely as array expressions (sequence -> slice ->
+    explode), each chunk fingerprinted for downstream chunk-grain dedup.
+
+    Returns (doc_id, chunk_id, chunk_start, n_tokens, fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n = F.size(t)
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - CHUNK_SIZE).cast("double") / CHUNK_STRIDE) + 1
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * CHUNK_STRIDE
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.alias("chunk_start"),
+            F.slice(t, s + 1, CHUNK_SIZE).alias("toks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_start").cast("long").alias("chunk_start"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("fingerprint"),
+        )
+    )
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         CAST(greatest(1, ceil((n - {CHUNK_SIZE}) * 1.0 / {CHUNK_STRIDE}) + 1)
+              AS BIGINT) AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id,
+         i - 1 AS chunk_id,
+         (i - 1) * {CHUNK_STRIDE} AS chunk_start,
+         list_slice(t, (i - 1) * {CHUNK_STRIDE} + 1,
+                    (i - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS toks
+  FROM nc, unnest(generate_series(1, n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_id, chunk_start,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM chunks
+"""
+
+
+# --------------------------------------------------------------------- #
 # PMI phrase mining (collocation detection)
 # --------------------------------------------------------------------- #
 # The standard corpus pass that discovers multi-word units worth fusing
@@ -1768,4 +1840,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),
     "corpus_export_verify": (corpus_export_verify, CORPUS_EXPORT_SQL),
     "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
+    "corpus_chunk_overlap": (corpus_chunk_overlap, CORPUS_CHUNK_SQL),
 }

@@ -168,6 +168,11 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # single-scan array-expression 1->N explode, the same shape the
+    # driver verifies via multimodal_frames (1->N frame sampling) and
+    # dedup_substring's window explode; chunk arithmetic oracle-verified
+    # every session in tests + driver_sim --all
+    "corpus_chunk_overlap",
     # explode -> count -> scalar-attach -> token-keyed join -> TakeOrdered
     # top-k: every shape is the text_vocabulary/text_lm_score/q11 family
     # the driver already covers; the PMI formula is oracle-verified every

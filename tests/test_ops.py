@@ -911,3 +911,40 @@ def test_phrase_mining_finds_planted_collocation(spark, tmp_path):
     assert top[0].pair == "neural networks" and top[0].rank == 1
     the_model = {r.pair: r.pmi for r in top}.get("the model")
     assert the_model is None or the_model < top[0].pmi
+
+
+def test_chunk_overlap_invariants(spark, tmp_path):
+    """On a 200-token doc: chunks tile the doc with the configured
+    overlap, every token position is covered, consecutive chunks share
+    exactly CHUNK_SIZE-CHUNK_STRIDE positions, and the tail chunk is
+    short but present."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        corpus_chunk_overlap,
+    )
+
+    n = 200
+    text = " ".join(f"tok{i}" for i in range(n))
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text)), (1, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = sorted(
+        (r for r in corpus_chunk_overlap(spark, str(tmp_path)).collect() if r.doc_id == 0),
+        key=lambda r: r.chunk_id,
+    )
+    covered = set()
+    for r in rows:
+        assert r.chunk_start == r.chunk_id * CHUNK_STRIDE
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_tokens))
+    assert covered == set(range(n))
+    for a, b in zip(rows, rows[1:]):
+        shared = (a.chunk_start + a.n_tokens) - b.chunk_start
+        if a.n_tokens == CHUNK_SIZE:
+            assert shared == CHUNK_SIZE - CHUNK_STRIDE
+    assert rows[-1].n_tokens <= CHUNK_SIZE
+    # the 3-token doc still yields exactly one (short) chunk
+    tiny = [r for r in corpus_chunk_overlap(spark, str(tmp_path)).collect() if r.doc_id == 1]
+    assert len(tiny) == 1 and tiny[0].n_tokens == 3
