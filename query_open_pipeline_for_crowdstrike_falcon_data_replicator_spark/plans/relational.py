@@ -958,6 +958,104 @@ FROM scored
 """
 
 
+CUSUM_SLACK_C = 2500  # per-step drift allowance k, in value-hundredths
+CUSUM_ALARM_C = 40000  # decision threshold h, in value-hundredths
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector per event type over the
+    30-minute slot series: s_t = max(0, s_{t-1} + x_t - mu - k), alarm
+    when s_t crosses h — the classical sequential test for a sustained
+    upward level shift (EWMA flags single spikes; CUSUM accumulates
+    small persistent drifts).
+
+    A recurrence with a max() nonlinearity has no windowed closed form,
+    so it folds SEQUENTIALLY over each type's slot-sorted series inside
+    one array aggregate (state bounded by the RESAMPLED grid, never the
+    raw feed; the unbounded-horizon streaming twin is the
+    applyInPandasWithState shape of streaming/ewma.py).
+
+    Cross-engine determinism: the ENTIRE recurrence runs in integer
+    value-hundredths — x is quantized once (round(x*100)), mu is the
+    rounded integer mean (integer sums are exact, so the distributed
+    average cannot drift), and every fold step is pure int64 arithmetic.
+    A float chain here would hit .xxxx5 half-way cases where Spark's
+    BigDecimal HALF_UP and C round() disagree after ~1000 steps (it did,
+    at sf0.01); integers make the DuckDB recursive-CTE replay exact by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = (F.unix_timestamp("ts") / RESAMPLE_SECONDS).cast("long")
+    agg = (
+        ev.select("event_type", slot.alias("slot"), "ts", "value")
+        .groupBy("event_type", "slot")
+        .agg(F.round(F.max_by("value", "ts") * 100).cast("long").alias("xc"))
+    )
+    g = agg.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("slot", "xc"))).alias("sv"),
+        F.round(F.avg("xc")).cast("long").alias("muc"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cur"),
+        F.expr("CAST(array() AS array<bigint>)").alias("out"),
+    )
+    nxt = lambda acc, s: F.greatest(  # noqa: E731
+        F.lit(0).cast("long"),
+        acc["cur"] + s["xc"] - F.col("muc") - F.lit(CUSUM_SLACK_C),
+    )
+    folded = F.aggregate(
+        F.col("sv"),
+        acc0,
+        lambda acc, s: F.struct(
+            nxt(acc, s).alias("cur"),
+            F.concat(acc["out"], F.array(nxt(acc, s))).alias("out"),
+        ),
+    )["out"]
+    z = F.arrays_zip(F.col("sv"), F.col("cusums"))
+    return (
+        g.withColumn("cusums", folded)
+        .select("event_type", F.explode(z).alias("e"))
+        .select(
+            "event_type",
+            (F.col("e.sv.slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
+            (F.col("e.sv.xc") / 100.0).alias("last_value"),
+            (F.col("e.cusums") / 100.0).alias("cusum"),
+            (F.col("e.cusums") >= CUSUM_ALARM_C).cast("int").alias("alarm"),
+        )
+    )
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH RECURSIVE agg AS (
+  SELECT event_type,
+         datediff('second', TIMESTAMP '1970-01-01', ts) // {RESAMPLE_SECONDS} AS slot,
+         CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS xc
+  FROM events GROUP BY 1, 2
+),
+mu AS (SELECT event_type, CAST(round(avg(xc), 0) AS BIGINT) AS muc
+       FROM agg GROUP BY 1),
+s AS (
+  SELECT a.event_type, a.slot, a.xc, m.muc,
+         row_number() OVER (PARTITION BY a.event_type ORDER BY a.slot) AS rn
+  FROM agg a JOIN mu m USING (event_type)
+),
+c AS (
+  SELECT event_type, slot, xc, muc, rn,
+         greatest(0, 0 + xc - muc - {CUSUM_SLACK_C}) AS cusum
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.slot, s.xc, s.muc, s.rn,
+         greatest(0, c.cusum + s.xc - s.muc - {CUSUM_SLACK_C})
+  FROM s JOIN c ON s.event_type = c.event_type AND s.rn = c.rn + 1
+)
+SELECT event_type,
+       CAST(slot * {RESAMPLE_SECONDS} AS BIGINT) AS slot_start_epoch,
+       xc / 100.0 AS last_value,
+       cusum / 100.0 AS cusum,
+       CAST(cusum >= {CUSUM_ALARM_C} AS INT) AS alarm
+FROM c
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, counted
     distinct in each subsequent week offset — THE product-analytics query
@@ -1082,6 +1180,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
     "events_ewma_anomaly": (events_ewma_anomaly, EVENTS_EWMA_SQL),
+    "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),

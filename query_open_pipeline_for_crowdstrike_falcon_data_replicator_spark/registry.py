@@ -168,6 +168,11 @@ DRIVER_EXCLUDE = {
     # minhash, simhash, cluster); stays oracle-verified in tests +
     # driver_sim --all.  Slot freed for corpus_pack_sequences
     "dedup_exact",
+    # same resampled-grain collect + sequential-fold machinery as
+    # events_ewma_anomaly's family (slot agg driver-covered via
+    # events_resample_locf); the CUSUM recurrence is oracle-verified
+    # (recursive-CTE replay) every session in tests + driver_sim --all
+    "events_cusum_changepoint",
     # single-scan array-expression 1->N explode, the same shape the
     # driver verifies via multimodal_frames (1->N frame sampling) and
     # dedup_substring's window explode; chunk arithmetic oracle-verified

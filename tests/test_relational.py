@@ -99,3 +99,41 @@ def test_ewma_planted_step_change(spark, tmp_path):
     # geometric convergence after the step
     post = sorted(k for k in out if k > jump_epoch)
     assert abs(out[post[0]].ewma - 310.0) < abs(out[jump_epoch].ewma - 310.0)
+
+
+def test_cusum_planted_sustained_shift(spark, tmp_path):
+    """A small sustained level shift (each step far below the EWMA spike
+    threshold) must accumulate into a CUSUM alarm a few slots after the
+    change point, while the pre-change regime never alarms."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        RESAMPLE_SECONDS,
+        events_cusum_changepoint,
+        events_ewma_anomaly,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    for s in range(130):
+        v = 50.0 if s < 100 else 110.0  # +60 shift: below the 100 spike bar
+        rows.append((s, base + dt.timedelta(seconds=s * RESAMPLE_SECONDS), 1, "m", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = sorted(
+        events_cusum_changepoint(spark, str(tmp_path)).collect(),
+        key=lambda r: r.slot_start_epoch,
+    )
+    alarms = [i for i, r in enumerate(out) if r.alarm == 1]
+    assert alarms and min(alarms) > 100  # fires only after the change
+    assert all(i >= 100 for i in alarms)
+    assert max(r.cusum for r in out[:100]) < 400.0
+    # the same feed never trips the EWMA spike detector (|x-ewma| stays
+    # far below its threshold): CUSUM catches what EWMA cannot
+    ew = events_ewma_anomaly(spark, str(tmp_path)).collect()
+    assert sum(r.is_spike for r in ew) == 0
