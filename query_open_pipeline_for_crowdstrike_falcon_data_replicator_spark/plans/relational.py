@@ -883,15 +883,28 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "slot")
         .agg(F.max_by("value", "ts").alias("x"))
     )
-    a = agg.select("event_type", "slot", "x")
+    # banded self-join bucketed on (type, slot // (H+1)): the probe side
+    # explodes to its own bucket and the previous one, so every in-band
+    # pair meets on an equi-key — the shuffle is keyed on (type, bucket),
+    # not event_type alone (whose cardinality caps parallelism), and each
+    # (a, b) pair joins exactly once because b lives in ONE bucket
+    bkt = lambda c: F.floor(c / (EWMA_HORIZON + 1))  # noqa: E731
+    a = agg.select(
+        "event_type",
+        "slot",
+        "x",
+        F.explode(F.array(bkt(F.col("slot")), bkt(F.col("slot")) - 1)).alias("bucket"),
+    )
     b = agg.select(
         F.col("event_type").alias("event_type_b"),
         F.col("slot").alias("slot_b"),
         F.col("x").alias("x_b"),
+        bkt(F.col("slot")).alias("bucket_b"),
     )
     pairs = a.join(
         b,
         (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
         & (F.col("slot_b") <= F.col("slot"))
         & (F.col("slot_b") >= F.col("slot") - EWMA_HORIZON),
     ).select(
