@@ -200,12 +200,12 @@ DRIVER_EXCLUDE = {
     # (shared codebooks, shared rerank tail); the composed pipeline is
     # oracle-verified end-to-end every session in tests + driver_sim --all
     "ann_topk_ivf_pq",
-    # banded self-join on the RESAMPLED grain = the range_join family
-    # (range_join_error_follow holds that driver slot) over
-    # events_resample_locf's driver-verified slot aggregation; the
-    # power-of-two fold is oracle-verified every session in tests +
+    # correlated-scalar-threshold family keeps driver slots via q2
+    # (correlated min), q11 (scalar threshold), q20 (per-group threshold
+    # join); slot goes to events_ewma_anomaly so the bit-stable decay
+    # fold gets a driver row; stays oracle-verified in tests +
     # driver_sim --all
-    "events_ewma_anomaly",
+    "q17_small_quantity",
     # one-pass stats + broadcast 1-row scalar attach (q11's driver-
     # covered pattern) + filtered global top-k window (q2/window_top);
     # the BM25 formula itself is oracle-verified every session in tests
@@ -216,18 +216,17 @@ DRIVER_EXCLUDE = {
     # window_top_orders_per_customer); the novel keep/drop rule is
     # oracle-verified every session in tests + driver_sim --all
     "corpus_prune_prototypes",
-    # every plan shape it composes is driver-covered (bucket-count
-    # groupBy = q16's distinct agg family, broadcast 1-row scalar attach
-    # = q11, global top-k window = window_top_orders/q2); the novel part
-    # — CM merge losslessness (daily sketches -> merged == whole-range
-    # counts) — IS the oracle equality, verified every session in tests
-    # + driver_sim --all
-    "events_cm_topk",
-    # single-projection composite of the same scan-and-ratio machinery
-    # the driver already verifies via text_token_fingerprint /
-    # text_repetition (flags are plain threshold compares over those
-    # ratios); oracle-verified every session in tests + driver_sim --all
-    "text_gopher_filter",
+    # broadcast-dim multi-join + CASE/decimal agg family keeps THREE
+    # driver slots (q5, q8, q9 — q8 is the harder 7-table variant of this
+    # shape); slot goes to events_cm_topk so the count-min merge proof
+    # gets a driver row; stays oracle-verified in tests + driver_sim --all
+    "q7_volume_shipping",
+    # group-HAVING + join + deterministic top-k family keeps driver
+    # slots via q3 (join + top-k) and window_top_orders_per_customer
+    # (rank + filter); slot goes to text_gopher_filter so the published
+    # rule battery gets a driver row; stays oracle-verified in tests +
+    # driver_sim --all
+    "q18_large_volume",
     # the flat int8-scan two-stage machinery is a strict subset of
     # ann_topk_ivf_sq8 (driver slot: same codes, same integer stage-1,
     # same rerank tail, PLUS the cell pruning); its slot goes to
@@ -249,6 +248,9 @@ DRIVER_EXCLUDE = {
 # any count or time budget this round.
 _DRIVER_FIRST = [
     "corpus_export_verify",
+    "events_cm_topk",
+    "events_ewma_anomaly",
+    "text_gopher_filter",
     "ann_topk_pq",
     "dedup_semantic",
     "dedup_substring",
