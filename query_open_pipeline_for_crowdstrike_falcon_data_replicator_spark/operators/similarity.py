@@ -306,6 +306,29 @@ def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
     return F.array_min(F.array(*entries))["c"]
 
 
+def assign_cells_join(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Cell assignment via a broadcast centroid-TABLE join + min_by —
+    the large-K form of ``_nearest_cell``: the literal-argmin expression
+    is O(K) dot products compiled into the plan (fine to a few hundred
+    cells, see BASELINE.md's probe); this form joins each vector to the
+    broadcast centroid table and reduces with ``min_by``, so codegen
+    size and per-row cost stay flat as K grows to thousands of cells.
+    Ties break to the lower cell (struct-ordered min), exactly like the
+    literal form — equality is test-pinned."""
+    spark = emb.sparkSession
+    cent_rows = [(k, [float(x) for x in c]) for k, c in enumerate(cents)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        F.struct((-_dot(F.col("u"), F.col("c"))).alias("d"), F.col("cell").alias("c")).alias("dc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.c").alias("cell"))
+    )
+
+
 def _ivf_train(
     emb: DataFrame,
     spark: SparkSession,

@@ -948,3 +948,27 @@ def test_chunk_overlap_invariants(spark, tmp_path):
     # the 3-token doc still yields exactly one (short) chunk
     tiny = [r for r in corpus_chunk_overlap(spark, str(tmp_path)).collect() if r.doc_id == 1]
     assert len(tiny) == 1 and tiny[0].n_tokens == 3
+
+
+def test_assign_cells_join_equals_literal_argmin(spark, sf_dir):
+    """The broadcast centroid-table assignment (large-K form) must agree
+    with the plan-literal argmin on every vector, ties included."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        _embedded,
+        _ivf_train,
+        _nearest_cell,
+        assign_cells_join,
+    )
+
+    emb = _embedded(spark, sf_dir).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
+    lit = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", _nearest_cell(F.col("u"), cents).alias("cell")
+        ).collect()
+    }
+    joined = {r.vec_id: r.cell for r in assign_cells_join(emb, cents).collect()}
+    assert joined == lit and len(joined) > 0
