@@ -1588,6 +1588,45 @@ FROM chunks
 """
 
 
+def corpus_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain exact dedup over `corpus_chunk_overlap`'s
+    fingerprints — the RAG-ingest pass that drops repeated passages
+    (boilerplate, quoted spans) across documents while keeping one
+    canonical copy: keep iff (doc_id, chunk_id) is the minimum for the
+    fingerprint.  One hash-shuffle on the fingerprint at chunk grain.
+
+    Returns per-chunk (doc_id, chunk_id, fingerprint, n_copies,
+    is_canonical)."""
+    from pyspark.sql import Window
+
+    chunks = corpus_chunk_overlap(spark, sf_dir)
+    w = Window.partitionBy("fingerprint")
+    first = F.min(F.struct("doc_id", "chunk_id")).over(w)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (
+            (F.col("doc_id") == first["doc_id"])
+            & (F.col("chunk_id") == first["chunk_id"])
+        )
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+CORPUS_DEDUP_CHUNKS_SQL = f"""
+WITH chunks AS ({CORPUS_CHUNK_SQL}
+)
+SELECT doc_id, chunk_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies,
+       CAST((doc_id, chunk_id) = min((doc_id, chunk_id))
+              OVER (PARTITION BY fingerprint) AS INT) AS is_canonical
+FROM chunks
+"""
+
+
 # --------------------------------------------------------------------- #
 # PMI phrase mining (collocation detection)
 # --------------------------------------------------------------------- #
@@ -1841,4 +1880,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_export_verify": (corpus_export_verify, CORPUS_EXPORT_SQL),
     "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
     "corpus_chunk_overlap": (corpus_chunk_overlap, CORPUS_CHUNK_SQL),
+    "corpus_dedup_chunks": (corpus_dedup_chunks, CORPUS_DEDUP_CHUNKS_SQL),
 }

@@ -178,6 +178,10 @@ DRIVER_EXCLUDE = {
     # dedup_substring's window explode; chunk arithmetic oracle-verified
     # every session in tests + driver_sim --all
     "corpus_chunk_overlap",
+    # chunker output + the fingerprint-window canonical rule the driver
+    # verifies via dedup-family slots; oracle-verified every session in
+    # tests + driver_sim --all
+    "corpus_dedup_chunks",
     # explode -> count -> scalar-attach -> token-keyed join -> TakeOrdered
     # top-k: every shape is the text_vocabulary/text_lm_score/q11 family
     # the driver already covers; the PMI formula is oracle-verified every
