@@ -69,14 +69,35 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Per-query detail FIRST, compact headline LAST: the round driver
+    # tail-captures stdout, and at 90+ queries the detail line outgrew
+    # its window in round 3 — printing the headline last guarantees the
+    # total survives truncation.  The full JSON also lands in
+    # BENCH_SELF.json for offline comparison.
+    print(json.dumps(full))
+    with open(os.path.join(REPO, "BENCH_SELF.json"), "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
+                "queries": slowest,
+                "detail": "full per-query timings in BENCH_SELF.json",
             }
         )
     )

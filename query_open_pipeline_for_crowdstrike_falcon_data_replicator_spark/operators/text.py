@@ -7,6 +7,7 @@ exact DuckDB oracle; md5 makes fingerprints engine-portable."""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1251,7 +1252,9 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_symbols": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
         "ok_bullets": bullet_frac < GOPHER_MAX_BULLET_FRAC,
         "ok_ellipsis": ellipsis_frac < GOPHER_MAX_ELLIPSIS_FRAC,
-        "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
+        # >= : the published rule (Rae et al. A1) removes docs with LESS
+        # than 80% alphabetic words, so exactly-80% documents survive
+        "ok_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
         "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
     }
     keep = None
@@ -1303,14 +1306,14 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
        CAST(symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS INT) AS ok_symbols,
        CAST(bullet_frac < {GOPHER_MAX_BULLET_FRAC} AS INT) AS ok_bullets,
        CAST(ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC} AS INT) AS ok_ellipsis,
-       CAST(alpha_frac > {GOPHER_MIN_ALPHA_FRAC} AS INT) AS ok_alpha,
+       CAST(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS INT) AS ok_alpha,
        CAST(n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stopwords,
        CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
             AND mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL}
             AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
             AND bullet_frac < {GOPHER_MAX_BULLET_FRAC}
             AND ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
-            AND alpha_frac > {GOPHER_MIN_ALPHA_FRAC}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
             AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
 FROM m
 """
@@ -1461,7 +1464,14 @@ def corpus_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_assignments(kept).withColumn(
         "shard", F.floor(F.col("seq_id") / EXPORT_SEQS_PER_SHARD).cast("long")
     )
-    base = tempfile.mkdtemp(prefix="qopcfdr_export_")
+    # fixed per-SF path + overwrite, NOT mkdtemp-per-call: repeated
+    # driver/test/bench invocations reuse (and truncate) one directory
+    # instead of leaking a new parquet tree on every run; the read-back
+    # below is lazy, so the directory must outlive this builder
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "qopcfdr_export_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
     packed.write.mode("overwrite").partitionBy("shard").parquet(base)
     back = spark.read.parquet(base)
     return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(

@@ -84,6 +84,57 @@ def _read_text(spark: SparkSession, fs, path: str) -> str:
         stream.close()
 
 
+def append_batch_exactly_once(
+    df: DataFrame, output_path: str, batch_id: int
+) -> bool:
+    """Idempotent single-table parquet append for a foreachBatch sink —
+    the one-DataFrame form of ``commit_batch_exactly_once`` (same
+    marker/manifest/rename protocol, same crash analysis).  A micro-batch
+    replayed after a crash either no-ops (``.done`` exists) or first
+    un-publishes exactly the files its dead predecessor listed, so the
+    table never holds duplicate rows.  Returns False on a replay no-op."""
+    spark = df.sparkSession
+    fs, _ = _fs(spark, output_path)
+    commits = posixpath.join(output_path, "_commits")
+    done = posixpath.join(commits, f"{batch_id}.done")
+    manifest = posixpath.join(commits, f"{batch_id}.manifest")
+    staging = posixpath.join(output_path, "_staging", str(batch_id))
+
+    if fs.exists(_jpath(spark, done)):
+        return False
+
+    if fs.exists(_jpath(spark, manifest)):
+        for dest in _read_text(spark, fs, manifest).splitlines():
+            if dest:
+                fs.delete(_jpath(spark, dest), False)
+        fs.delete(_jpath(spark, manifest), False)
+
+    fs.delete(_jpath(spark, staging), True)
+    df.write.mode("overwrite").parquet(staging)
+
+    staged = _list_files(spark, fs, staging)
+    prefix = _qualified(spark, fs, staging).rstrip("/") + "/"
+    base_q = _qualified(spark, fs, output_path)
+    moves: list[tuple[str, str]] = []
+    for src in staged:
+        rel = src[len(prefix):] if src.startswith(prefix) else None
+        if rel is None:
+            raise IOError(f"staged file {src} outside staging prefix {prefix}")
+        if rel.rsplit("/", 1)[-1].startswith("_"):
+            continue
+        moves.append((src, posixpath.join(base_q, f"b{batch_id}-{rel}")))
+
+    fs.mkdirs(_jpath(spark, commits))
+    _write_text(spark, fs, manifest, "\n".join(dest for _, dest in moves))
+    for src, dest in moves:
+        if not fs.rename(_jpath(spark, src), _jpath(spark, dest)):
+            raise IOError(f"rename failed: {src} -> {dest}")
+    _write_text(spark, fs, done, "")
+    fs.delete(_jpath(spark, staging), True)
+    fs.delete(_jpath(spark, manifest), False)
+    return True
+
+
 def commit_batch_exactly_once(
     spark: SparkSession,
     tables: dict[str, DataFrame],

@@ -17,6 +17,7 @@ append-mode contract, same stance as the watermarked aggregates.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterator
 
 import pandas as pd
@@ -52,6 +53,17 @@ EWMA_STATE_SCHEMA = StructType(
         StructField("max_emitted", LongType()),
     ]
 )
+
+
+def _round4(v: float) -> float:
+    """Spark-compatible 4-dp rounding.  Python's round() is half-even;
+    Spark's F.round is BigDecimal HALF_UP over the shortest decimal repr
+    of the double (BigDecimal.valueOf == Double.toString == Python repr),
+    so dyadic half-cases like 0.28125 must round UP (0.2813, not 0.2812)
+    to keep the streamed row bit-identical to the batch operator."""
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def ewma_monitor(
@@ -102,9 +114,9 @@ def ewma_monitor(
                 {
                     "event_type": key[0],
                     "slot_start_epoch": slot * RESAMPLE_SECONDS,
-                    "last_value": round(x, 4),
-                    "ewma": round(ewma_raw, 4),
-                    "is_spike": int(round(abs(x - ewma_raw), 4) >= spike_abs),
+                    "last_value": _round4(x),
+                    "ewma": _round4(ewma_raw),
+                    "is_spike": int(_round4(abs(x - ewma_raw)) >= spike_abs),
                 }
             )
             max_emitted = slot
@@ -139,9 +151,14 @@ def run_ewma_monitor(
     """File-source driver: NDJSON events -> EWMA rows.  With
     ``output_path`` the rows append to parquet via foreachBatch (the
     sink that supports CHECKPOINT RECOVERY — a restart with the same
-    checkpoint resumes the per-key state and processes only new files);
-    without it, a memory sink (single-run inspection only — Spark's
-    memory sink cannot recover from a checkpoint)."""
+    checkpoint resumes the per-key state and processes only new files).
+    The append is fenced on the micro-batch id
+    (``txn.append_batch_exactly_once``): a batch replayed after a crash
+    between the write and the checkpoint advance un-publishes its dead
+    predecessor's files first, so recovery is exactly-once for OUTPUT as
+    well as state.  Without ``output_path``, a memory sink (single-run
+    inspection only — Spark's memory sink cannot recover from a
+    checkpoint)."""
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -159,8 +176,10 @@ def run_ewma_monitor(
     )
     out = ewma_monitor(stream)
     if output_path is not None:
+        from ..sinks.txn import append_batch_exactly_once
+
         writer = out.writeStream.foreachBatch(
-            lambda df, _bid: df.write.mode("append").parquet(output_path)
+            lambda df, bid: append_batch_exactly_once(df, output_path, bid)
         )
     else:
         writer = out.writeStream.format("memory").queryName(queryName).outputMode(

@@ -557,3 +557,61 @@ def test_streaming_ewma_restart_resumes_state(spark, tmp_path):
     # slot 20's EWMA needs slots 4..19 from the FIRST run's state: if the
     # restart had lost state, its value would be batch-local and differ
     assert sum(v[2] for v in got.values()) == 1  # planted spike at s=25
+
+
+def test_ewma_round4_matches_spark_half_up(spark):
+    """The monitor's Python-side rounding must be Spark's F.round
+    (BigDecimal HALF_UP), not Python round()'s half-even: on exactly
+    representable dyadic half-cases (0.28125 -> 0.2813) the two modes
+    diverge and would break the bit-identical streamed==batch contract."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.ewma import (
+        _round4,
+    )
+
+    cases = [0.28125, 0.65625, -0.28125, 0.00005, 1.23455, 2.5e-5, 0.1, 7.0]
+    got = [_round4(v) for v in cases]
+    want = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in cases], "v double")
+        .select(F.round("v", 4).alias("r"))
+        .collect()
+    ]
+    assert got == want
+    assert _round4(0.28125) == 0.2813  # the half-even trap explicitly
+
+
+def test_ewma_sink_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash (same batch id) must not
+    double-append: the foreachBatch sink fences on the batch id via the
+    manifest protocol.  Also covers the died-mid-publish path (manifest
+    exists, .done does not -> un-publish then re-publish)."""
+    import os as _os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.txn import (
+        append_batch_exactly_once,
+    )
+
+    out = str(tmp_path / "out")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert append_batch_exactly_once(df, out, 0) is True
+    # clean replay of a committed batch: no-op
+    assert append_batch_exactly_once(df, out, 0) is False
+    assert spark.read.parquet(out).count() == 10
+
+    # batch 1 died mid-publish: files landed, manifest present, no .done
+    assert append_batch_exactly_once(df, out, 1) is True
+    _os.remove(_os.path.join(out, "_commits", "1.done"))
+    with open(_os.path.join(out, "_commits", "1.manifest"), "w") as f:
+        f.write(
+            "\n".join(
+                _os.path.join(out, n)
+                for n in _os.listdir(out)
+                if n.startswith("b1-")
+            )
+        )
+    assert append_batch_exactly_once(df, out, 1) is True  # replay re-publishes
+    assert spark.read.parquet(out).count() == 20
+    assert append_batch_exactly_once(df, out, 2) is True
+    assert spark.read.parquet(out).count() == 30
