@@ -49,6 +49,16 @@ BENCH_EXCLUDE = {"ocsf_etl_50k", "ocsf_etl_verify", "corpus_export_verify"}
 # oracle tests (tests/test_relational.py + tools/driver_sim.py run ALL of
 # all_queries() every session).
 DRIVER_EXCLUDE = {
+    # ================================================================ #
+    # Never-driver-verified entries take priority for the 50 slots; an
+    # exclusion below means the entry ALREADY has a green hash-matched
+    # row in a CORRECTNESS_r0N.json (round noted) or is a duplicate-by-
+    # construction of a surviving entry.  Every excluded entry still
+    # runs its exact oracle every session via tests/test_relational.py
+    # (parametrizes all_queries()) and tools/driver_sim.py --all.
+    # ================================================================ #
+    #
+    # --- duplicates-by-construction (no own driver slot by design) ---
     # subset of events_hypertable_rollup (same daily agg minus n_users/segment)
     "events_daily_agg",
     # manual gaps-and-islands twin of events_session_window (identical output)
@@ -57,224 +67,109 @@ DRIVER_EXCLUDE = {
     # cube and explicit grouping-sets are the same Expand-based plan
     "agg_grouping_sets",
     "agg_cube_orders",
-    # strict subset of multimodal_features (mime literal + n_bytes)
-    "multimodal_meta",
     # 29-fixture rows-only probe; envelope path driver-verified by
-    # events_ocsf_envelope + ocsf_normalize_100k, goldens in test_normalize
+    # ocsf_etl_verify, goldens in test_normalizers
     "ocsf_pipeline_envelopes",
-    # rows-only sink probe (13 partitioned writes); superseded as driver
-    # signal by ocsf_etl_verify (same write path, VALUES-join oracle with
-    # per-(sink, eventDay) counts + time range); still covered by
-    # tests/test_pipeline.py, excluded from bench timing anyway
+    # rows-only sink probe superseded as driver signal by ocsf_etl_verify
+    # (same write path with a VALUES-join oracle)
     "ocsf_etl_50k",
-    # driver row matched 0 rows vs 0 rows at sf0.01 (no customers without
-    # orders in the synthetic data) — zero content signal; the anti-join
-    # shape keeps driver coverage through q21/q22 (NOT EXISTS with real
-    # rows) and this entry stays oracle-verified in tests + driver_sim
+    # 0-vs-0 rows at sf0.01 (no customers without orders in the synthetic
+    # data) — zero content signal; anti-join shape covered by q21
     "anti_join_customers_without_orders",
-    # composite of dedup_exact + text_lang_id + text_stats, each already
-    # driver-verified individually; oracle runs in tests/driver_sim --all
-    "corpus_curation",
-    # strict subset of q1's scan-agg shape (filter + global decimal agg, no
-    # grouping); the filtered-global-agg family stays via q14/q17/q19
-    "q6_forecast_revenue",
-    # approximate by construction (Greenwald-Khanna) -> no exact oracle;
-    # value error pinned against the exact DuckDB-verified yardstick in
-    # tests/test_relational.py; profiling family keeps its driver slot
-    # via profile_orders
+    # 0-vs-0 rows at sf0.01 (no idle customers) — same rule
+    "q22_idle_customers",
+    # 0-vs-0 rows at sf0.01 every round (no cosine>=0.9 pairs in the
+    # synthetic embeddings); machinery driver-covered by dedup_semantic
+    "embedding_neardup_pairs",
+    # approximate by construction (Greenwald-Khanna / DataSketches) -> no
+    # exact oracle; accuracy pinned against exact yardsticks in tests
     "profile_quantiles_approx",
-    # same profile/band/verify machinery as dedup_minhash_lsh (which keeps
-    # its driver slot); the batch-vs-corpus split is oracle-verified by
-    # tests + driver_sim --all
-    "dedup_incremental",
-    # --- round-3 rotations: slots freed for dedup_cluster,
-    # text_contamination, corpus_mix_sources, text_pii_redact ---
-    # WindowExec family keeps its driver slot via
-    # window_top_orders_per_customer (rank + filter); the running-sum
-    # frame variant stays oracle-verified in tests + driver_sim --all
-    "window_running_revenue",
-    # EXISTS left-semi shape driver-covered by semi_join_urgent_customers
-    # and q21 (EXISTS + NOT EXISTS with real rows)
-    "q4_priority_check",
-    # single-row conditional-agg-over-filtered-scan family kept via
-    # q17/q19 (same family rule as the q6 exclusion above)
-    "q14_promo_revenue",
-    # the parse->envelope path is the first stage of BOTH ocsf_normalize_100k
-    # and ocsf_etl_verify (driver rows); envelope construction stays
-    # oracle-verified in tests + driver_sim --all
-    "events_ocsf_envelope",
-    # scalar-subquery-threshold shape driver-covered by q11 (scalar
-    # threshold over an agg) and q2 (correlated min); slot freed for
-    # ann_topk_sq8, q15 stays oracle-verified in tests + driver_sim --all
-    "q15_top_supplier",
-    # explode->groupBy->top-k scan-agg shape driver-covered by
-    # text_token_fingerprint + q16 (distinct-count agg); oracle-verified
-    # in tests + driver_sim --all
-    "text_vocabulary",
-    # stats-pass + broadcast-back-and-flag shape driver-covered by
-    # corpus_sample_budget / corpus_mix_sources; oracle-verified in
-    # tests + driver_sim --all
-    "events_anomaly_zscore",
-    # approximate by construction (DataSketches HLL/KLL) -> no exact
-    # oracle; merge-consistency + accuracy pinned in tests/test_sketches.py
     "events_sketch_rollup",
     "events_sketch_range",
-    # --- round-3 second-batch rotations: slots freed for dedup_substring,
-    # text_repetition, text_winnow ---
-    # driver row matched 0 rows vs 0 rows at sf0.01 (no idle customers in
-    # the synthetic data) — zero content signal, same rule as the
-    # anti_join_customers_without_orders exclusion above; stays
-    # oracle-verified in tests + driver_sim --all
-    "q22_idle_customers",
-    # join + CASE-sum shape driver-covered by q8 (CASE fraction over a
-    # 7-table join) and q14 (CASE fraction agg); stays oracle-verified in
-    # tests + driver_sim --all
-    "q12_priority_classes",
-    # per-doc single-projection scan shape driver-covered by
-    # text_token_fingerprint (same scan, harder expressions) and its
-    # aggregate by text_quality_by_lang which is BUILT from text_stats;
-    # stays oracle-verified in tests + driver_sim --all
+    #
+    # --- TPC-H family anchors: q1/q3/q5 keep slots; these shapes are
+    #     strict family twins of a surviving anchor (all driver-green in
+    #     r1/r2 or covered by the anchor's harder variant) ---
+    "q6_forecast_revenue",   # subset of q1 scan-agg; family via q14/q17/q19... q19 keeps
+    "q4_priority_check",     # EXISTS semi shape via semi_join_urgent_customers + q21
+    "q14_promo_revenue",     # CASE-fraction agg family via q19
+    "q15_top_supplier",      # scalar-threshold family via q2/q20
+    "q12_priority_classes",  # join + CASE-sum via q8
+    "q10_returned_items",    # q3's join-agg-topk chain + a broadcast dim
+    "q17_small_quantity",    # correlated-scalar family via q2/q20
+    "q7_volume_shipping",    # broadcast-dim multi-join CASE agg via q5/q8/q9
+    "q18_large_volume",      # group-HAVING + topk via q3 + window_top
+    # driver-green r1-r3; scalar-subquery threshold family keeps q2/q20;
+    # slot rotated to the never-verified set in r4
+    "q11_important_stock",
+    #
+    # --- window/text/ocsf shapes covered by surviving anchors ---
+    # WindowExec family keeps window_top_orders_per_customer
+    "window_running_revenue",
+    # parse->envelope stage driver-verified inside ocsf_etl_verify
+    "events_ocsf_envelope",
+    # driver-green r1-r3; the normalize path is the FIRST STAGE of
+    # ocsf_etl_verify (which keeps its slot), so rotating this out keeps
+    # full driver coverage of parse->classify->normalize->write
+    "ocsf_normalize_100k",
+    # per-doc single-projection scan via text_token_fingerprint;
+    # aggregate form text_quality_by_lang is BUILT from it
     "text_stats",
-    # driver-green in r2; its Lloyd-train/probe/exact-rerank machinery is
-    # a strict subset of ann_topk_ivf_sq8 (same unrolled-Lloyd oracle
-    # chain + the int8 stage the plain form lacks), which takes the slot;
-    # stays oracle-verified in tests + driver_sim --all
-    "ann_topk_ivf",
-    # compositions of driver-covered primitives over the events feed:
-    # retention = min-groupBy + co-keyed join + count-distinct (q16's
-    # distinct agg, q13's join-then-distribution); funnel = chained
-    # conditional-min joins + the q11 broadcast scalar-attach.  Both stay
-    # oracle-verified every session in tests + driver_sim --all
-    "events_retention_cohorts",
-    "events_funnel",
-    # join + agg + deterministic top-k over the same 3-table chain as q3
-    # (which keeps its driver slot); q10 adds only a broadcast nation dim
-    # to the shape.  Slot freed for events_resample_locf; stays
-    # oracle-verified in tests + driver_sim --all
-    "q10_returned_items",
-    # explode -> count -> scalar-attach -> token-keyed join composition of
-    # text_vocabulary's count machinery (excluded twin) and the q11
-    # broadcast scalar pattern; oracle-verified every session in tests +
-    # driver_sim --all
-    "text_lm_score",
-    # same single-projection scan shape as text_token_fingerprint (driver
-    # slot, harder expressions: dual tokenizers + rolling-hash fold); the
-    # model-scoring fold is oracle-verified every session by the
-    # full-registry runs (tests/test_relational.py, driver_sim --all)
-    "text_quality_model",
-    # driver-green r1+r2; the md5-fingerprint groupBy is the first stage
-    # of corpus_curation AND plan-identical to dedup_substring's window
-    # count (driver slot); dedup keeps 5 driver slots (substring, jaccard,
-    # minhash, simhash, cluster); stays oracle-verified in tests +
-    # driver_sim --all.  Slot freed for corpus_pack_sequences
-    "dedup_exact",
-    # same resampled-grain collect + sequential-fold machinery as
-    # events_ewma_anomaly's family (slot agg driver-covered via
-    # events_resample_locf); the CUSUM recurrence is oracle-verified
-    # (recursive-CTE replay) every session in tests + driver_sim --all
-    "events_cusum_changepoint",
-    # single-scan array-expression 1->N explode, the same shape the
-    # driver verifies via multimodal_frames (1->N frame sampling) and
-    # dedup_substring's window explode; chunk arithmetic oracle-verified
-    # every session in tests + driver_sim --all
-    "corpus_chunk_overlap",
-    # chunker output + the fingerprint-window canonical rule the driver
-    # verifies via dedup-family slots; oracle-verified every session in
-    # tests + driver_sim --all
-    "corpus_dedup_chunks",
-    # explode -> count -> scalar-attach -> token-keyed join -> TakeOrdered
-    # top-k: every shape is the text_vocabulary/text_lm_score/q11 family
-    # the driver already covers; the PMI formula is oracle-verified every
-    # session in tests + driver_sim --all
-    "text_phrase_mining",
-    # driver-green r2+r3; its md5-coin/per-stratum-rate machinery is
-    # shared with corpus_mix_sources (driver slot, the harder water-
-    # filling variant).  Slot goes to corpus_export_verify — the
-    # training-data WRITE path probe, which had no driver row at all;
-    # stays oracle-verified in tests + driver_sim --all
-    "corpus_sample_budget",
-    # hashed-bucket count aggregations = text_lm_score's count/attach/
-    # score pipeline (its registry twin), deterministic md5-coin sampling
-    # = corpus_sample_budget's driver-verified pattern, top-k semi-join
-    # flag = q20's shape; the DSIR weight math is oracle-verified every
-    # session in tests + driver_sim --all
-    "corpus_dsir_resample",
-    # pure composition of two driver slots: ann_topk_ivf_sq8's
-    # cell-probe equi-join machinery + ann_topk_pq's codebook/ADC stage
-    # (shared codebooks, shared rerank tail); the composed pipeline is
-    # oracle-verified end-to-end every session in tests + driver_sim --all
-    "ann_topk_ivf_pq",
-    # correlated-scalar-threshold family keeps driver slots via q2
-    # (correlated min), q11 (scalar threshold), q20 (per-group threshold
-    # join); slot goes to events_ewma_anomaly so the bit-stable decay
-    # fold gets a driver row; stays oracle-verified in tests +
-    # driver_sim --all
-    "q17_small_quantity",
-    # one-pass stats + broadcast 1-row scalar attach (q11's driver-
-    # covered pattern) + filtered global top-k window (q2/window_top);
-    # the BM25 formula itself is oracle-verified every session in tests
-    # + driver_sim --all
-    "text_bm25",
-    # same Lloyd-chain + per-cell machinery as dedup_semantic (driver
-    # slot) with a window-rank decision (driver-covered by
-    # window_top_orders_per_customer); the novel keep/drop rule is
-    # oracle-verified every session in tests + driver_sim --all
-    "corpus_prune_prototypes",
-    # broadcast-dim multi-join + CASE/decimal agg family keeps THREE
-    # driver slots (q5, q8, q9 — q8 is the harder 7-table variant of this
-    # shape); slot goes to events_cm_topk so the count-min merge proof
-    # gets a driver row; stays oracle-verified in tests + driver_sim --all
-    "q7_volume_shipping",
-    # group-HAVING + join + deterministic top-k family keeps driver
-    # slots via q3 (join + top-k) and window_top_orders_per_customer
-    # (rank + filter); slot goes to text_gopher_filter so the published
-    # rule battery gets a driver row; stays oracle-verified in tests +
-    # driver_sim --all
-    "q18_large_volume",
-    # the flat int8-scan two-stage machinery is a strict subset of
-    # ann_topk_ivf_sq8 (driver slot: same codes, same integer stage-1,
-    # same rerank tail, PLUS the cell pruning); its slot goes to
-    # ann_topk_pq, which adds the genuinely new codebook/ADC form.
-    # Stays oracle-verified in tests + driver_sim --all
-    "ann_topk_sq8",
-    # driver row matched 0 rows vs 0 rows at sf0.01 every round (the
-    # synthetic embeddings have no cosine>=0.9 pairs) — zero content
-    # signal, same rule as the q22/anti_join exclusions; slot goes to
-    # dedup_semantic, which runs the same embedding-cosine machinery at
-    # an operating point with real drops AND real kept rows.  The banded
-    # LSH candidate path stays pinned by synthetic-cluster tests and the
-    # exact all-pairs oracle in tests + driver_sim --all
-    "embedding_neardup_pairs",
+    #
+    # --- driver-green in r3 (hash-matched rows in CORRECTNESS_r03.json),
+    #     rotated out in r4 so the never-verified entries get slots ---
+    "events_cm_topk",        # r3 green (merge-losslessness proven)
+    "events_ewma_anomaly",   # r3 green; decay fold also pinned vs stream twin
+    "text_gopher_filter",    # r3 green
+    "ann_topk_pq",           # r3 green; codebook/ADC stage lives on in ivf_pq
+    "ann_topk_lsh",          # r3 green; hyperplane family via bruteforce anchor
+    "dedup_semantic",        # r3 green; Lloyd-cell machinery via corpus_prune_prototypes
+    "dedup_substring",       # r3 green
+    "text_repetition",       # r3 green
+    "text_winnow",           # r3 green
+    "ann_topk_ivf_sq8",      # r3 green; int8+cell-probe machinery via ann_topk_sq8 + ann_topk_ivf_pq
+    "corpus_pack_sequences", # r3 green; packing arithmetic re-verified every round inside corpus_export_verify
+    "events_resample_locf",  # r3 green; resampled-grid machinery via events_cusum_changepoint
+    "dedup_cluster",         # r3 green
+    "text_contamination",    # r3 green
+    "corpus_mix_sources",    # r3 green; md5-coin stratum machinery via corpus_dsir_resample
+    "text_pii_redact",       # r3 green
+    "multimodal_features",   # r3 green; Arrow mapInPandas path keeps a slot via multimodal_meta
+    "multimodal_frames",     # r3 green (1->N frame explode)
+    #
+    # --- driver-green r1/r2, out since r3 ---
+    "dedup_exact",           # r1+r2 green; md5-groupBy is corpus_curation's first stage (now a slot)
+    "corpus_sample_budget",  # r2+r3 green; rate machinery via corpus_mix_sources/corpus_dsir_resample
+    "ann_topk_ivf",          # r2 green; strict subset of ann_topk_ivf_sq8 (r3 green)
 }
 
-# Entries the driver has not yet verified (new this round, or previously
-# past the 50-entry cap) — listed first in driver order so they are inside
-# any count or time budget this round.
+
+# Never-driver-verified entries FIRST (the 18 the round-3 verdict flagged
+# plus this round's new registrations), so they are inside any driver
+# count or time budget; long-green anchors follow.
 _DRIVER_FIRST = [
-    "corpus_export_verify",
-    "events_cm_topk",
-    "events_ewma_anomaly",
-    "text_gopher_filter",
-    "ann_topk_pq",
-    "dedup_semantic",
-    "dedup_substring",
-    "text_repetition",
-    "text_winnow",
-    "ann_topk_ivf_sq8",
-    "corpus_pack_sequences",
-    "events_resample_locf",
-    "dedup_cluster",
-    "text_contamination",
-    "corpus_mix_sources",
-    "text_pii_redact",
+    # round-4 rotations: 18 exact-oracled entries with no driver row yet
+    "text_lm_score",
+    "text_quality_model",
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_cusum_changepoint",
+    "corpus_dsir_resample",
+    "ann_topk_ivf_pq",
+    "text_bm25",
+    "text_phrase_mining",
+    "corpus_prune_prototypes",
+    "corpus_chunk_overlap",
+    "corpus_dedup_chunks",
+    "text_vocabulary",
+    "events_anomaly_zscore",
+    "dedup_incremental",
     "ann_topk_sq8",
+    "corpus_curation",
+    "multimodal_meta",
+    # write-path anchors (stay every round)
     "ocsf_etl_verify",
-    "multimodal_features",
-    "multimodal_frames",
-    "ocsf_normalize_100k",
-    "ann_topk_ivf",
-    "q11_important_stock",
-    "corpus_sample_budget",
+    "corpus_export_verify",
 ]
 
 
