@@ -295,15 +295,42 @@ IVF_ITERS = 2
 IVF_NPROBE = 3
 
 
-def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
-    """argmin over the centroid list via array_min on (dist, cell) structs
-    (struct comparison is lexicographic, so ties break to the lower cell).
+def _argmin_struct(u: Column, cents: list[list[float]]) -> Column:
+    """min (dist, cell) struct over the literal centroid list (struct
+    comparison is lexicographic, so ties break to the lower cell).
     Centroids are plan literals: K x DIM doubles — model state, not data."""
     entries = []
     for k, c in enumerate(cents):
         cv = F.lit(c)
         entries.append(F.struct((-_dot(u, cv)).alias("d"), F.lit(k).alias("c")))
-    return F.array_min(F.array(*entries))["c"]
+    return F.array_min(F.array(*entries))
+
+
+def _nearest_cell(u: Column, cents: list[list[float]]) -> Column:
+    """argmin cell id over the literal centroid list (small-K form)."""
+    return _argmin_struct(u, cents)["c"]
+
+
+# Above this many cells the literal-argmin expression (K dot products
+# compiled into the plan) is replaced by the broadcast centroid-table
+# join: BASELINE.md's probe puts the crossover at a few hundred cells,
+# where codegen size and per-row cost of the literal form start growing
+# linearly in K while the join form stays flat.
+ASSIGN_JOIN_MIN_CELLS = 256
+
+
+def assign_cells(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Cell assignment dispatcher — the DEFAULT entry every consumer
+    (IVF build/refresh, SemDeDup, prototype pruning) goes through:
+    literal argmin below ASSIGN_JOIN_MIN_CELLS, broadcast centroid-table
+    join + min above.  Both forms return (vec_id, cell, cos) with
+    identical values and tie behavior (equality is test-pinned)."""
+    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+        m = _argmin_struct(F.col("u"), cents)
+        return emb.select(
+            "vec_id", m["c"].alias("cell"), (-m["d"]).alias("cos")
+        )
+    return assign_cells_join(emb, cents)
 
 
 def assign_cells_join(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -325,7 +352,11 @@ def assign_cells_join(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return (
         scored.groupBy("vec_id")
         .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.c").alias("cell"))
+        .select(
+            "vec_id",
+            F.col("m.c").alias("cell"),
+            (-F.col("m.d")).alias("cos"),
+        )
     )
 
 
@@ -346,11 +377,18 @@ def _ivf_train(
     identical across engines; see _ivf_oracle_sql.  ``nearest`` picks the
     assignment metric (default: max inner product, `_nearest_cell`; PQ
     passes the L2 form)."""
+    use_join = nearest is None and k >= ASSIGN_JOIN_MIN_CELLS
     nearest = nearest or _nearest_cell
     seed = emb.orderBy("vec_id").limit(k).select("u").collect()
     cents = [list(r["u"]) for r in seed]
     for _ in range(IVF_ITERS):
-        assigned = emb.select(nearest(F.col("u"), cents).alias("cell"), "u")
+        if use_join:
+            assigned = emb.select("vec_id", "u").join(
+                assign_cells_join(emb, cents).select("vec_id", "cell"),
+                "vec_id",
+            )
+        else:
+            assigned = emb.select(nearest(F.col("u"), cents).alias("cell"), "u")
         means = (
             assigned.select("cell", F.posexplode("u").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -569,24 +607,44 @@ def _write_assignment(
     PARTITIONED BY cell.  Storing the SQ8 code next to the full-precision
     vector costs 1 byte/dim and lets a probe's first pass read ONLY the
     code column (parquet column pruning) — the IVF-SQ8 serving layout."""
-    (
-        emb_u.select(
+    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+        assigned = emb_u.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("u").alias("cu"),
             _sq8_code(F.col("u")).alias("cc"),
             _nearest_cell(F.col("u"), cents).alias("cell"),
         )
-        .write.partitionBy("cell")
-        .mode(mode)
-        .parquet(index_path)
-    )
+    else:
+        assigned = (
+            emb_u.join(
+                assign_cells_join(emb_u, cents).select("vec_id", "cell"),
+                "vec_id",
+            )
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("u").alias("cu"),
+                _sq8_code(F.col("u")).alias("cc"),
+                "cell",
+            )
+        )
+    assigned.write.partitionBy("cell").mode(mode).parquet(index_path)
 
 
 def _assignment_mean_sim(emb_u: DataFrame, cents: list[list[float]]) -> float:
     """Mean cosine of each vector to its assigned (nearest) centroid —
-    the quantizer-quality scalar the drift check compares."""
-    best = F.array_max(F.array(*[_dot(F.col("u"), F.lit(c)) for c in cents]))
-    return float(emb_u.agg(F.avg(best).alias("m")).collect()[0]["m"])
+    the quantizer-quality scalar the drift check compares.  Dispatches
+    like ``assign_cells``; the join form's max dot is the same double
+    (-min(-dot)), so the scalar is form-independent."""
+    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+        best = F.array_max(
+            F.array(*[_dot(F.col("u"), F.lit(c)) for c in cents])
+        )
+        return float(emb_u.agg(F.avg(best).alias("m")).collect()[0]["m"])
+    return float(
+        assign_cells_join(emb_u, cents)
+        .agg(F.avg("cos").alias("m"))
+        .collect()[0]["m"]
+    )
 
 
 _IVF_META = "_ivf_meta.json"
@@ -1252,9 +1310,16 @@ def semdedup_from(
     an existing quantizer (e.g. the IVF index's)."""
     if cents is None:
         cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark, k=k)
-    assigned = emb.select(
-        "vec_id", "u", _nearest_cell(F.col("u"), cents).alias("cell")
-    )
+    # K ∝ N means a production corpus runs thousands of cells: the
+    # dispatcher keeps assignment codegen flat past ASSIGN_JOIN_MIN_CELLS
+    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+        assigned = emb.select(
+            "vec_id", "u", _nearest_cell(F.col("u"), cents).alias("cell")
+        )
+    else:
+        assigned = emb.select("vec_id", "u").join(
+            assign_cells_join(emb, cents).select("vec_id", "cell"), "vec_id"
+        )
     prior = assigned.select(
         F.col("vec_id").alias("prior_id"), F.col("u").alias("pu"), "cell"
     )
@@ -1332,15 +1397,10 @@ def corpus_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     )
     cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark)
-    entries = [
-        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
-        for k, c in enumerate(cents)
-    ]
-    m = F.array_min(F.array(*entries))
-    assigned = emb.select(
+    assigned = assign_cells(emb, cents).select(
         "vec_id",
-        m["c"].alias("cell"),
-        F.round(-m["d"], 4).alias("cos_to_centroid"),
+        "cell",
+        F.round(F.col("cos"), 4).alias("cos_to_centroid"),
     )
     w = Window.partitionBy("cell").orderBy(
         F.desc("cos_to_centroid"), F.asc("vec_id")

@@ -984,17 +984,35 @@ GROUP BY 1
 #      centroids), broadcast back and added to the local sums.
 # Wall-clock is two narrow passes; no stage sees more than a partition.
 PACK_SEQ_LEN = 2048
-PACK_PARTITIONS = 8  # local-test value; a real corpus uses the lake's
+PACK_PARTITIONS = 8  # partition-count FLOOR (keeps local[32] tests parallel)
+# ~250k (doc_id, n_tokens) rows per range partition: the per-partition
+# local window sorts this many 16-byte rows in memory (a few MB), and at
+# 100 TB / ~1e11 docs the derived count (~400k partitions) keeps every
+# task bounded rather than inheriting a fixed local-test value
+PACK_DOCS_PER_PARTITION = 250_000
 
 
-def pack_assignments(docs: DataFrame, *, base: int = 0) -> DataFrame:
+def pack_assignments(
+    docs: DataFrame, *, base: int = 0, num_partitions: int | None = None
+) -> DataFrame:
     """The parametric packing core over any (doc_id, n_tokens) frame:
     sequence assignments for concat-and-chunk packing starting ``base``
     tokens into the stream (``base`` > 0 is the streaming twin's running
-    total carried across micro-batches)."""
+    total carried across micro-batches).
+
+    ``num_partitions`` defaults to input-size-derived
+    (max(PACK_PARTITIONS, ceil(n_docs / PACK_DOCS_PER_PARTITION)) — the
+    count() is column-pruned to a cheap row count); assignments are
+    partition-count-INDEPENDENT (range partitioning on doc_id + the
+    exclusive-offset pass make the global cumulative sum exact under any
+    split), which the property test pins at two counts."""
     from pyspark.sql import Window
 
-    parts = docs.repartitionByRange(PACK_PARTITIONS, "doc_id").withColumn(
+    if num_partitions is None:
+        num_partitions = max(
+            PACK_PARTITIONS, -(-docs.count() // PACK_DOCS_PER_PARTITION)
+        )
+    parts = docs.repartitionByRange(num_partitions, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
     w = Window.partitionBy("pid").orderBy("doc_id")

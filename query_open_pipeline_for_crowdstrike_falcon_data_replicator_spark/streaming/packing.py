@@ -63,9 +63,13 @@ def pack_batch(
     batch_id: int,
     *,
     txn_app: str,
+    num_partitions: int | None = None,
 ) -> None:
     """The foreachBatch body; factored out so tests can drive it (and
-    replay it) directly."""
+    replay it) directly.  ``num_partitions`` overrides the input-derived
+    prefix-sum partition count — assignments are partition-count-
+    independent, so a restart under a different count (cluster resize)
+    continues the stream byte-identically (test-pinned)."""
     packed_path = posixpath.join(out_path, PACKED_TABLE)
     state_path = posixpath.join(out_path, STATE_TABLE)
 
@@ -73,7 +77,9 @@ def pack_batch(
     docs = batch_df.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    assigned = pack_assignments(docs, base=base).persist()
+    assigned = pack_assignments(
+        docs, base=base, num_partitions=num_partitions
+    ).persist()
     try:
         batch_total = assigned.agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("t")
@@ -111,6 +117,7 @@ def run_packing_stream(
     *,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
+    num_partitions: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) into an exactly-once
     packed-sequence table with a continuous token stream across batches."""
@@ -122,7 +129,14 @@ def run_packing_stream(
     app = "pack-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        pack_batch(spark, batch_df, out_path, batch_id, txn_app=app)
+        pack_batch(
+            spark,
+            batch_df,
+            out_path,
+            batch_id,
+            txn_app=app,
+            num_partitions=num_partitions,
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

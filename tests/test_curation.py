@@ -179,3 +179,80 @@ def test_packing_stream_continuous_and_exactly_once(spark, tmp_path):
         for r in read_snapshot(spark, f"{out}/packed").collect()
     }
     assert after_once == after_twice and len(after_twice) == 12
+
+
+def test_pack_assignments_partition_count_independent(spark):
+    """The two-pass prefix sum must yield IDENTICAL assignments under any
+    partition count (range partitioning on doc_id + exclusive offsets
+    make the global cumulative sum exact under any split) — the property
+    that lets a deployment derive the count from input size."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        pack_assignments,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(90)) + 10).alias("n_tokens"),
+    )
+    runs = {}
+    for np_ in (1, 3, 8, 17):
+        runs[np_] = {
+            r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+            for r in pack_assignments(docs, num_partitions=np_).collect()
+        }
+    assert runs[1] == runs[3] == runs[8] == runs[17]
+    # the default (input-derived) count agrees too
+    assert runs[1] == {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in pack_assignments(docs).collect()
+    }
+
+
+def test_packing_stream_restart_with_partition_resize(spark, tmp_path):
+    """A packing stream restarted under a DIFFERENT prefix-sum partition
+    count (cluster resize between runs) must continue the token stream
+    byte-identically: offsets depend only on the running total carried in
+    the state snapshot, never on the executor layout."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        pack_assignments,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.packing import (
+        run_packing_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [(i, _text(f"a{i}_", 30 + i)) for i in range(6)]
+    batch2 = [(i, _text(f"b{i}_", 25 + i)) for i in range(6, 12)]
+    _write_batch(src, "f0.json", batch1)
+
+    q1 = run_packing_stream(spark, src, out, ckpt, num_partitions=2)
+    q1.awaitTermination(120)
+    q1.stop()
+
+    import time as _time
+
+    _time.sleep(0.05)
+    _write_batch(src, "f1.json", batch2)
+    q2 = run_packing_stream(spark, src, out, ckpt, num_partitions=7)
+    q2.awaitTermination(120)
+    q2.stop()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in read_snapshot(spark, f"{out}/packed").collect()
+    }
+    union = spark.createDataFrame(batch1 + batch2, ["doc_id", "text"]).select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    golden = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in pack_assignments(union).collect()
+    }
+    assert got == golden and len(got) == 12

@@ -972,3 +972,46 @@ def test_assign_cells_join_equals_literal_argmin(spark, sf_dir):
     }
     joined = {r.vec_id: r.cell for r in assign_cells_join(emb, cents).collect()}
     assert joined == lit and len(joined) > 0
+
+
+def test_assign_cells_dispatch_large_k(spark, sf_dir):
+    """At K >= ASSIGN_JOIN_MIN_CELLS the dispatcher must switch to the
+    broadcast centroid-table join: the physical plan carries NO K-term
+    literal argmin (codegen stays flat in K), and the assignment equals
+    the literal form on every vector, ties included."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ASSIGN_JOIN_MIN_CELLS,
+        _embedded,
+        _nearest_cell,
+        assign_cells,
+    )
+
+    emb = _embedded(spark, sf_dir).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    # K=256 centroids: the first 256 unit vectors (assignment equality
+    # needs centroids, not trained ones)
+    cents = [
+        list(r["u"])
+        for r in emb.orderBy("vec_id").limit(ASSIGN_JOIN_MIN_CELLS).collect()
+    ]
+    assert len(cents) == ASSIGN_JOIN_MIN_CELLS == 256
+
+    dispatched = assign_cells(emb, cents)
+    plan = dispatched._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan  # the literal K-term argmin is absent
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+    lit = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", _nearest_cell(F.col("u"), cents).alias("cell")
+        ).collect()
+    }
+    got = {r.vec_id: r.cell for r in dispatched.collect()}
+    assert got == lit and len(got) > 0
+
+    # below the switch point the dispatcher keeps the literal plan
+    small = assign_cells(emb, cents[:16])
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" in small_plan
