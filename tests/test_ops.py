@@ -4,6 +4,7 @@ check, ANN recall floor, multimodal Arrow plumbing."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -460,12 +461,77 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     assert abs(row.approx - row.exact) / row.exact < 0.05, row
 
 
-def test_decode_stub_raises(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(None)
+def test_decode_non_image_raises(spark, sf_dir):
+    """Non-PNG payloads without Pillow keep the declared
+    NotImplementedError — the honest decode boundary."""
+    import query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal as mm
+
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            decode_image_batch([b"not an image at all"])
     docs = load_table(spark, sf_dir, "documents").limit(5)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as task failure
+    with pytest.raises(Exception):  # surfaces as task failure (text != image)
         extract_features(with_binary_payload(docs), deterministic_fake=False).collect()
+
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_real_png_decode_through_features(spark):
+    """REAL decode: the checked-in PNG fixtures (every scanline filter
+    type) flow through the SAME Arrow mapInPandas plan as the fake
+    decoder, and the extracted moments equal the known pixel values."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    payloads = {
+        1: open(os.path.join(_FIXDIR, "gradient_rgb.png"), "rb").read(),
+        2: open(os.path.join(_FIXDIR, "checker_gray.png"), "rb").read(),
+    }
+    bin_df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+
+    real = extract_features(bin_df, deterministic_fake=False)
+    fake = extract_features(bin_df, deterministic_fake=True)
+    real_plan = real._jdf.queryExecution().executedPlan().toString()
+    fake_plan = fake._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in real_plan  # Arrow path, not a per-row UDF
+    assert "BatchEvalPython" not in real_plan
+    # plan unchanged between real and fake decoder (same operator tree,
+    # modulo expression ids)
+    import re as _re
+
+    strip = lambda s: _re.sub(r"#\d+", "#", s)
+    assert strip(real_plan.split("\n")[0]) == strip(fake_plan.split("\n")[0])
+
+    out = {r.doc_id: r for r in real.collect()}
+    px = {
+        doc_id: decode_image_batch([raw])[0][2].reshape(-1).astype(np.float32)
+        for doc_id, raw in payloads.items()
+    }
+    for doc_id, raw in payloads.items():
+        r = out[doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.head_hex == raw[:4].hex()
+        assert r.byte_mean == pytest.approx(
+            float(px[doc_id].mean(dtype=np.float64)), abs=1e-9
+        )
+        assert r.features[3] == float(px[doc_id].max())
+    # checker fixture: exact analytic mean (32 of 63 pixels are 255)
+    assert out[2].byte_mean == pytest.approx(255 * 31 / 63, abs=1e-6)
+
+    # real resize: 2-D nearest-neighbor over the decoded pixel grid
+    resized = {
+        r.doc_id: r
+        for r in resize_images(bin_df, 4, 4, deterministic_fake=False).collect()
+    }
+    assert resized[2].resized_bytes == 16
+    assert resized[1].resized_bytes == 48  # 4x4 RGB
 
 
 # --------------------------------------------------------------------- #
