@@ -1096,25 +1096,72 @@ QUALITY_MODEL_BUCKETS = 64
 _QM_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth 6.4
 
 
-def _qm_weight(bucket: Column) -> Column:
+def _qm_weight_value(bucket: int) -> float:
     """Deterministic pseudo-weight in [-1, 1): ((b*K) % 1024)/512 - 1.
     Integer arithmetic then division by a power of two — every weight is
-    a dyadic rational, so sums are exact doubles in any engine."""
-    return ((bucket * _QM_KNUTH) % 1024) / F.lit(512.0) - 1.0
+    a dyadic rational, so sums are exact doubles in any engine.  These
+    stand in for TRAINED weights; the artifact/loading path below is the
+    production shape and accepts any weight table."""
+    return ((bucket * _QM_KNUTH) % 1024) / 512.0 - 1.0
+
+
+def build_quality_model(spark: SparkSession, model_path: str) -> None:
+    """Write the hashed-linear model ARTIFACT: a (bucket, weight) parquet
+    table, the on-disk form a trained fastText-style classifier exports.
+    Idempotent overwrite; weights are the deterministic stand-ins so the
+    oracle can replay scoring without reading the artifact."""
+    rows = [
+        (b, _qm_weight_value(b)) for b in range(QUALITY_MODEL_BUCKETS)
+    ]
+    spark.createDataFrame(rows, "bucket int, weight double").repartition(
+        1
+    ).write.mode("overwrite").parquet(model_path)
+
+
+def _quality_model_path(sf_dir: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "qopcfdr_qm_model_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def load_quality_weights(spark: SparkSession, model_path: str) -> list[float]:
+    """Load the weight table from the parquet artifact into K-dense model
+    state (bucket-indexed list).  64 doubles — like IVF centroids, model
+    state rides the PLAN as a literal, keeping inference a one-projection
+    scan; a huge hashed vocab would switch to the broadcast-join form the
+    LM scorer below demonstrates."""
+    rows = spark.read.parquet(model_path).collect()
+    weights = [0.0] * QUALITY_MODEL_BUCKETS
+    for r in rows:
+        weights[r["bucket"]] = float(r["weight"])
+    return weights
 
 
 def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality score from the hashed linear model: mean
-    bucket weight as the logit, thresholded at 0.  One parquet-scan
-    projection — model inference never leaves whole-stage codegen."""
+    bucket weight as the logit, thresholded at 0.  The weights are READ
+    FROM the parquet model artifact (built on first use), then inlined
+    as plan-literal model state — inference stays one parquet-scan
+    projection inside whole-stage codegen."""
+    model_path = _quality_model_path(sf_dir)
+    if not os.path.exists(os.path.join(model_path, "_SUCCESS")):
+        build_quality_model(spark, model_path)
+    weights = load_quality_weights(spark, model_path)
+
     docs = load_table(spark, sf_dir, "documents")
     t = _tokens()
+    warr = F.lit(weights)
     bucket = lambda tok: (  # noqa: E731 - tiny local expression builder
         F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
         % QUALITY_MODEL_BUCKETS
     )
     score = F.aggregate(
-        F.transform(t, lambda tok: _qm_weight(bucket(tok))),
+        F.transform(
+            t, lambda tok: F.element_at(warr, bucket(tok).cast("int") + 1)
+        ),
         F.lit(0.0),
         lambda acc, w: acc + w,
     )
@@ -1154,34 +1201,108 @@ FROM documents
 
 
 # --------------------------------------------------------------------- #
-# unigram LM perplexity scoring (CCNet-style quality filter)
+# bigram LM perplexity scoring with stupid backoff (CCNet-style filter)
 # --------------------------------------------------------------------- #
-def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean negative log-likelihood under an add-one-
-    smoothed unigram LM trained on the corpus itself — the shape of
-    CCNet's KenLM perplexity filter (score docs against a reference LM,
-    drop the high-perplexity tail), with the unigram model standing in
-    for the 5-gram (the pipeline — count, attach scalars, score by a
-    token-keyed join — is what must scale, and is identical).
+# The shape of CCNet's KenLM perplexity filter: score docs against a
+# reference n-gram LM stored as MODEL TABLES, drop the high-perplexity
+# tail.  The model here is a bigram with stupid backoff (Brants et al.
+# 2007) standing in for KenLM's 5-gram — same artifact layout (one count
+# table per order + a scalar row), same scoring joins; a 5-gram adds
+# three more count tables to the identical pipeline.
+LM_BACKOFF = 0.4  # Brants et al.'s alpha; dyadic-close enough: exact 0.4
+#   double both engines parse identically
 
-    Scale shape: one explode -> token-count groupBy (map-side combine);
-    the two model scalars (total tokens, vocab size) ride a broadcast
-    1-row cross join; scoring joins the postings to the count table on
-    the token key (zipfian skew handled by AQE; a trained-weights
-    broadcast replaces the join when the LM is external) and one per-doc
-    average.  flagged = above-median NLL would need a quantile; the
-    fixed threshold keeps the query scalar-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    scal = counts.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+
+def train_lm_model(spark: SparkSession, docs: DataFrame, model_path: str) -> None:
+    """Train (count) the bigram LM and persist it as parquet MODEL
+    TABLES: ``unigrams/`` (tok, c1), ``bigrams/`` (prev, tok, c2),
+    ``scalars/`` (total, vocab) — the on-disk artifact a deployment
+    trains once on a reference corpus and scores everything against.
+    Counting is two map-side-combine groupBys over one posexplode."""
+    t = _tokens()
+    pairs = F.transform(
+        t,
+        lambda x, i: F.struct(
+            F.when(i > 0, F.element_at(t, i)).alias("prev"), x.alias("tok")
+        ),
     )
-    nll = -F.log(
-        (F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab"))
+    toks = docs.select(
+        "doc_id", F.posexplode(pairs).alias("pos", "pt")
+    ).select("doc_id", "pos", "pt.prev", "pt.tok")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    uni.write.mode("overwrite").parquet(posixjoin(model_path, "unigrams"))
+    (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .write.mode("overwrite")
+        .parquet(posixjoin(model_path, "bigrams"))
+    )
+    (
+        spark.read.parquet(posixjoin(model_path, "unigrams"))
+        .agg(F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vocab"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(posixjoin(model_path, "scalars"))
+    )
+
+
+def posixjoin(*parts: str) -> str:
+    import posixpath
+
+    return posixpath.join(*parts)
+
+
+def _lm_model_path(sf_dir: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "qopcfdr_lm_model_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame:
+    """Score (doc_id, text) against the persisted bigram model tables.
+
+    Per token position: the first token backs off to the add-one unigram;
+    a seen bigram scores c2/c1(prev) (the MLE continuation); an unseen
+    bigram scores LM_BACKOFF * add-one unigram — stupid backoff.
+
+    Scale shape: one posexplode; a LEFT join to the bigram table on the
+    (prev, tok) pair key and to the unigram table on each side's token
+    key (zipfian skew handled by AQE; the tables are broadcast when the
+    model is small); the two model scalars ride a broadcast 1-row cross
+    join; one per-doc average."""
+    uni = spark.read.parquet(posixjoin(model_path, "unigrams"))
+    big = spark.read.parquet(posixjoin(model_path, "bigrams"))
+    scal = spark.read.parquet(posixjoin(model_path, "scalars"))
+
+    t = _tokens()
+    pairs = F.transform(
+        t,
+        lambda x, i: F.struct(
+            F.when(i > 0, F.element_at(t, i)).alias("prev"), x.alias("tok")
+        ),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(pairs).alias("pos", "pt")
+    ).select("doc_id", "pos", "pt.prev", "pt.tok")
+
+    up = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("prev_c1"))
+    addone = -F.log((F.col("c1") + 1.0) / (F.col("total") + F.col("vocab")))
+    nll = (
+        F.when(F.col("prev").isNull(), addone)
+        .when(
+            F.col("c2").isNotNull(),
+            -F.log(F.col("c2") / F.col("prev_c1")),
+        )
+        .otherwise(-F.log(F.lit(LM_BACKOFF)) + addone)
     )
     return (
-        toks.join(counts, "tok")
+        toks.join(uni, "tok")  # every corpus token is in the model vocab
+        .join(up, "prev", "left")
+        .join(big, ["prev", "tok"], "left")
         .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
         .agg(
@@ -1191,15 +1312,48 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_LM_SCORE_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the bigram-with-backoff LM, scored
+    against the parquet model artifact (trained on first use from the
+    corpus itself — self-scoring, the CCNet bootstrap arrangement)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = _lm_model_path(sf_dir)
+    if not os.path.exists(os.path.join(model_path, "scalars", "_SUCCESS")):
+        train_lm_model(spark, docs, model_path)
+    return score_lm(docs, spark, model_path)
+
+
+TEXT_LM_SCORE_SQL = f"""
+WITH pos_toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
 ),
-counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-scal AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM counts)
-SELECT doc_id, count(*) AS n_tokens,
-       round(avg(-ln((cnt + 1.0) / (total + vocab))), 6) AS mean_nll
-FROM toks JOIN counts USING (tok) CROSS JOIN scal
+toks AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+  FROM pos_toks
+),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+big AS (SELECT prev, tok, count(*) AS c2 FROM toks
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
+scored AS (
+  SELECT tk.doc_id,
+         CASE
+           WHEN tk.prev IS NULL
+             THEN -ln((u.c1 + 1.0) / (total + vocab))
+           WHEN b.c2 IS NOT NULL
+             THEN -ln(b.c2 * 1.0 / up.c1)
+           ELSE -ln({LM_BACKOFF}) + -ln((u.c1 + 1.0) / (total + vocab))
+         END AS nll
+  FROM toks tk
+  JOIN uni u ON tk.tok = u.tok
+  LEFT JOIN uni up ON tk.prev = up.tok
+  LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
+  CROSS JOIN scal
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
+FROM scored
 GROUP BY 1
 """
 

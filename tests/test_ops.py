@@ -833,6 +833,71 @@ def test_dedup_semantic_drops_planted_duplicates(spark, tmp_path):
     assert sum(r.is_kept for r in out.values()) >= 1
 
 
+def test_lm_model_artifact_and_backoff(spark, tmp_path):
+    """The bigram LM trains into parquet model tables and scores with
+    stupid backoff: first token = add-one unigram; seen bigram =
+    -ln(c2/c1(prev)); unseen bigram = -ln(0.4) + add-one unigram."""
+    import math
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        LM_BACKOFF,
+        posixjoin,
+        score_lm,
+        train_lm_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a c d")], ["doc_id", "text"]
+    )
+    model = str(tmp_path / "lm")
+    train_lm_model(spark, docs, model)
+
+    uni = {r.tok: r.c1 for r in spark.read.parquet(posixjoin(model, "unigrams")).collect()}
+    big = {(r.prev, r.tok): r.c2 for r in spark.read.parquet(posixjoin(model, "bigrams")).collect()}
+    scal = spark.read.parquet(posixjoin(model, "scalars")).collect()[0]
+    assert uni == {"a": 3, "b": 3, "c": 1, "d": 1}
+    assert big[("a", "b")] == 2 and big[("b", "a")] == 2 and big[("c", "d")] == 1
+    assert scal.total == 8 and scal.vocab == 4
+
+    got = {r.doc_id: r for r in score_lm(docs, spark, model).collect()}
+
+    def addone(tok):
+        return -math.log((uni[tok] + 1.0) / (scal.total + scal.vocab))
+
+    def bigram(prev, tok):
+        c2 = big.get((prev, tok))
+        if c2 is None:
+            return -math.log(LM_BACKOFF) + addone(tok)
+        return -math.log(c2 / uni[prev])
+
+    want1 = (addone("a") + bigram("a", "b") + bigram("b", "a") + bigram("a", "b")) / 4
+    want2 = (addone("b") + bigram("b", "a") + bigram("a", "c") + bigram("c", "d")) / 4
+    assert got[1].mean_nll == pytest.approx(want1, abs=1e-6)
+    assert got[2].mean_nll == pytest.approx(want2, abs=1e-6)
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    # doc 2 contains an UNSEEN bigram (a->c backs off) so it must be
+    # more surprising than doc 1's all-seen bigrams
+    assert got[2].mean_nll > got[1].mean_nll
+
+
+def test_quality_model_artifact_roundtrip(spark, tmp_path):
+    """The weight table round-trips through the parquet artifact and the
+    loader densifies it bucket-indexed."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        QUALITY_MODEL_BUCKETS,
+        _qm_weight_value,
+        build_quality_model,
+        load_quality_weights,
+    )
+
+    path = str(tmp_path / "qm")
+    build_quality_model(spark, path)
+    w = load_quality_weights(spark, path)
+    assert len(w) == QUALITY_MODEL_BUCKETS
+    assert all(w[b] == _qm_weight_value(b) for b in range(QUALITY_MODEL_BUCKETS))
+    assert min(w) >= -1.0 and max(w) < 1.0 and len(set(w)) > 8
+
+
 def test_gopher_filter_planted_rule_violations(spark, tmp_path):
     """Each Gopher rule trips on a document crafted to violate exactly
     it (the synthetic corpus only exercises the word-count and stopword
