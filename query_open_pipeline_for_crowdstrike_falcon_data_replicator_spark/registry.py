@@ -37,7 +37,14 @@ def _cache_scoped(fn: QueryFn) -> QueryFn:
 # orchestration overhead (~10s regardless of rows at local scale) would
 # swamp the per-query timings; its correctness still runs every round and
 # the write path is exercised by tests/test_pipeline.py.
-BENCH_EXCLUDE = {"ocsf_etl_50k", "ocsf_etl_verify", "corpus_export_verify"}
+BENCH_EXCLUDE = {
+    "ocsf_etl_50k",
+    "ocsf_etl_verify",
+    "corpus_export_verify",
+    # runs a Structured Streaming query (3 micro-batches + snapshot
+    # commits) inside the builder — a correctness probe, not a timed op
+    "stream_pack_verify",
+}
 
 
 # The round driver's correctness harness records at most 50 queries()
@@ -167,6 +174,8 @@ _DRIVER_FIRST = [
     "ann_topk_sq8",
     "corpus_curation",
     "multimodal_meta",
+    # NEW this round: the stream-produced-snapshot read-back probe
+    "stream_pack_verify",
     # write-path anchors (stay every round)
     "ocsf_etl_verify",
     "corpus_export_verify",
@@ -185,6 +194,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from .plans.ocsf_queries import OCSF_QUERIES
     from .plans.relational import RELATIONAL_QUERIES
     from .plans.tpch_extra import TPCH_EXTRA_QUERIES
+    from .streaming.verify import STREAMING_QUERIES
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     merged.update(RELATIONAL_QUERIES)
@@ -196,6 +206,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(SIMILARITY_QUERIES)
     merged.update(MULTIMODAL_QUERIES)
     merged.update(OCSF_QUERIES)
+    merged.update(STREAMING_QUERIES)
     return {n: (_cache_scoped(fn), sql) for n, (fn, sql) in merged.items()}
 
 

@@ -1,0 +1,160 @@
+"""Driver-oracled STREAM-OUTPUT probe: a registered batch query whose
+input parquet was produced by the streaming packing pipeline.
+
+``stream_pack_verify`` splits the documents table into three doc_id-range
+NDJSON drops, streams them through ``run_packing_stream`` (availableNow,
+one file per micro-batch, exactly-once snapshot commits carrying the
+running token total across batches), then reads the PACKED SNAPSHOT
+TABLE back and aggregates per sequence.  Because the stream continues
+the token stream across micro-batches, the read-back must equal a batch
+concat-and-chunk pack over the whole corpus — which is exactly what the
+DuckDB oracle replays.  A hash-match therefore proves, through actual
+stream execution: micro-batch ordering, the cross-batch running-total
+state, the two-pass prefix sum under streaming, the snapshot commit
+protocol, and the parquet round-trip — the streaming twin of
+``corpus_export_verify``.
+
+Scale shape: the stream is fixture-scale by construction (a driver
+correctness probe, excluded from bench timing); the operators it drives
+(``pack_assignments``, snapshot commits) carry their own 100 TB design
+and tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import PACK_SEQ_LEN, _tokens
+from ..sinks.snapshot import current_version, read_snapshot
+from ..sources.tables import load_table
+from .packing import PACKED_TABLE, STATE_TABLE, _running_total, run_packing_stream
+
+
+def _base_dir(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "qopcfdr_streampack_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _write_ordered_batches(docs: DataFrame, src: str) -> None:
+    """Three contiguous doc_id ranges as NDJSON file drops with strictly
+    increasing mtimes, so the file stream (maxFilesPerTrigger=1) replays
+    them in corpus order."""
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = (max_id // 3, 2 * max_id // 3)
+    ranges = [
+        F.col("doc_id") <= cuts[0],
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1]),
+        F.col("doc_id") > cuts[1],
+    ]
+    t0 = 1_000_000_000  # fixed epoch base: mtime order, not wall clock
+    for i, cond in enumerate(ranges):
+        d = os.path.join(src, f"b{i}")
+        docs.filter(cond).select("doc_id", "text").repartition(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            if name.startswith("_"):
+                os.remove(p)  # _SUCCESS would ride the stream as a file
+            else:
+                os.utime(p, (t0 + i, t0 + i))
+
+
+def stream_pack_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the packing STREAM over the documents corpus (skipped when the
+    snapshot already holds this corpus — the running total in the state
+    table is the witness), then aggregate the stream-written packed
+    snapshot per sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    expected_total = int(
+        docs.agg(F.sum(F.size(_tokens())).alias("t")).collect()[0]["t"]
+    )
+
+    base = _base_dir(sf_dir)
+    out = os.path.join(base, "out")
+    state_path = os.path.join(out, STATE_TABLE)
+    have = (
+        _running_total(spark, state_path)
+        if current_version(spark, state_path) is not None
+        else -1
+    )
+    if have != expected_total:
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "src")
+        _write_ordered_batches(docs, src)
+        q = run_packing_stream(
+            spark,
+            os.path.join(src, "b*"),
+            out,
+            os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    packed = read_snapshot(spark, os.path.join(out, PACKED_TABLE))
+    return (
+        packed.groupBy(F.col("seq_id").cast("long").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum(F.col("spans_boundary").cast("long")).alias("n_boundary_docs"),
+            F.count_distinct("batch_id").alias("n_batches"),
+        )
+    )
+
+
+# The oracle replays the BATCH pack over the full corpus — equality holds
+# iff the stream really continued the token stream across micro-batches.
+# n_batches is replayed from the same doc_id-range cut rule the builder
+# uses (thirds of max(doc_id)).
+STREAM_PACK_VERIFY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (SELECT max(doc_id) AS max_id FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+),
+a AS (
+  SELECT c.doc_id, c.n_tokens,
+         (cum - n_tokens) // {PACK_SEQ_LEN} AS seq_id,
+         ((cum - 1) // {PACK_SEQ_LEN}) > ((cum - n_tokens) // {PACK_SEQ_LEN})
+           AS spans_boundary,
+         CASE WHEN c.doc_id <= m.max_id // 3 THEN 0
+              WHEN c.doc_id <= 2 * m.max_id // 3 THEN 1
+              ELSE 2 END AS batch_id
+  FROM c CROSS JOIN m
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs,
+       CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches
+FROM a
+GROUP BY 1
+"""
+
+
+STREAMING_QUERIES: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "stream_pack_verify": (stream_pack_verify, STREAM_PACK_VERIFY_SQL),
+}
