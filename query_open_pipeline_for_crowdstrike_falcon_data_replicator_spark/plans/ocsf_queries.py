@@ -187,6 +187,7 @@ def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lake back and report per-sink row/partition counts.  This is the
     Spark replacement for the reference's entire S3->...->Firehose->S3
     path measured as one number."""
+    import os
     import re
     import tempfile
 
@@ -205,7 +206,8 @@ def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
         .alias("value")
     )
-    base = tempfile.mkdtemp(prefix="qopcfdr_etl_")
+    # fixed path + overwrite, not mkdtemp-per-call (directory-leak rule)
+    base = os.path.join(tempfile.gettempdir(), f"qopcfdr_etl_{n}")
     process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
     out = None
     for key in TABLE_KEYS:
@@ -259,6 +261,32 @@ GROUP BY f.sink, f.event_day
 """
 
 
+def _build_verify_lake(spark: SparkSession) -> str:
+    """Run the full 20k-event pipeline (parse -> classify -> 13
+    normalizers -> partitioned gzip-parquet writes + quarantines) into
+    the FIXED verify-lake directory (overwrite — no per-call directory
+    leak) and mark it built for same-process reuse by the union-view
+    search below."""
+    import os
+    import tempfile
+
+    from ..pipeline import process_batch
+    from ..sources.fdr import parse_fdr_lines
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    base = os.path.join(tempfile.gettempdir(), f"qopcfdr_etl_verify_{N_VERIFY}")
+    fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
+    lines = spark.range(N_VERIFY).select(
+        F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
+        .alias("value")
+    )
+    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
+    with open(os.path.join(base, "_lake_built"), "w") as f:
+        f.write(str(N_VERIFY))
+    return base
+
+
 def ocsf_etl_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:
     """Driver-oracled SINK probe (VERDICT r2 action #1): 20k synthetic FDR
     events through the FULL pipeline — parse -> classify -> 13 normalizers
@@ -269,21 +297,9 @@ def ocsf_etl_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:
     the hash-match evidence that partition extraction (reference
     create_qopcfdr_firehoses.py:136-190's JQ step), the dynamic-partition
     write, and the parquet round-trip are all value-exact."""
-    import tempfile
-
     from ..ocsf.schemas import TABLE_KEYS
-    from ..pipeline import process_batch
-    from ..sources.fdr import parse_fdr_lines
-    from ..sources.tables import ensure_runtime_conf
 
-    ensure_runtime_conf(spark)
-    fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
-    lines = spark.range(N_VERIFY).select(
-        F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
-        .alias("value")
-    )
-    base = tempfile.mkdtemp(prefix="qopcfdr_etl_verify_")
-    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
+    base = _build_verify_lake(spark)
     out = None
     for key in TABLE_KEYS:
         df = spark.read.parquet(f"{base}/{key}")
@@ -302,9 +318,78 @@ def ocsf_etl_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:
     return out
 
 
+def _all_search_oracle_sql() -> str:
+    """DuckDB replay of ocsf_all_search: the same VALUES-join fixture
+    arithmetic as the etl-verify oracle but grouped by CLASS — which
+    merges the two http_activity sinks (routed vs ExternalApi split),
+    exactly what the union view exists to do."""
+    rows = _fixture_class_rows()
+    n_fix = len(_fixture_lines())
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    values = ",\n    ".join(
+        f"({i}, '{cls}', {uid}, {lit(d)}, {lit(ms)})"
+        for i, _sink, cls, uid, d, ms in rows
+    )
+    return f"""
+WITH f(idx, class_name, class_uid, event_day, time_ms) AS (VALUES
+    {values}
+),
+ids AS (SELECT CAST(unnest(range({N_VERIFY})) % {n_fix} AS INTEGER) AS idx)
+SELECT f.class_name,
+       CAST(f.class_uid AS BIGINT) AS class_uid,
+       f.event_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(f.time_ms) AS BIGINT) AS min_time_ms,
+       CAST(max(f.time_ms) AS BIGINT) AS max_time_ms
+FROM ids JOIN f USING (idx)
+GROUP BY 1, 2, 3
+"""
+
+
+def ocsf_all_search(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Cross-class search over the ``ocsf_all`` UNION VIEW — the Athena
+    entry-point shape the reference delegates querying to (README.md:48:
+    Glue crawler + Athena over the 13 sinks): register every written sink
+    as a view plus the ``unionByName(allowMissingColumns=True)`` union,
+    then one SQL aggregate across ALL classes at once.  Class grain
+    (not sink grain) makes the union view do real work: the
+    http_activity class lands in TWO sinks (routed + ExternalApi split),
+    which only the cross-class view reunifies.  Reuses the verify lake
+    when this process already built it."""
+    import os
+    import tempfile
+
+    from ..sinks.parquet import register_ocsf_tables
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    base = os.path.join(tempfile.gettempdir(), f"qopcfdr_etl_verify_{N_VERIFY}")
+    if not os.path.exists(os.path.join(base, "_lake_built")):
+        base = _build_verify_lake(spark)
+    register_ocsf_tables(spark, base)
+    return spark.sql(
+        """
+        SELECT class_name,
+               class_uid,
+               eventDay AS event_day,
+               count(*) AS n_events,
+               min(unix_millis(time)) AS min_time_ms,
+               max(unix_millis(time)) AS max_time_ms
+        FROM ocsf_all
+        GROUP BY class_name, class_uid, eventDay
+        """
+    )
+
+
 OCSF_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocsf_pipeline_envelopes": (ocsf_pipeline_envelopes, None),
     "ocsf_normalize_100k": (ocsf_normalize_100k, _normalize_oracle_sql()),
     "ocsf_etl_50k": (ocsf_etl_50k, None),
     "ocsf_etl_verify": (ocsf_etl_verify, _etl_verify_oracle_sql()),
+    "ocsf_all_search": (ocsf_all_search, _all_search_oracle_sql()),
 }

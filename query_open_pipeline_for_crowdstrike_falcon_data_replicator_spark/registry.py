@@ -44,6 +44,9 @@ BENCH_EXCLUDE = {
     # runs a Structured Streaming query (3 micro-batches + snapshot
     # commits) inside the builder — a correctness probe, not a timed op
     "stream_pack_verify",
+    # may rebuild the 13-sink verify lake inside the builder (a
+    # correctness probe over the union view, not a timed op)
+    "ocsf_all_search",
 }
 
 
@@ -174,8 +177,10 @@ _DRIVER_FIRST = [
     "ann_topk_sq8",
     "corpus_curation",
     "multimodal_meta",
-    # NEW this round: the stream-produced-snapshot read-back probe
+    # NEW this round: the stream-produced-snapshot read-back probe and
+    # the cross-class union-view search (the Athena-replacement shape)
     "stream_pack_verify",
+    "ocsf_all_search",
     # write-path anchors (stay every round)
     "ocsf_etl_verify",
     "corpus_export_verify",
