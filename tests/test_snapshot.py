@@ -158,3 +158,96 @@ def test_snapshot_manifest_race_lost_to_marker(spark, tmp_path):
     assert v == 3
     # planted v2 (overwrite, no files) is the append's base: only new rows
     assert _ids(read_snapshot(spark, path)) == [3, 4, 5]
+
+
+def test_snapshot_soak_stream_with_concurrent_reader(spark, tmp_path):
+    """SOAK: 12 identical micro-batches through run_stream(snapshot=True)
+    with inline compaction (every 3) and vacuum (every 4, age 0) while a
+    concurrent reader loop hammers read_snapshot on one table.  Invariants:
+    (a) every concurrent read sees a COMMITTED version — its count is an
+    exact multiple of the per-batch count, never a torn intermediate;
+    (b) observed counts are non-decreasing (append-only table);
+    (c) the final count is exactly 12x the per-batch count;
+    (d) file counts stay BOUNDED: the live snapshot is compacted and
+    vacuum keeps the on-disk data-file population near the live set
+    instead of 12 appends + 4 compaction generations."""
+    import glob
+    import json as _json
+    import os
+    import threading
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.sample import (
+        FIXTURES,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.pipeline import (
+        run_stream,
+    )
+
+    from .fdr_fixtures import EXPECTED_COUNTS
+
+    import gzip
+
+    src = str(tmp_path / "raw")
+    os.makedirs(src)
+    payload = "\n".join(_json.dumps(e) for e in FIXTURES) + "\n"
+    n_batches = 12
+    for i in range(n_batches):
+        with gzip.open(os.path.join(src, f"fdr_{i:02d}.gz"), "wt") as f:
+            f.write(payload)
+
+    out = str(tmp_path / "ocsf")
+    probe = f"{out}/process_activity"
+    per_batch = EXPECTED_COUNTS["process_activity"]
+
+    observed: list[int] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                if current_version(spark, probe) is None:
+                    continue
+                observed.append(read_snapshot(spark, probe).count())
+            except BaseException as e:  # noqa: BLE001 - soak collects all
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    q = run_stream(
+        spark, src, out, checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, snapshot=True,
+        compact_every=3, compact_min_files=2,
+        vacuum_every=4, vacuum_keep_last=2, vacuum_min_age_seconds=0.0,
+    )
+    q.awaitTermination(600)
+    stop.set()
+    t.join(60)
+
+    assert not errors, errors[:1]
+    assert observed, "reader never completed a read"
+    # (a) only committed versions visible: counts are whole batches
+    assert all(n % per_batch == 0 for n in observed), sorted(set(observed))[:5]
+    # (b) append-only monotonicity
+    assert all(a <= b for a, b in zip(observed, observed[1:]))
+    # (c) exactly-once total
+    assert read_snapshot(spark, probe).count() == n_batches * per_batch
+    # (d) bounded files: the live snapshot was compacted at batch 12
+    # (12 appends would otherwise mean >= 12 live files)
+    live = snapshot_files(spark, probe)
+    assert len(live) <= 4, len(live)
+    # on-disk population is near the live set (vacuum pruned history;
+    # keep_last=2 plus the final compaction generation may linger)
+    on_disk = [
+        p
+        for p in glob.glob(f"{probe}/**/*.parquet", recursive=True)
+        if "/_" not in p[len(probe):]
+    ]
+    assert len(on_disk) <= len(live) + 2 * n_batches // 3, (
+        len(on_disk),
+        len(live),
+    )
+    # every kept (time-travelable) version stays a whole-batch state
+    v = current_version(spark, probe)
+    assert read_snapshot(spark, probe, version=v - 1).count() % per_batch == 0
