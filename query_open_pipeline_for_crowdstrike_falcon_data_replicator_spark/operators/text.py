@@ -1290,7 +1290,10 @@ def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame
     ).select("doc_id", "pos", "pt.prev", "pt.tok")
 
     up = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("prev_c1"))
-    addone = -F.log((F.col("c1") + 1.0) / (F.col("total") + F.col("vocab")))
+    # OOV tokens (scoring a corpus the model never saw) take the add-one
+    # floor with c1=0 instead of silently dropping the position
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
     nll = (
         F.when(F.col("prev").isNull(), addone)
         .when(
@@ -1300,7 +1303,7 @@ def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame
         .otherwise(-F.log(F.lit(LM_BACKOFF)) + addone)
     )
     return (
-        toks.join(uni, "tok")  # every corpus token is in the model vocab
+        toks.join(uni, "tok", "left")
         .join(up, "prev", "left")
         .join(big, ["prev", "tok"], "left")
         .crossJoin(F.broadcast(scal))
@@ -1341,13 +1344,14 @@ scored AS (
   SELECT tk.doc_id,
          CASE
            WHEN tk.prev IS NULL
-             THEN -ln((u.c1 + 1.0) / (total + vocab))
+             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
            WHEN b.c2 IS NOT NULL
              THEN -ln(b.c2 * 1.0 / up.c1)
-           ELSE -ln({LM_BACKOFF}) + -ln((u.c1 + 1.0) / (total + vocab))
+           ELSE -ln({LM_BACKOFF})
+                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
          END AS nll
   FROM toks tk
-  JOIN uni u ON tk.tok = u.tok
+  LEFT JOIN uni u ON tk.tok = u.tok
   LEFT JOIN uni up ON tk.prev = up.tok
   LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
   CROSS JOIN scal

@@ -879,6 +879,16 @@ def test_lm_model_artifact_and_backoff(spark, tmp_path):
     # more surprising than doc 1's all-seen bigrams
     assert got[2].mean_nll > got[1].mean_nll
 
+    # OOV: scoring a corpus the model never saw keeps every position
+    # (add-one floor with c1=0), instead of silently dropping rows
+    oov = spark.createDataFrame([(9, "z q")], ["doc_id", "text"])
+    r = score_lm(oov, spark, model).collect()[0]
+    floor = -math.log(1.0 / (scal.total + scal.vocab))
+    assert r.n_tokens == 2
+    assert r.mean_nll == pytest.approx(
+        (floor + (-math.log(LM_BACKOFF) + floor)) / 2, abs=1e-6
+    )
+
 
 def test_quality_model_artifact_roundtrip(spark, tmp_path):
     """The weight table round-trips through the parquet artifact and the
