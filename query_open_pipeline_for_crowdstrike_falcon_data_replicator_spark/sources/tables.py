@@ -41,6 +41,16 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     # perf: nested OCSF schemas exceed the default codegen maxFields=100,
     # which silently disables whole-stage codegen for wide projections
     spark.conf.set("spark.sql.codegen.maxFields", "2000")
+    # perf: a caller session still at Spark's static default of 200
+    # shuffle partitions pays pure scheduling overhead on a single node
+    # (AQE coalescing does not cover every stage — e.g. foreachBatch
+    # work inside streaming probes); size it to the actual parallelism.
+    # A caller that DELIBERATELY set a value is left untouched.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     # NB: spark.locality.wait is a core conf (not runtime-settable); plans
     # that would create single-task stages over parallelized data use
     # repartition (shuffle outputs carry no locality prefs) so they never
