@@ -5,7 +5,10 @@ boilerplate spans) through the three heaviest corpus operators:
 
 - MinHash-LSH dedup (profile -> band -> candidate -> verify),
 - substring (span-grain) dedup (window hash -> corpus count -> coverage),
-- winnowing fingerprints (k-gram hash -> window min -> overlap).
+- winnowing fingerprints (k-gram hash -> window min -> overlap),
+- bigram-LM perplexity scoring (the n-gram join shape: posexplode ->
+  unigram/bigram count joins -> per-doc mean NLL; the model tables are
+  trained ONCE outside the timer — the artifact operating model).
 
 The sf0.1 bench corpus is 5k docs — small enough that JVM fixed costs
 dominate; this probe runs at 50k+ docs and reports docs/s per operator,
@@ -74,6 +77,8 @@ def main() -> None:
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
         fingerprints_of,
+        score_lm,
+        train_lm_model,
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
         get_spark,
@@ -122,7 +127,22 @@ def main() -> None:
         nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
         return fp.join(nd, "fp").groupBy("doc_id").count().count()
 
-    ops = {"minhash_lsh": run_minhash, "substring": run_substring, "winnow": run_winnow}
+    lm_path = "/tmp/dedup_probe_lm_model"
+    train_lm_model(spark, corpus, lm_path)  # model state: trained once
+
+    def run_lm_score():
+        return (
+            score_lm(corpus, spark, lm_path)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
+    ops = {
+        "minhash_lsh": run_minhash,
+        "substring": run_substring,
+        "winnow": run_winnow,
+        "bigram_lm_score": run_lm_score,
+    }
     out = {}
     for name, fn in ops.items():
         fn()  # warmup (codegen JIT)
