@@ -1085,45 +1085,76 @@ FROM c
 # --------------------------------------------------------------------- #
 # Production corpora replace heuristic gates with a trained quality
 # classifier (fastText in CCNet/LLaMA pipelines): hash each token into a
-# weight bucket, average the weights, threshold the logit.  INFERENCE is
-# the part that must scale — one scan, no shuffle, no Python — so the
-# model here is a deterministic stand-in (pseudo-weights derived from the
-# bucket id by Knuth multiplicative hashing) while the scoring path is
-# the real thing: portable md5 bucket hash, dyadic-rational weights
-# (k/512 — exact in binary floating point, so the cross-engine fold is
-# bit-equal), left-fold accumulation in token order.
+# weight bucket, average the weights, threshold the logit.  The model
+# here is TRAINED on weak supervision — per-bucket Laplace-smoothed
+# log-odds of the Gopher rule battery's keep label, the heuristic-
+# labels-bootstrap arrangement production pipelines actually use — and
+# exported as a (bucket, weight) parquet artifact.  Inference (the part
+# that must scale) is one scan, no shuffle, no Python: portable md5
+# bucket hash, plan-literal weight array, left-fold accumulation in
+# token order (the DuckDB oracle replays the identical fold order, so
+# the float sum is bit-equal).
 QUALITY_MODEL_BUCKETS = 64
-_QM_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth 6.4
 
 
-def _qm_weight_value(bucket: int) -> float:
-    """Deterministic pseudo-weight in [-1, 1): ((b*K) % 1024)/512 - 1.
-    Integer arithmetic then division by a power of two — every weight is
-    a dyadic rational, so sums are exact doubles in any engine.  These
-    stand in for TRAINED weights; the artifact/loading path below is the
-    production shape and accepts any weight table."""
-    return ((bucket * _QM_KNUTH) % 1024) / 512.0 - 1.0
+def _qm_bucket(tok: "F.Column") -> "F.Column":
+    """Portable token -> bucket hash (md5 prefix, engine-independent)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        % QUALITY_MODEL_BUCKETS
+    )
 
 
-def build_quality_model(spark: SparkSession, model_path: str) -> None:
-    """Write the hashed-linear model ARTIFACT: a (bucket, weight) parquet
-    table, the on-disk form a trained fastText-style classifier exports.
-    Idempotent overwrite; weights are the deterministic stand-ins so the
-    oracle can replay scoring without reading the artifact."""
-    rows = [
-        (b, _qm_weight_value(b)) for b in range(QUALITY_MODEL_BUCKETS)
-    ]
-    spark.createDataFrame(rows, "bucket int, weight double").repartition(
-        1
-    ).write.mode("overwrite").parquet(model_path)
+def build_quality_model(
+    spark: SparkSession, model_path: str, docs: DataFrame
+) -> None:
+    """TRAIN the hashed-linear quality model and write the ARTIFACT: a
+    dense (bucket, weight) parquet table, the on-disk form a fastText-
+    style classifier exports.
+
+    Training is naive-Bayes-shaped and fully distributed: label every
+    doc with the Gopher battery's ``keep`` conjunction (weak
+    supervision), explode tokens to buckets, count per-bucket occurrences
+    in kept vs dropped docs (one map-side-combining groupBy), weight =
+    round(ln((kept+1)/(dropped+1)), 6) — Laplace-smoothed log-odds,
+    densified over all buckets (unseen buckets weigh 0).  Deterministic,
+    so the DuckDB oracle replays training AND scoring exactly."""
+    labels = gopher_table(docs).select("doc_id", F.col("keep").alias("y"))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    counts = (
+        toks.join(labels, "doc_id")
+        .groupBy(_qm_bucket(F.col("tok")).alias("bucket"))
+        .agg(
+            F.sum("y").alias("kept"),
+            F.sum(1 - F.col("y")).alias("dropped"),
+        )
+    )
+    dense = (
+        spark.range(QUALITY_MODEL_BUCKETS)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("kept"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("dropped"), F.lit(0)) + 1.0)
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+    dense.repartition(1).write.mode("overwrite").parquet(model_path)
 
 
 def _quality_model_path(sf_dir: str) -> str:
     import tempfile
 
+    # v2 in the name: the artifact FORMAT is versioned so a box holding a
+    # stale artifact from an older model definition retrains cleanly
     return os.path.join(
         tempfile.gettempdir(),
-        "qopcfdr_qm_model_" + os.path.basename(os.path.normpath(sf_dir)),
+        "qopcfdr_qm2_model_" + os.path.basename(os.path.normpath(sf_dir)),
     )
 
 
@@ -1141,26 +1172,25 @@ def load_quality_weights(spark: SparkSession, model_path: str) -> list[float]:
 
 
 def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality score from the hashed linear model: mean
-    bucket weight as the logit, thresholded at 0.  The weights are READ
-    FROM the parquet model artifact (built on first use), then inlined
-    as plan-literal model state — inference stays one parquet-scan
-    projection inside whole-stage codegen."""
+    """Per-document quality score from the TRAINED hashed linear model:
+    mean bucket weight as the logit, thresholded at 0.  The weights are
+    trained on first use (Gopher-label log-odds, self-bootstrap) into
+    the parquet artifact, then READ BACK and inlined as plan-literal
+    model state — inference stays one parquet-scan projection inside
+    whole-stage codegen.  The token-order left fold is replayed with the
+    identical add order by the oracle, so the float sum is bit-equal."""
+    docs = load_table(spark, sf_dir, "documents")
     model_path = _quality_model_path(sf_dir)
     if not os.path.exists(os.path.join(model_path, "_SUCCESS")):
-        build_quality_model(spark, model_path)
+        build_quality_model(spark, model_path, docs)
     weights = load_quality_weights(spark, model_path)
 
-    docs = load_table(spark, sf_dir, "documents")
     t = _tokens()
     warr = F.lit(weights)
-    bucket = lambda tok: (  # noqa: E731 - tiny local expression builder
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
-        % QUALITY_MODEL_BUCKETS
-    )
     score = F.aggregate(
         F.transform(
-            t, lambda tok: F.element_at(warr, bucket(tok).cast("int") + 1)
+            t,
+            lambda tok: F.element_at(warr, _qm_bucket(tok).cast("int") + 1),
         ),
         F.lit(0.0),
         lambda acc, w: acc + w,
@@ -1175,28 +1205,51 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_QUALITY_MODEL_SQL = f"""
-SELECT doc_id,
-       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-       round(
-         list_reduce(
-           list_prepend(0.0,
-             list_transform(string_split(lower(text), ' '),
-               tok -> ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
-                        % {QUALITY_MODEL_BUCKETS}) * {_QM_KNUTH} % 1024)
-                      / 512.0 - 1.0)),
-           (acc, w) -> acc + w)
-         / len(string_split(lower(text), ' ')), 6) AS logit,
-       round(
-         list_reduce(
-           list_prepend(0.0,
-             list_transform(string_split(lower(text), ' '),
-               tok -> ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
-                        % {QUALITY_MODEL_BUCKETS}) * {_QM_KNUTH} % 1024)
-                      / 512.0 - 1.0)),
-           (acc, w) -> acc + w)
-         / len(string_split(lower(text), ' ')), 6) > 0 AS keep
-FROM documents
+# The oracle replays TRAINING (Gopher labels -> bucket log-odds) and
+# SCORING (dense weight array indexed inside the same token-order left
+# fold Spark runs) — a full train+infer replay, not just inference.
+_QM_BUCKET_SQL = (
+    "(CAST(('0x' || substr(md5({tok}), 1, 15)) AS BIGINT)"
+    f" % {QUALITY_MODEL_BUCKETS})"
+)
+
+
+def _quality_model_oracle_sql() -> str:
+    bucket = _QM_BUCKET_SQL.format(tok="tok")
+    return f"""
+WITH g AS ({{GOPHER_SQL}}),
+labels AS (SELECT doc_id, keep AS y FROM g),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+bc AS (
+  SELECT {bucket} AS bucket,
+         sum(l.y) AS kept, sum(1 - l.y) AS dropped
+  FROM toks t JOIN labels l USING (doc_id)
+  GROUP BY 1
+),
+w AS (
+  SELECT b.b AS bucket,
+         round(ln((coalesce(bc.kept, 0) + 1.0)
+                  / (coalesce(bc.dropped, 0) + 1.0)), 6) AS weight
+  FROM (SELECT unnest(range({QUALITY_MODEL_BUCKETS})) AS b) b
+  LEFT JOIN bc ON bc.bucket = b.b
+),
+warr AS (SELECT list(weight ORDER BY bucket) AS ws FROM w),
+scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         round(
+           list_reduce(
+             list_prepend(0.0,
+               list_transform(string_split(lower(text), ' '),
+                 tok -> ws[CAST({_QM_BUCKET_SQL.format(tok="tok")} AS INTEGER) + 1])),
+             (acc, x) -> acc + x)
+           / len(string_split(lower(text), ' ')), 6) AS logit
+  FROM documents CROSS JOIN warr
+)
+SELECT doc_id, n_tokens, logit, logit > 0 AS keep FROM scored
 """
 
 
@@ -1390,7 +1443,13 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count floor and the stopword floor carry the live keep/drop
     signal; the line-shape rules are exercised degenerate-true (the
     planted-fixture test drives them with real multi-line text)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_table(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_table(docs: DataFrame) -> DataFrame:
+    """The Gopher rule battery over any (doc_id, text) frame — factored
+    out so the quality-model trainer below can use the ``keep``
+    conjunction as its weak-supervision label."""
     words = F.split(F.col("text"), " ")
     lw = F.split(F.lower(F.col("text")), " ")
     n_words = F.size(words)
@@ -1493,6 +1552,11 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
             AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
 FROM m
 """
+
+# assembled here because the trainer's labels are the Gopher keep flag
+TEXT_QUALITY_MODEL_SQL = _quality_model_oracle_sql().format(
+    GOPHER_SQL=TEXT_GOPHER_SQL
+)
 
 
 # --------------------------------------------------------------------- #

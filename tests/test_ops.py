@@ -890,22 +890,57 @@ def test_lm_model_artifact_and_backoff(spark, tmp_path):
     )
 
 
-def test_quality_model_artifact_roundtrip(spark, tmp_path):
-    """The weight table round-trips through the parquet artifact and the
-    loader densifies it bucket-indexed."""
+def test_quality_model_trains_gopher_log_odds(spark, tmp_path):
+    """The quality model TRAINS per-bucket Laplace-smoothed log-odds of
+    the Gopher keep label and round-trips through the parquet artifact:
+    a token appearing only in kept docs gets a positive weight, one only
+    in dropped docs a negative weight, unseen buckets weigh 0."""
+    import math
+
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
         QUALITY_MODEL_BUCKETS,
-        _qm_weight_value,
         build_quality_model,
+        gopher_table,
         load_quality_weights,
     )
 
+    stop_heavy = "the be to of and that have with " * 8  # keeps Gopher happy
+    docs = spark.createDataFrame(
+        [
+            (1, stop_heavy + "goodword " * 10),  # kept (>=50 words, stops)
+            (2, "badword " * 12),  # dropped (word-count floor, no stops)
+        ],
+        ["doc_id", "text"],
+    )
+    labels = {r.doc_id: r.keep for r in gopher_table(docs).collect()}
+    assert labels == {1: 1, 2: 0}
+
     path = str(tmp_path / "qm")
-    build_quality_model(spark, path)
+    build_quality_model(spark, path, docs)
     w = load_quality_weights(spark, path)
     assert len(w) == QUALITY_MODEL_BUCKETS
-    assert all(w[b] == _qm_weight_value(b) for b in range(QUALITY_MODEL_BUCKETS))
-    assert min(w) >= -1.0 and max(w) < 1.0 and len(set(w)) > 8
+
+    from pyspark.sql import functions as F
+
+    def bucket_of(tok):
+        return int(
+            spark.range(1)
+            .select(
+                (
+                    F.conv(F.substring(F.md5(F.lit(tok)), 1, 15), 16, 10)
+                    .cast("long")
+                    % QUALITY_MODEL_BUCKETS
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
+    bg, bb = bucket_of("goodword"), bucket_of("badword")
+    # goodword: 10 kept occurrences, 0 dropped -> ln(11/1)
+    assert w[bg] == pytest.approx(round(math.log(11.0), 6), abs=1e-9)
+    # badword: 0 kept, 12 dropped -> ln(1/13)
+    assert w[bb] == pytest.approx(round(math.log(1.0 / 13.0), 6), abs=1e-9)
+    assert w[bg] > 0 > w[bb]
 
 
 def test_gopher_filter_planted_rule_violations(spark, tmp_path):
