@@ -390,6 +390,54 @@ GROUP BY p.lang
 
 
 # --------------------------------------------------------------------- #
+# Deterministic train/validation/test holdout split (leakage-safe)
+# --------------------------------------------------------------------- #
+# The last selection op before packing: carve a held-out eval slice.
+# The coin hashes the document CONTENT fingerprint, not the doc_id —
+# exact duplicates therefore always land in the SAME split, so a dupe
+# surviving upstream dedup can never leak train text into the test set.
+# Content-independent of ordering, stable across runs/engines/layouts
+# (the corpus_sample_budget md5-coin rule applied to a content key).
+HOLDOUT_COIN_MOD = 10_000
+HOLDOUT_TEST_LT = 100  # coin in [0, 100)    -> test        (1%)
+HOLDOUT_VAL_LT = 200   # coin in [100, 200)  -> validation  (1%)
+
+
+def corpus_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a deterministic train/validation/test split
+    from the md5 coin of its content fingerprint.  One scan, zero
+    shuffles — at 100 TB this is a projection the writer applies on the
+    way out (or a partition column for split-pruned reads)."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(F.substring(F.md5(F.lower(F.col("text"))), 1, 15), 16, 10)
+        .cast("long")
+        % HOLDOUT_COIN_MOD
+    )
+    return docs.select(
+        "doc_id",
+        coin.alias("coin"),
+        F.when(coin < HOLDOUT_TEST_LT, F.lit("test"))
+        .when(coin < HOLDOUT_VAL_LT, F.lit("validation"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)
+         % {HOLDOUT_COIN_MOD} AS coin,
+       CASE WHEN CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)
+                 % {HOLDOUT_COIN_MOD} < {HOLDOUT_TEST_LT} THEN 'test'
+            WHEN CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)
+                 % {HOLDOUT_COIN_MOD} < {HOLDOUT_VAL_LT} THEN 'validation'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- #
 # Benchmark-contamination detection
 # --------------------------------------------------------------------- #
 # A training corpus must not contain near-copies of evaluation benchmarks.
@@ -2115,6 +2163,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_token_fingerprint": (token_fingerprint, TOKEN_FINGERPRINT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_sample_budget": (corpus_sample_budget, CORPUS_SAMPLE_BUDGET_SQL),
+    "corpus_split_holdout": (corpus_split_holdout, CORPUS_SPLIT_SQL),
     "text_contamination": (text_contamination, TEXT_CONTAMINATION_SQL),
     "corpus_mix_sources": (corpus_mix_sources, CORPUS_MIX_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),

@@ -151,6 +151,11 @@ DRIVER_EXCLUDE = {
     "dedup_exact",           # r1+r2 green; md5-groupBy is corpus_curation's first stage (now a slot)
     "corpus_sample_budget",  # r2+r3 green; rate machinery via corpus_mix_sources/corpus_dsir_resample
     "ann_topk_ivf",          # r2 green; strict subset of ann_topk_ivf_sq8 (r3 green)
+    # new r4, no free slot: single-projection md5-coin split — the coin
+    # machinery is the corpus_sample_budget/corpus_mix_sources pattern
+    # (driver-green r2/r3) applied to a content key; oracle-verified
+    # every session in tests + driver_sim --all
+    "corpus_split_holdout",
 }
 
 

@@ -833,6 +833,39 @@ def test_dedup_semantic_drops_planted_duplicates(spark, tmp_path):
     assert sum(r.is_kept for r in out.values()) >= 1
 
 
+def test_holdout_split_leakage_safe(spark, tmp_path):
+    """The holdout coin hashes CONTENT, not doc_id: exact duplicates
+    always land in the same split (no train/test leakage), the three
+    splits partition the corpus, and fractions track the 1%/1%/98%
+    boundaries at scale."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_split_holdout,
+    )
+
+    docs = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        # every 4th doc duplicates its predecessor's text exactly
+        "concat('tok', CAST(CASE WHEN id % 4 = 1 THEN id - 1 ELSE id END AS STRING), ' body text') AS text",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = corpus_split_holdout(spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: (r.coin, r.split) for r in out}
+    assert len(by_id) == 4000
+    for i in range(1, 4000, 4):  # duplicate pairs share coin AND split
+        assert by_id[i] == by_id[i - 1], i
+    frac = {s: 0 for s in ("train", "validation", "test")}
+    for _, s in by_id.values():
+        frac[s] += 1
+    assert frac["train"] > 3700
+    assert 10 <= frac["test"] <= 90 and 10 <= frac["validation"] <= 90
+    # determinism across invocations
+    again = {
+        r.doc_id: (r.coin, r.split)
+        for r in corpus_split_holdout(spark, str(tmp_path)).collect()
+    }
+    assert again == by_id
+
+
 def test_lm_model_artifact_and_backoff(spark, tmp_path):
     """The bigram LM trains into parquet model tables and scores with
     stupid backoff: first token = add-one unigram; seen bigram =
