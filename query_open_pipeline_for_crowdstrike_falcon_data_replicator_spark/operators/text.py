@@ -1314,33 +1314,58 @@ LM_BACKOFF = 0.4  # Brants et al.'s alpha; dyadic-close enough: exact 0.4
 #   double both engines parse identically
 
 
-def train_lm_model(spark: SparkSession, docs: DataFrame, model_path: str) -> None:
-    """Train (count) the bigram LM and persist it as parquet MODEL
-    TABLES: ``unigrams/`` (tok, c1), ``bigrams/`` (prev, tok, c2),
-    ``scalars/`` (total, vocab) — the on-disk artifact a deployment
-    trains once on a reference corpus and scores everything against.
-    Counting is two map-side-combine groupBys over one posexplode."""
-    t = _tokens()
-    pairs = F.transform(
-        t,
-        lambda x, i: F.struct(
-            F.when(i > 0, F.element_at(t, i)).alias("prev"), x.alias("tok")
-        ),
+def _bigram_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, prev, tok) for every token position, prev NULL at
+    position 0 — built by zipping the token array with its own 1-shifted
+    copy (the phrase-mining pattern).  NOT a transform lambda with
+    element_at(t, i): that inlines the split() into every element
+    evaluation, re-splitting the document O(len^2) times (measured 1.5 s
+    of the scorer's 1.7 s at sf0.1); the shifted-zip form evaluates the
+    split a constant number of times per row.  The tokens projection is
+    a SEPARATE select (the shingled_docs trick): ``toks`` is referenced
+    3x, so CollapseProject declines to inline the split() into the zip."""
+    base = docs.select("doc_id", _tokens().alias("toks"))
+    t = F.col("toks")
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
     )
-    toks = docs.select(
+    pairs = F.arrays_zip(shifted.alias("prev"), t.alias("tok"))
+    return base.select(
         "doc_id", F.posexplode(pairs).alias("pos", "pt")
     ).select("doc_id", "pos", "pt.prev", "pt.tok")
+
+
+def train_lm_model(spark: SparkSession, docs: DataFrame, model_path: str) -> None:
+    """Train (count) the bigram LM and persist it as parquet MODEL
+    TABLES: ``unigrams/`` (tok, c1), ``bigrams/`` (prev, tok, c2,
+    prev_c1), ``scalars/`` (total, vocab) — the on-disk artifact a
+    deployment trains once on a reference corpus and scores everything
+    against.  The continuation denominator ``prev_c1`` is DENORMALIZED
+    into the bigram table at train time (the same trick KenLM uses,
+    storing backoff state per n-gram): scoring then needs one join per
+    n-gram ORDER instead of one per distinct key role.  Counting is two
+    map-side-combine groupBys over one posexplode plus one train-time
+    join — paid once per model, saved on every scored corpus."""
+    toks = _bigram_positions(docs)
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     uni.write.mode("overwrite").parquet(posixjoin(model_path, "unigrams"))
+    uni_stored = spark.read.parquet(posixjoin(model_path, "unigrams"))
     (
         toks.filter(F.col("prev").isNotNull())
         .groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .join(
+            uni_stored.select(
+                F.col("tok").alias("prev"), F.col("c1").alias("prev_c1")
+            ),
+            "prev",
+        )
         .write.mode("overwrite")
         .parquet(posixjoin(model_path, "bigrams"))
     )
     (
-        spark.read.parquet(posixjoin(model_path, "unigrams"))
+        uni_stored
         .agg(F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vocab"))
         .repartition(1)
         .write.mode("overwrite")
@@ -1357,9 +1382,12 @@ def posixjoin(*parts: str) -> str:
 def _lm_model_path(sf_dir: str) -> str:
     import tempfile
 
+    # v2 in the name: the artifact FORMAT is versioned (bigrams gained
+    # the denormalized prev_c1 column) so a box holding a stale artifact
+    # from an older layout retrains cleanly
     return os.path.join(
         tempfile.gettempdir(),
-        "qopcfdr_lm_model_" + os.path.basename(os.path.normpath(sf_dir)),
+        "qopcfdr_lm2_model_" + os.path.basename(os.path.normpath(sf_dir)),
     )
 
 
@@ -1370,27 +1398,18 @@ def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame
     a seen bigram scores c2/c1(prev) (the MLE continuation); an unseen
     bigram scores LM_BACKOFF * add-one unigram — stupid backoff.
 
-    Scale shape: one posexplode; a LEFT join to the bigram table on the
-    (prev, tok) pair key and to the unigram table on each side's token
-    key (zipfian skew handled by AQE; the tables are broadcast when the
-    model is small); the two model scalars ride a broadcast 1-row cross
-    join; one per-doc average."""
+    Scale shape: one posexplode; ONE join per n-gram order — a LEFT join
+    to the unigram table on the token key and to the bigram table on the
+    (prev, tok) pair key, which carries its denormalized ``prev_c1``
+    denominator (zipfian skew handled by AQE; the tables are broadcast
+    when the model is small); the two model scalars ride a broadcast
+    1-row cross join; one per-doc average."""
     uni = spark.read.parquet(posixjoin(model_path, "unigrams"))
     big = spark.read.parquet(posixjoin(model_path, "bigrams"))
     scal = spark.read.parquet(posixjoin(model_path, "scalars"))
 
-    t = _tokens()
-    pairs = F.transform(
-        t,
-        lambda x, i: F.struct(
-            F.when(i > 0, F.element_at(t, i)).alias("prev"), x.alias("tok")
-        ),
-    )
-    toks = docs.select(
-        "doc_id", F.posexplode(pairs).alias("pos", "pt")
-    ).select("doc_id", "pos", "pt.prev", "pt.tok")
+    toks = _bigram_positions(docs)
 
-    up = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("prev_c1"))
     # OOV tokens (scoring a corpus the model never saw) take the add-one
     # floor with c1=0 instead of silently dropping the position
     c1 = F.coalesce(F.col("c1"), F.lit(0))
@@ -1405,7 +1424,6 @@ def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame
     )
     return (
         toks.join(uni, "tok", "left")
-        .join(up, "prev", "left")
         .join(big, ["prev", "tok"], "left")
         .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
