@@ -1848,7 +1848,12 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, chunk_id, chunk_start, n_tokens, fingerprint)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = _tokens()
+    # tokens behind a projection boundary (the shingled_docs trick): the
+    # slice inside the chunk lambda must reference a materialized array,
+    # not the raw split() expression — inlined, a long document would be
+    # re-split once PER CHUNK (O(len^2/stride) tokenization per doc)
+    docs = docs.select("doc_id", _tokens().alias("toks"))
+    t = F.col("toks")
     n = F.size(t)
     # chunk starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.greatest(
