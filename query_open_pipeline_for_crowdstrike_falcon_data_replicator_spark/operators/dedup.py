@@ -498,6 +498,60 @@ FROM labels JOIN csizes USING (cluster_rep)
 """
 
 
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scored canonical selection: the same LSH pair graph and
+    connected components as ``dedup_cluster``, but the survivor of each
+    cluster is the member with the HIGHEST trained quality-model logit
+    (ties to the lower doc_id) — how production corpora actually pick
+    the kept copy (keep the cleanest near-duplicate, not the one with
+    the smallest id).
+
+    Scale shape: the per-cluster ranking window partitions on
+    cluster_rep over pair-graph vertices only (a tiny fraction of the
+    corpus); the quality score joins in on doc_id — no new corpus pass
+    beyond the model inference scan."""
+    from pyspark.sql import Window
+
+    from .text import text_quality_model
+
+    labels = dedup_cluster(spark, sf_dir).select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+    quality = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("logit"), F.asc("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("is_survivor", (F.row_number().over(w) == 1).cast("int"))
+        .select("doc_id", "cluster_rep", "cluster_size", "logit", "is_survivor")
+    )
+
+
+def _cluster_best_oracle_sql() -> str:
+    """DEDUP_CLUSTER_SQL's transitive closure + the quality model's full
+    train+score replay (a nested WITH in a derived table) + the ranking
+    window."""
+    from .text import TEXT_QUALITY_MODEL_SQL
+
+    body = DEDUP_CLUSTER_SQL.strip()
+    assert body.endswith("FROM labels JOIN csizes USING (cluster_rep)")
+    prefix = body[: body.rindex("SELECT doc_id, cluster_rep")].strip()
+    return f"""
+{prefix},
+quality AS (
+  SELECT doc_id, logit FROM ({TEXT_QUALITY_MODEL_SQL})
+)
+SELECT l.doc_id, l.cluster_rep, c.cluster_size, q.logit,
+       CAST(row_number() OVER (PARTITION BY l.cluster_rep
+                ORDER BY q.logit DESC, l.doc_id ASC) = 1 AS INT)
+         AS is_survivor
+FROM labels l
+JOIN csizes c USING (cluster_rep)
+JOIN quality q ON q.doc_id = l.doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # SimHash (60-bit, banded Hamming candidates)
 # --------------------------------------------------------------------- #
@@ -746,5 +800,6 @@ DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_cluster": (dedup_cluster, DEDUP_CLUSTER_SQL),
+    "dedup_cluster_best": (dedup_cluster_best, _cluster_best_oracle_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

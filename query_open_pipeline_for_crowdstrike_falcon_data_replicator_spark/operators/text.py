@@ -1314,40 +1314,62 @@ LM_BACKOFF = 0.4  # Brants et al.'s alpha; dyadic-close enough: exact 0.4
 #   double both engines parse identically
 
 
-def _bigram_positions(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, prev, tok) for every token position, prev NULL at
-    position 0 — built by zipping the token array with its own 1-shifted
-    copy (the phrase-mining pattern).  NOT a transform lambda with
-    element_at(t, i): that inlines the split() into every element
-    evaluation, re-splitting the document O(len^2) times (measured 1.5 s
-    of the scorer's 1.7 s at sf0.1); the shifted-zip form evaluates the
-    split a constant number of times per row.  The tokens projection is
-    a SEPARATE select (the shingled_docs trick): ``toks`` is referenced
-    3x, so CollapseProject declines to inline the split() into the zip."""
+def _ngram_positions(docs: DataFrame, order: int = 2) -> DataFrame:
+    """(doc_id, pos[, prev2], prev, tok) for every token position —
+    token context NULL where the document starts — built by zipping the
+    token array with its own k-shifted copies (the phrase-mining
+    pattern).  NOT a transform lambda with element_at(t, i): that
+    inlines the split() into every element evaluation, re-splitting the
+    document O(len^2) times (measured 1.5 s of the scorer's 1.7 s at
+    sf0.1); the shifted-zip form evaluates the split a constant number
+    of times per row.  The tokens projection is a SEPARATE select (the
+    shingled_docs trick): ``toks`` is referenced several times, so
+    CollapseProject declines to inline the split() into the zip."""
     base = docs.select("doc_id", _tokens().alias("toks"))
     t = F.col("toks")
-    shifted = F.concat(
-        F.array(F.lit(None).cast("string")),
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+
+    def shift(k: int):
+        # k NULLs prepended, trimmed back to the original length — the
+        # slice-of-concat form is length-exact even for docs shorter
+        # than k (arrays_zip pads mismatched lengths, which would emit
+        # phantom positions)
+        return F.slice(
+            F.concat(F.array(*([F.lit(None).cast("string")] * k)), t),
+            1,
+            F.size(t),
+        )
+
+    fields = (
+        ([shift(2).alias("prev2")] if order >= 3 else [])
+        + [shift(1).alias("prev"), t.alias("tok")]
     )
-    pairs = F.arrays_zip(shifted.alias("prev"), t.alias("tok"))
+    cols = (["pt.prev2"] if order >= 3 else []) + ["pt.prev", "pt.tok"]
     return base.select(
-        "doc_id", F.posexplode(pairs).alias("pos", "pt")
-    ).select("doc_id", "pos", "pt.prev", "pt.tok")
+        "doc_id", F.posexplode(F.arrays_zip(*fields)).alias("pos", "pt")
+    ).select("doc_id", "pos", *cols)
 
 
-def train_lm_model(spark: SparkSession, docs: DataFrame, model_path: str) -> None:
-    """Train (count) the bigram LM and persist it as parquet MODEL
+def _bigram_positions(docs: DataFrame) -> DataFrame:
+    return _ngram_positions(docs, order=2)
+
+
+def train_lm_model(
+    spark: SparkSession, docs: DataFrame, model_path: str, *, order: int = 2
+) -> None:
+    """Train (count) the n-gram LM and persist it as parquet MODEL
     TABLES: ``unigrams/`` (tok, c1), ``bigrams/`` (prev, tok, c2,
-    prev_c1), ``scalars/`` (total, vocab) — the on-disk artifact a
-    deployment trains once on a reference corpus and scores everything
-    against.  The continuation denominator ``prev_c1`` is DENORMALIZED
-    into the bigram table at train time (the same trick KenLM uses,
-    storing backoff state per n-gram): scoring then needs one join per
-    n-gram ORDER instead of one per distinct key role.  Counting is two
-    map-side-combine groupBys over one posexplode plus one train-time
-    join — paid once per model, saved on every scored corpus."""
-    toks = _bigram_positions(docs)
+    prev_c1), with ``order=3`` additionally ``trigrams/`` (prev2, prev,
+    tok, c3, ctx_c2), plus ``scalars/`` (total, vocab) — the on-disk
+    artifact a deployment trains once on a reference corpus and scores
+    everything against.  Each order's CONTEXT denominator (``prev_c1``,
+    ``ctx_c2``) is DENORMALIZED into its table at train time (the same
+    trick KenLM uses, storing backoff state per n-gram): scoring then
+    needs ONE join per n-gram order.  A 5-gram is two more tables in
+    the identical pipeline — this is the concrete form of that claim.
+    Counting is one map-side-combine groupBy per order over one
+    posexplode plus one train-time join each — paid once per model,
+    saved on every scored corpus."""
+    toks = _ngram_positions(docs, order=order)
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     uni.write.mode("overwrite").parquet(posixjoin(model_path, "unigrams"))
     uni_stored = spark.read.parquet(posixjoin(model_path, "unigrams"))
@@ -1364,6 +1386,21 @@ def train_lm_model(spark: SparkSession, docs: DataFrame, model_path: str) -> Non
         .write.mode("overwrite")
         .parquet(posixjoin(model_path, "bigrams"))
     )
+    if order >= 3:
+        big_stored = spark.read.parquet(posixjoin(model_path, "bigrams"))
+        ctx = big_stored.select(
+            F.col("prev").alias("prev2"),
+            F.col("tok").alias("prev"),
+            F.col("c2").alias("ctx_c2"),
+        )
+        (
+            toks.filter(F.col("prev2").isNotNull())
+            .groupBy("prev2", "prev", "tok")
+            .agg(F.count(F.lit(1)).alias("c3"))
+            .join(ctx, ["prev2", "prev"])
+            .write.mode("overwrite")
+            .parquet(posixjoin(model_path, "trigrams"))
+        )
     (
         uni_stored
         .agg(F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vocab"))
@@ -1391,41 +1428,58 @@ def _lm_model_path(sf_dir: str) -> str:
     )
 
 
-def score_lm(docs: DataFrame, spark: SparkSession, model_path: str) -> DataFrame:
-    """Score (doc_id, text) against the persisted bigram model tables.
+def score_lm(
+    docs: DataFrame, spark: SparkSession, model_path: str, *, order: int = 2
+) -> DataFrame:
+    """Score (doc_id, text) against the persisted n-gram model tables
+    with stupid backoff: each position scores at the HIGHEST available
+    order (trigram c3/ctx_c2, bigram c2/prev_c1, add-one unigram), and
+    every level of backoff below the position's maximum order multiplies
+    LM_BACKOFF once.  The first token has no context (unigram, no
+    penalty); position 1 tops out at the bigram.
 
-    Per token position: the first token backs off to the add-one unigram;
-    a seen bigram scores c2/c1(prev) (the MLE continuation); an unseen
-    bigram scores LM_BACKOFF * add-one unigram — stupid backoff.
-
-    Scale shape: one posexplode; ONE join per n-gram order — a LEFT join
-    to the unigram table on the token key and to the bigram table on the
-    (prev, tok) pair key, which carries its denormalized ``prev_c1``
-    denominator (zipfian skew handled by AQE; the tables are broadcast
-    when the model is small); the two model scalars ride a broadcast
-    1-row cross join; one per-doc average."""
+    Scale shape: one posexplode; ONE left join per n-gram order — each
+    table carries its denormalized context denominator (zipfian skew
+    handled by AQE; the tables are broadcast when the model is small);
+    the two model scalars ride a broadcast 1-row cross join; one per-doc
+    average."""
     uni = spark.read.parquet(posixjoin(model_path, "unigrams"))
     big = spark.read.parquet(posixjoin(model_path, "bigrams"))
     scal = spark.read.parquet(posixjoin(model_path, "scalars"))
 
-    toks = _bigram_positions(docs)
+    toks = _ngram_positions(docs, order=order)
 
     # OOV tokens (scoring a corpus the model never saw) take the add-one
     # floor with c1=0 instead of silently dropping the position
     c1 = F.coalesce(F.col("c1"), F.lit(0))
     addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
-    nll = (
-        F.when(F.col("prev").isNull(), addone)
-        .when(
-            F.col("c2").isNotNull(),
-            -F.log(F.col("c2") / F.col("prev_c1")),
+    alpha = -F.log(F.lit(LM_BACKOFF))
+    bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
+
+    scored = toks.join(uni, "tok", "left").join(big, ["prev", "tok"], "left")
+    if order >= 3:
+        tri = spark.read.parquet(posixjoin(model_path, "trigrams"))
+        scored = scored.join(tri, ["prev2", "prev", "tok"], "left")
+        has_ctx2 = F.col("prev2").isNotNull()
+        nll = (
+            F.when(F.col("prev").isNull(), addone)
+            .when(
+                has_ctx2 & F.col("c3").isNotNull(),
+                -F.log(F.col("c3") / F.col("ctx_c2")),
+            )
+            .when(has_ctx2 & F.col("c2").isNotNull(), alpha + bigram_nll)
+            .when(has_ctx2, alpha + alpha + addone)
+            .when(F.col("c2").isNotNull(), bigram_nll)  # position 1
+            .otherwise(alpha + addone)
         )
-        .otherwise(-F.log(F.lit(LM_BACKOFF)) + addone)
-    )
+    else:
+        nll = (
+            F.when(F.col("prev").isNull(), addone)
+            .when(F.col("c2").isNotNull(), bigram_nll)
+            .otherwise(alpha + addone)
+        )
     return (
-        toks.join(uni, "tok", "left")
-        .join(big, ["prev", "tok"], "left")
-        .crossJoin(F.broadcast(scal))
+        scored.crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1443,6 +1497,19 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(model_path, "scalars", "_SUCCESS")):
         train_lm_model(spark, docs, model_path)
     return score_lm(docs, spark, model_path)
+
+
+def text_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-3 instantiation of the same artifact/scoring pipeline —
+    the concrete proof that a higher n-gram order is one more count
+    table (with its denormalized context denominator) and one more LEFT
+    join, nothing else; KenLM's 5-gram is two further iterations of the
+    identical step."""
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = _lm_model_path(sf_dir) + "_tri"
+    if not os.path.exists(os.path.join(model_path, "scalars", "_SUCCESS")):
+        train_lm_model(spark, docs, model_path, order=3)
+    return score_lm(docs, spark, model_path, order=3)
 
 
 TEXT_LM_SCORE_SQL = f"""
@@ -1473,6 +1540,55 @@ scored AS (
   LEFT JOIN uni u ON tk.tok = u.tok
   LEFT JOIN uni up ON tk.prev = up.tok
   LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
+  CROSS JOIN scal
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
+FROM scored
+GROUP BY 1
+"""
+
+
+TEXT_LM3_SCORE_SQL = f"""
+WITH pos_toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+),
+toks AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev,
+         CASE WHEN pos > 2 THEN t[pos - 2] ELSE NULL END AS prev2
+  FROM pos_toks
+),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+big AS (SELECT prev, tok, count(*) AS c2 FROM toks
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT prev2, prev, tok, count(*) AS c3 FROM toks
+        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
+scored AS (
+  SELECT tk.doc_id,
+         CASE
+           WHEN tk.prev IS NULL
+             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+           WHEN tk.prev2 IS NOT NULL AND tr.c3 IS NOT NULL
+             THEN -ln(tr.c3 * 1.0 / ctx.c2)
+           WHEN tk.prev2 IS NOT NULL AND b.c2 IS NOT NULL
+             THEN -ln({LM_BACKOFF}) + -ln(b.c2 * 1.0 / up.c1)
+           WHEN tk.prev2 IS NOT NULL
+             THEN -ln({LM_BACKOFF}) + -ln({LM_BACKOFF})
+                  + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+           WHEN b.c2 IS NOT NULL
+             THEN -ln(b.c2 * 1.0 / up.c1)
+           ELSE -ln({LM_BACKOFF})
+                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+         END AS nll
+  FROM toks tk
+  LEFT JOIN uni u ON tk.tok = u.tok
+  LEFT JOIN uni up ON tk.prev = up.tok
+  LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
+  LEFT JOIN big ctx ON tk.prev2 = ctx.prev AND tk.prev = ctx.tok
+  LEFT JOIN tri tr ON tk.prev2 = tr.prev2 AND tk.prev = tr.prev
+                   AND tk.tok = tr.tok
   CROSS JOIN scal
 )
 SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
@@ -2196,6 +2312,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
+    "text_lm_score_trigram": (text_lm_score_trigram, TEXT_LM3_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
     "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),

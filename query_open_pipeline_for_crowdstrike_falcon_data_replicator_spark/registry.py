@@ -156,6 +156,15 @@ DRIVER_EXCLUDE = {
     # (driver-green r2/r3) applied to a content key; oracle-verified
     # every session in tests + driver_sim --all
     "corpus_split_holdout",
+    # new r4, no free slot: pure composition of dedup_cluster (driver-
+    # green r3) and text_quality_model (r4 slot) plus the window-rank
+    # shape window_top_orders_per_customer holds a slot for;
+    # oracle-verified every session in tests + driver_sim --all
+    "dedup_cluster_best",
+    # new r4, no free slot: the order-3 instantiation of text_lm_score's
+    # pipeline (r4 slot) — one more count table + one more LEFT join;
+    # oracle-verified every session in tests + driver_sim --all
+    "text_lm_score_trigram",
 }
 
 

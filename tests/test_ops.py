@@ -922,6 +922,45 @@ def test_lm_model_artifact_and_backoff(spark, tmp_path):
         (floor + (-math.log(LM_BACKOFF) + floor)) / 2, abs=1e-6
     )
 
+    # order=3: trigram table carries its denormalized bigram-context
+    # denominator; backoff chain trigram -> bigram(+1 alpha) -> unigram
+    # (+2 alphas), position 1 tops out at the bigram (no alpha)
+    model3 = str(tmp_path / "lm3")
+    train_lm_model(spark, docs, model3, order=3)
+    tri = {
+        (r.prev2, r.prev, r.tok): (r.c3, r.ctx_c2)
+        for r in spark.read.parquet(posixjoin(model3, "trigrams")).collect()
+    }
+    # "a b a" occurs twice in doc 1 ("a b a b"); its context bigram
+    # (a, b) occurs twice in doc 1 plus zero elsewhere -> c2 = 2
+    assert tri[("a", "b", "a")] == (1, 2)
+    got3 = {
+        r.doc_id: r for r in score_lm(docs, spark, model3, order=3).collect()
+    }
+
+    def trigram(p2, p1, tok):
+        hit = tri.get((p2, p1, tok))
+        if hit is not None:
+            return -math.log(hit[0] / hit[1])
+        if (p1, tok) in big:
+            return -math.log(LM_BACKOFF) + bigram(p1, tok)
+        return 2 * -math.log(LM_BACKOFF) + addone(tok)
+
+    want1 = (
+        addone("a")            # pos 0
+        + bigram("a", "b")     # pos 1 tops out at bigram
+        + trigram("a", "b", "a")
+        + trigram("b", "a", "b")
+    ) / 4
+    assert got3[1].mean_nll == pytest.approx(round(want1, 6), abs=1e-6)
+    want2 = (
+        addone("b")
+        + bigram("b", "a")
+        + trigram("b", "a", "c")  # unseen trigram AND unseen bigram a->c
+        + trigram("a", "c", "d")  # unseen trigram, seen bigram c->d
+    ) / 4
+    assert got3[2].mean_nll == pytest.approx(round(want2, 6), abs=1e-6)
+
 
 def test_quality_model_trains_gopher_log_odds(spark, tmp_path):
     """The quality model TRAINS per-bucket Laplace-smoothed log-odds of
