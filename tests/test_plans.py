@@ -486,3 +486,37 @@ def test_ewma_plan_no_cartesian(spark, sf_dir):
     plan = _formatted(events_ewma_anomaly(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_plan_broadcast_joins_no_single_partition(spark, sf_dir):
+    """The n-gram scorer's model joins stay broadcast at small-model
+    scale (no sort-merge over the exploded positions), the final
+    aggregate partially aggregates map-side, and no stage runs
+    SinglePartition except the broadcast scalar exchange."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_lm_score_trigram,
+    )
+
+    plan = _formatted(text_lm_score_trigram(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # uni + big + tri
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # the exploded positions never funnel through one partition: the only
+    # SinglePartition exchanges are the broadcast/scalar builds
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            raise AssertionError(f"unexpected SinglePartition exchange: {line}")
+
+
+def test_cluster_best_window_partitions_on_cluster(spark, sf_dir):
+    """Survivor ranking runs per cluster_rep (pair-graph vertices), not
+    as a global single-partition sort."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        dedup_cluster_best,
+    )
+
+    plan = _formatted(dedup_cluster_best(spark, sf_dir))
+    assert "row_number" in plan
+    # the rank window's required distribution is the cluster key
+    assert "hashpartitioning(cluster_rep" in plan
+    assert "Exchange SinglePartition" not in plan
