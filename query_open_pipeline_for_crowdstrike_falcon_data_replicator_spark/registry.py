@@ -151,20 +151,12 @@ DRIVER_EXCLUDE = {
     "dedup_exact",           # r1+r2 green; md5-groupBy is corpus_curation's first stage (now a slot)
     "corpus_sample_budget",  # r2+r3 green; rate machinery via corpus_mix_sources/corpus_dsir_resample
     "ann_topk_ivf",          # r2 green; strict subset of ann_topk_ivf_sq8 (r3 green)
-    # new r4, no free slot: single-projection md5-coin split — the coin
-    # machinery is the corpus_sample_budget/corpus_mix_sources pattern
-    # (driver-green r2/r3) applied to a content key; oracle-verified
-    # every session in tests + driver_sim --all
-    "corpus_split_holdout",
-    # new r4, no free slot: pure composition of dedup_cluster (driver-
-    # green r3) and text_quality_model (r4 slot) plus the window-rank
-    # shape window_top_orders_per_customer holds a slot for;
-    # oracle-verified every session in tests + driver_sim --all
-    "dedup_cluster_best",
-    # new r4, no free slot: the order-3 instantiation of text_lm_score's
-    # pipeline (r4 slot) — one more count table + one more LEFT join;
-    # oracle-verified every session in tests + driver_sim --all
-    "text_lm_score_trigram",
+    # --- late-r4 swaps: three triple-green rows free slots for the
+    #     three operators added this round, taking CUMULATIVE driver
+    #     coverage to every exact-oracled entry in the registry ---
+    "dedup_simhash",        # r3 green; dedup keeps 4 driver rows
+    "set_ops_nations",      # r1+r2+r3 green (three exact hash-matches)
+    "events_pivot_daily",   # r1+r2+r3 green (three exact hash-matches)
 }
 
 
@@ -195,6 +187,10 @@ _DRIVER_FIRST = [
     # the cross-class union-view search (the Athena-replacement shape)
     "stream_pack_verify",
     "ocsf_all_search",
+    # NEW late this round (swapped in for triple-green rows)
+    "corpus_split_holdout",
+    "dedup_cluster_best",
+    "text_lm_score_trigram",
     # write-path anchors (stay every round)
     "ocsf_etl_verify",
     "corpus_export_verify",
