@@ -137,11 +137,37 @@ def main() -> None:
             .collect()[0][0]
         )
 
+    def run_cluster():
+        # minhash-LSH pairs -> iterative min-label propagation: the
+        # probe's planted near-dups give ~n/10 two-vertex components,
+        # so this measures the CC machinery (per-round shuffle + count
+        # + localCheckpoint) at pair-graph scale, not graph diameter
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+            connected_components,
+        )
+
+        profiles = minhash_profiles(postings_of(corpus))
+        bands = lsh_bands(profiles)
+        pairs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+            .distinct()
+        )
+        edges = pairs.union(pairs.selectExpr("dst AS src", "src AS dst"))
+        return connected_components(edges).groupBy("cluster_rep").count().count()
+
     ops = {
         "minhash_lsh": run_minhash,
         "substring": run_substring,
         "winnow": run_winnow,
         "bigram_lm_score": run_lm_score,
+        "cc_cluster": run_cluster,
     }
     out = {}
     for name, fn in ops.items():
