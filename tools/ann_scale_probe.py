@@ -80,8 +80,8 @@ def main() -> None:
         _dot,
         _ivf_train,
         _l2_nearest,
-        _nearest_cell,
         _subvec,
+        assign_cells,
         semdedup_from,
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
@@ -150,8 +150,11 @@ def main() -> None:
         )
 
     def run_ivf_assign():
+        # through the production dispatcher: literal argmin below 256
+        # cells, broadcast centroid-table join at or above (K ~ N puts
+        # the 200k run exactly at the switch point)
         return (
-            emb.select(_nearest_cell(F.col("u"), cents).alias("cell"))
+            assign_cells(emb, cents)
             .groupBy("cell")
             .count()
             .count()
