@@ -1688,6 +1688,67 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------- #
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# --------------------------------------------------------------------------- #
+
+RP_OUT_DIM = 8
+RP_SCALE = (1.0 / RP_OUT_DIM) ** 0.5  # JL scaling, one fixed double
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic Achlioptas +-1 projection rows: sign of
+    md5(f'rp:{k}:{i}').  Generated once in Python and embedded as plan
+    literals in BOTH engines (same trick as ``_planes``), so Spark and
+    the DuckDB oracle share the exact matrix."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for i in range(DIM)
+        ]
+        for k in range(RP_OUT_DIM)
+    ]
+
+
+def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: shrink the DIM-dim float
+    embedding column to RP_OUT_DIM doubles with a deterministic
+    Achlioptas +-1 sign matrix (scaled 1/sqrt(k)).
+
+    100 TB shape: ONE narrow codegen projection -- no shuffle, no UDF,
+    no model state beyond the K x DIM sign literals.  This is the
+    standard first stage before ANN / near-dup at scale: project once,
+    persist 8 doubles per row instead of 64 floats (8x narrower
+    vectors), then run the banded/bucketed families on the projected
+    column.  Distance preservation is pinned by a property test
+    (tests/test_ops.py::test_rp_projection_preserves_distances).
+    Beyond-reference capability (the reference delegates all analytics
+    to Athena, README.md:48)."""
+    signs = _rp_signs()
+    # no key columns: a pure map needs round-robin fan-out locally, not a
+    # hash shuffle (and on a many-split production lake spread() is a no-op)
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", _vec().alias("v")
+    )
+    proj = [
+        F.round(
+            _dot(F.col("v"), F.array(*[F.lit(s) for s in signs[k]])) * F.lit(RP_SCALE), 4
+        ).alias(f"p{k}")
+        for k in range(RP_OUT_DIM)
+    ]
+    return emb.select("vec_id", "label", *proj)
+
+
+def _rp_oracle_sql() -> str:
+    signs = _rp_signs()
+    cols = ",\n       ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {signs[k]!r})"
+        f" * {RP_SCALE!r}, 4) AS p{k}"
+        for k in range(RP_OUT_DIM)
+    )
+    return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
@@ -1699,4 +1760,5 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
     "corpus_prune_prototypes": (corpus_prune_prototypes, _proto_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
+    "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
 }

@@ -91,6 +91,9 @@ DRIVER_EXCLUDE = {
     # 0-vs-0 rows at sf0.01 every round (no cosine>=0.9 pairs in the
     # synthetic embeddings); machinery driver-covered by dedup_semantic
     "embedding_neardup_pairs",
+    # added at the round-4 tail (exact-oracled, green in test_relational
+    # + driver_sim --all); first in line for the round-5 slot rotation
+    "embedding_project_rp",
     # approximate by construction (Greenwald-Khanna / DataSketches) -> no
     # exact oracle; accuracy pinned against exact yardsticks in tests
     "profile_quantiles_approx",

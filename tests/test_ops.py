@@ -1263,3 +1263,38 @@ def test_assign_cells_dispatch_large_k(spark, sf_dir):
     small = assign_cells(emb, cents[:16])
     small_plan = small._jdf.queryExecution().executedPlan().toString()
     assert "array_min" in small_plan
+
+
+def test_rp_projection_preserves_distances(spark, sf_dir):
+    """JL property: the scaled +-1 projection to 8 dims preserves pairwise
+    squared L2 distances in expectation -- over many pairs the mean ratio
+    projected/original must sit near 1 (loose band: k=8 has high per-pair
+    variance, but the mean over ~200 pairs concentrates)."""
+    import math
+    import random
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        RP_OUT_DIM,
+        embedding_project_rp,
+    )
+
+    rows = embedding_project_rp(spark, sf_dir).collect()
+    orig = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    proj = {r["vec_id"]: [r[f"p{k}"] for k in range(RP_OUT_DIM)] for r in rows}
+    assert set(proj) == set(orig) and len(proj) == 500
+
+    rng = random.Random(7)
+    ids = sorted(proj)
+    ratios = []
+    for _ in range(200):
+        a, b = rng.sample(ids, 2)
+        d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_orig > 1e-9:
+            ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
+    assert all(math.isfinite(r) for r in ratios)

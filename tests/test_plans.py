@@ -520,3 +520,19 @@ def test_cluster_best_window_partitions_on_cluster(spark, sf_dir):
     # the rank window's required distribution is the cluster key
     assert "hashpartitioning(cluster_rep" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rp_projection_is_shuffle_free_single_projection(spark, sf_dir):
+    """The JL projection must compile to a pure map over the scan: no
+    Exchange of the data, no UDF -- the K x DIM sign matrix lives as plan
+    literals inside one codegen projection."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        embedding_project_rp,
+    )
+
+    df = embedding_project_rp(spark, sf_dir)
+    plan = _formatted(df)
+    # the only allowed Exchange is the spread() round-robin repartition
+    # (a local-test fan-out, not a key shuffle)
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
