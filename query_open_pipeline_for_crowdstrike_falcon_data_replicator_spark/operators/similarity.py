@@ -1696,17 +1696,19 @@ RP_OUT_DIM = 8
 RP_SCALE = (1.0 / RP_OUT_DIM) ** 0.5  # JL scaling, one fixed double
 
 
-def _rp_signs() -> list[list[float]]:
+def _rp_signs(n_rows: int = RP_OUT_DIM) -> list[list[float]]:
     """Deterministic Achlioptas +-1 projection rows: sign of
     md5(f'rp:{k}:{i}').  Generated once in Python and embedded as plan
     literals in BOTH engines (same trick as ``_planes``), so Spark and
-    the DuckDB oracle share the exact matrix."""
+    the DuckDB oracle share the exact matrix.  One unbounded family:
+    callers that need more rows (the ANN stage-1 uses 16) draw a prefix
+    of the same matrix."""
     return [
         [
             1.0 if int(hashlib.md5(f"rp:{k}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
             for i in range(DIM)
         ]
-        for k in range(RP_OUT_DIM)
+        for k in range(n_rows)
     ]
 
 
@@ -1749,6 +1751,118 @@ def _rp_oracle_sql() -> str:
     return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
 
 
+RP_ANN_DIM = 16  # stage-1 projection width: 16/64 = 25% of the mul-adds
+RP_ANN_SCALE = (1.0 / RP_ANN_DIM) ** 0.5
+RP_CAND = 100  # measured recall@10 ~0.64 at 5k vectors (see test floor)
+
+
+def _rp_proj(u: Column) -> Column:
+    """RP_ANN_DIM rounded doubles: the JL projection of a unit vector.
+    Rounding BEFORE stage-1 scoring makes the compressed representation
+    itself the contract — both engines then rank identical doubles."""
+    signs = _rp_signs(RP_ANN_DIM)
+    return F.array(
+        *[
+            F.round(
+                _dot(u, F.array(*[F.lit(s) for s in signs[k]])) * F.lit(RP_ANN_SCALE),
+                4,
+            )
+            for k in range(RP_ANN_DIM)
+        ]
+    )
+
+
+def ann_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage top-k with JL-projected candidate generation: stage 1
+    scores every pair on the 16-dim projection (16 mul-adds instead of
+    DIM=64 — compression via dimensionality where SQ8 uses precision),
+    exact cosine re-rank of the top RP_CAND.  Deterministic at both
+    stages: the projections are rounded doubles identical across
+    engines, stage-1/stage-2 tie-break id-ascending.  100 TB shape
+    mirrors ann_topk_sq8: stage 1 carries ONLY ids + 16 doubles (the
+    compressed scan), the tiny query side broadcasts, full-precision
+    vectors touched for candidates only.  Recall floor pinned in
+    tests/test_ops.py::test_rp_ann_recall_floor — these clustered
+    synthetic embeddings have narrow cosine gaps, so JL stage-1 recall
+    (~0.6) sits below SQ8's; the op documents the dim/recall trade, it
+    does not replace the SQ8/IVF serving paths."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        .withColumn("p", _rp_proj(F.col("u")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("p").alias("cp"))
+    qscore = F.round(_dot(F.col("qp"), F.col("cp")), 4)
+    stage1 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qscore.alias("qscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    cands = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= RP_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qu = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cu = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _rp_ann_oracle_sql() -> str:
+    signs = _rp_signs(RP_ANN_DIM)
+    proj = ", ".join(
+        f"round(list_dot_product(u, {signs[k]!r}) * {RP_ANN_SCALE!r}, 4)"
+        for k in range(RP_ANN_DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+proj AS (SELECT vec_id, u, [{proj}] AS p FROM u),
+q AS (SELECT vec_id AS query_id, u AS qu, p AS qp
+      FROM proj WHERE vec_id < {N_QUERIES}),
+stage1 AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qu, c.u AS cu,
+         round(list_dot_product(qp, c.p), 4) AS qscore
+  FROM q JOIN proj c ON query_id <> c.vec_id
+),
+cands AS (
+  SELECT query_id, neighbor_id, qu, cu FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id ASC) AS r1
+    FROM stage1)
+  WHERE r1 <= {RP_CAND}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qu, cu), 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_dot_product(qu, cu), 4) DESC,
+                      neighbor_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
@@ -1761,4 +1875,5 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "corpus_prune_prototypes": (corpus_prune_prototypes, _proto_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
     "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
+    "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
 }

@@ -94,6 +94,7 @@ DRIVER_EXCLUDE = {
     # added at the round-4 tail (exact-oracled, green in test_relational
     # + driver_sim --all); first in line for the round-5 slot rotation
     "embedding_project_rp",
+    "ann_topk_rp",
     # approximate by construction (Greenwald-Khanna / DataSketches) -> no
     # exact oracle; accuracy pinned against exact yardsticks in tests
     "profile_quantiles_approx",

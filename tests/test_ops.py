@@ -1298,3 +1298,19 @@ def test_rp_projection_preserves_distances(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3, mean
     assert all(math.isfinite(r) for r in ratios)
+
+
+def test_rp_ann_recall_floor(spark, sf_dir):
+    """The JL-projected candidate stage must hold a documented recall
+    floor against the exact brute-force top-k (the trade is 16/64 of the
+    stage-1 mul-adds for imperfect recall — the floor makes the trade
+    honest, not silent)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_rp,
+    )
+
+    bf = {(r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    rp = {(r.query_id, r.neighbor_id) for r in ann_topk_rp(spark, sf_dir).collect()}
+    recall = len(bf & rp) / len(bf)
+    assert recall >= 0.5, recall
