@@ -91,10 +91,6 @@ DRIVER_EXCLUDE = {
     # 0-vs-0 rows at sf0.01 every round (no cosine>=0.9 pairs in the
     # synthetic embeddings); machinery driver-covered by dedup_semantic
     "embedding_neardup_pairs",
-    # added at the round-4 tail (exact-oracled, green in test_relational
-    # + driver_sim --all); first in line for the round-5 slot rotation
-    "embedding_project_rp",
-    "ann_topk_rp",
     # approximate by construction (Greenwald-Khanna / DataSketches) -> no
     # exact oracle; accuracy pinned against exact yardsticks in tests
     "profile_quantiles_approx",
@@ -161,6 +157,15 @@ DRIVER_EXCLUDE = {
     "dedup_simhash",        # r3 green; dedup keeps 4 driver rows
     "set_ops_nations",      # r1+r2+r3 green (three exact hash-matches)
     "events_pivot_daily",   # r1+r2+r3 green (three exact hash-matches)
+    # --- round-4-tail swaps: two r3-green rows free slots for the JL
+    #     projection pair added at the round-4 tail ---
+    # r3 green; the stopword-vote lang-ID machinery is the grouping key
+    # of text_quality_by_lang, which keeps its slot
+    "text_lang_id",
+    # r3 green; the MinHash band-join pipeline is re-run end-to-end by
+    # dedup_cluster_best (pair graph -> CC -> survivor ranking, in) and
+    # the batch-vs-corpus variant by dedup_incremental (in)
+    "dedup_minhash_lsh",
 }
 
 
@@ -195,6 +200,9 @@ _DRIVER_FIRST = [
     "corpus_split_holdout",
     "dedup_cluster_best",
     "text_lm_score_trigram",
+    # NEW at the round-4 tail: the JL projection and its ANN composition
+    "embedding_project_rp",
+    "ann_topk_rp",
     # write-path anchors (stay every round)
     "ocsf_etl_verify",
     "corpus_export_verify",

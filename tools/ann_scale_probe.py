@@ -160,10 +160,43 @@ def main() -> None:
             .count()
         )
 
+    def run_rp_stage1():
+        # JL-projected candidate generation (ann_topk_rp stage 1):
+        # project every vector to 16 rounded doubles, score 20 queries
+        # against all N projections, keep top RP_CAND per query
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+            RP_CAND,
+            _rp_proj,
+        )
+
+        proj = emb.select(
+            F.col("vec_id").alias("neighbor_id"), _rp_proj(F.col("u")).alias("cp")
+        )
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), _rp_proj(F.col("u")).alias("qp")
+        )
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.desc("qscore"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .crossJoin(proj)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot(F.col("qp"), F.col("cp")), 4).alias("qscore"),
+            )
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= RP_CAND)
+            .count()
+        )
+
     ops = {
         "semdedup": run_semdedup,
         "pq_encode_adc": run_pq_adc,
         "ivf_assign": run_ivf_assign,
+        "rp_project_stage1": run_rp_stage1,
     }
     out = {}
     for name, fn in ops.items():
