@@ -89,7 +89,9 @@ def main() -> None:
     )
 
     spark = get_spark()
-    path = "/tmp/ann_probe_corpus"
+    # size-keyed path: concurrent probes at different N must not clobber
+    # each other's corpus mid-run
+    path = f"/tmp/ann_probe_corpus_{n}"
     synthetic_vecs(spark, n).write.mode("overwrite").parquet(path)
     emb = spark.read.parquet(path)
     train = emb.filter(F.col("vec_id") % 5 == 0)

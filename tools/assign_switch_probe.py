@@ -41,7 +41,7 @@ def main() -> None:
     )
 
     spark = get_spark()
-    path = "/tmp/assign_probe_corpus"
+    path = f"/tmp/assign_probe_corpus_{n}"
     synthetic_vecs(spark, n).write.mode("overwrite").parquet(path)
     emb = spark.read.parquet(path)
 

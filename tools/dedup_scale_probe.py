@@ -88,8 +88,8 @@ def main() -> None:
 
     spark = get_spark()
     docs = synthetic_docs(spark, n)
-    docs.write.mode("overwrite").parquet("/tmp/dedup_probe_corpus")
-    corpus = spark.read.parquet("/tmp/dedup_probe_corpus")
+    docs.write.mode("overwrite").parquet(f"/tmp/dedup_probe_corpus_{n}")
+    corpus = spark.read.parquet(f"/tmp/dedup_probe_corpus_{n}")
     toks = corpus.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -127,7 +127,7 @@ def main() -> None:
         nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
         return fp.join(nd, "fp").groupBy("doc_id").count().count()
 
-    lm_path = "/tmp/dedup_probe_lm_model"
+    lm_path = f"/tmp/dedup_probe_lm_model_{n}"
     train_lm_model(spark, corpus, lm_path)  # model state: trained once
 
     def run_lm_score():
