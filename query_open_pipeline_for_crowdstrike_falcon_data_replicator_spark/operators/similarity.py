@@ -95,7 +95,7 @@ ANN_BRUTEFORCE_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, c.v), 4) AS cosine
+         round(list_cosine_similarity(q.v, c.v), 4) + 0.0 AS cosine
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
 ),
 ranked AS (
@@ -257,7 +257,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_NEARDUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+       round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_NEARDUP_THRESHOLD}
 """
@@ -571,7 +571,7 @@ cands AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         round(list_dot_product(qu, cu), 4) AS cosine,
+         round(list_dot_product(qu, cu), 4) + 0.0 AS cosine,
          row_number() OVER (PARTITION BY query_id
              ORDER BY round(list_dot_product(qu, cu), 4) DESC,
                       neighbor_id ASC) AS rank
@@ -607,7 +607,7 @@ q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM sigs WHERE vec_id < 
 probes AS (SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q),
 scored AS (
   SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(qv, c.v), 4) AS cosine
+         round(list_cosine_similarity(qv, c.v), 4) + 0.0 AS cosine
   FROM probes JOIN sigs c USING (bucket)
   WHERE query_id <> c.vec_id
 ),
@@ -1000,7 +1000,7 @@ probes AS (
 ),
 scored AS (
   SELECT DISTINCT query_id, neighbor_id,
-         round(list_dot_product(qu, cu), 4) AS cosine
+         round(list_dot_product(qu, cu), 4) + 0.0 AS cosine
   FROM probes JOIN assigned USING (cell)
   WHERE query_id <> neighbor_id
 ),
@@ -1130,7 +1130,7 @@ stage1 AS (
 ),
 rerank AS (
   SELECT s.query_id, s.neighbor_id,
-         round(list_dot_product(q.u, n.u), 4) AS cosine
+         round(list_dot_product(q.u, n.u), 4) + 0.0 AS cosine
   FROM stage1 s
   JOIN u q ON q.vec_id = s.query_id
   JOIN u n ON n.vec_id = s.neighbor_id
@@ -1278,7 +1278,7 @@ cands AS (
 ),
 rerank AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_dot_product(q.u, n.u), 4) AS cosine
+         round(list_dot_product(q.u, n.u), 4) + 0.0 AS cosine
   FROM cands c
   JOIN u q ON q.vec_id = c.query_id
   JOIN u n ON n.vec_id = c.neighbor_id
@@ -1464,7 +1464,7 @@ def _proto_oracle_sql() -> str:
     return f"""
 WITH {_lloyd_chain()},
 assigned AS (
-  SELECT vec_id, cell, round(cos, 4) AS cos_to_centroid FROM (
+  SELECT vec_id, cell, round(cos, 4) + 0.0 AS cos_to_centroid FROM (
     SELECT t.vec_id, s.cell, list_dot_product(t.u, s.c) AS cos,
            row_number() OVER (PARTITION BY t.vec_id
                ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
@@ -1675,7 +1675,7 @@ cands AS (
 ),
 rerank AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_dot_product(q.u, n.u), 4) AS cosine
+         round(list_dot_product(q.u, n.u), 4) + 0.0 AS cosine
   FROM cands c
   JOIN u q ON q.vec_id = c.query_id
   JOIN u n ON n.vec_id = c.neighbor_id
@@ -1732,9 +1732,18 @@ def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _vec().alias("v")
     )
+    # "+ 0.0" normalizes the sign of zero (IEEE: -0.0 + 0.0 = +0.0) so a
+    # tiny negative dot that rounds to zero hashes identically in both
+    # engines: Spark's BigDecimal HALF_UP round has no signed zero, but
+    # DuckDB's round() preserves -0.0 (CORRECTNESS_r04 root cause).
     proj = [
-        F.round(
-            _dot(F.col("v"), F.array(*[F.lit(s) for s in signs[k]])) * F.lit(RP_SCALE), 4
+        (
+            F.round(
+                _dot(F.col("v"), F.array(*[F.lit(s) for s in signs[k]]))
+                * F.lit(RP_SCALE),
+                4,
+            )
+            + F.lit(0.0)
         ).alias(f"p{k}")
         for k in range(RP_OUT_DIM)
     ]
@@ -1745,7 +1754,7 @@ def _rp_oracle_sql() -> str:
     signs = _rp_signs()
     cols = ",\n       ".join(
         f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {signs[k]!r})"
-        f" * {RP_SCALE!r}, 4) AS p{k}"
+        f" * {RP_SCALE!r}, 4) + 0.0 AS p{k}"
         for k in range(RP_OUT_DIM)
     )
     return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
@@ -1853,7 +1862,7 @@ cands AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
-         round(list_dot_product(qu, cu), 4) AS cosine,
+         round(list_dot_product(qu, cu), 4) + 0.0 AS cosine,
          row_number() OVER (PARTITION BY query_id
              ORDER BY round(list_dot_product(qu, cu), 4) DESC,
                       neighbor_id ASC) AS rank

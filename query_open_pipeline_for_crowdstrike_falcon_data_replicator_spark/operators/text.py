@@ -1294,7 +1294,7 @@ scored AS (
                list_transform(string_split(lower(text), ' '),
                  tok -> ws[CAST({_QM_BUCKET_SQL.format(tok="tok")} AS INTEGER) + 1])),
              (acc, x) -> acc + x)
-           / len(string_split(lower(text), ' ')), 6) AS logit
+           / len(string_split(lower(text), ' ')), 6) + 0.0 AS logit
   FROM documents CROSS JOIN warr
 )
 SELECT doc_id, n_tokens, logit, logit > 0 AS keep FROM scored
@@ -1542,7 +1542,7 @@ scored AS (
   LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
   CROSS JOIN scal
 )
-SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
 FROM scored
 GROUP BY 1
 """
@@ -1591,7 +1591,7 @@ scored AS (
                    AND tk.tok = tr.tok
   CROSS JOIN scal
 )
-SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
 FROM scored
 GROUP BY 1
 """
@@ -2278,14 +2278,14 @@ ratio AS (
   FROM src s LEFT JOIN tgt t USING (bucket) CROSS JOIN tt CROSS JOIN ts
 ),
 logw AS (
-  SELECT doc_id, round(sum(ratio), 6) AS log_w
+  SELECT doc_id, round(sum(ratio), 6) + 0.0 AS log_w
   FROM toks JOIN ratio USING (bucket) GROUP BY 1
 ),
 keyed AS (
   SELECT doc_id, log_w,
          round(log_w - ln(-ln(
            (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) + 0.5) / {float(1 << 60)})), 6) AS gumbel_key
+                 AS BIGINT) + 0.5) / {float(1 << 60)})), 6) + 0.0 AS gumbel_key
   FROM logw
 )
 SELECT doc_id, log_w, gumbel_key,

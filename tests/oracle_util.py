@@ -64,8 +64,12 @@ def compare(spark_df, con, sql: str) -> list[str]:
         for c in a.columns:
             av, bv = a[c], b[c]
             if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+                # Bit-faithful, like the driver's serialized value-hash: the
+                # sign of zero matters (-0.0 != +0.0 at repr level even though
+                # they compare numerically equal) and NaN only equals NaN.
                 ok = [
-                    (math.isnan(x) and math.isnan(y)) or x == y
+                    (math.isnan(x) and math.isnan(y))
+                    or (x == y and math.copysign(1.0, x) == math.copysign(1.0, y))
                     for x, y in zip(av.fillna(float("nan")), bv.fillna(float("nan")))
                 ]
                 if not all(ok):
