@@ -536,3 +536,51 @@ def test_rp_projection_is_shuffle_free_single_projection(spark, sf_dir):
     # (a local-test fan-out, not a key shuffle)
     assert "hashpartitioning" not in plan, plan[:1200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_stage1_windows_get_window_group_limit(spark, sf_dir):
+    """The compressed-scan ANN variants rank stage-1 candidates with
+    `row_number() <= CAND` windows; Spark 4.1's WindowGroupLimit rewrite
+    must apply in Partial mode (per-input-partition top-k heaps BEFORE
+    the shuffle) so only ~CAND rows per (partition x query) ever move.
+    A refactor that breaks rewrite eligibility (e.g. a second window
+    function in the same spec) would silently reintroduce full per-query
+    partition sorts at 100 TB — pin it."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_ivf_pq,
+        ann_topk_ivf_sq8,
+        ann_topk_pq,
+        ann_topk_rp,
+        ann_topk_sq8,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    import re
+
+    # Full-scan stage-1 (broadcast query side over an unpartitioned
+    # corpus scan): the rank filter MUST split into a Partial heap below
+    # the query_id shuffle + Final above it.
+    for fn in (ann_topk_sq8, ann_topk_pq, ann_topk_rp):
+        plan = _formatted(fn(spark, sf_dir))
+        release_tracked_caches()
+        assert re.search(r"row_number\(\), \d+, Partial", plan), (
+            f"{fn.__name__}: stage-1 window lost its Partial-mode "
+            f"pre-shuffle heap\n{plan[:1500]}"
+        )
+        assert re.search(r"row_number\(\), \d+, Final", plan), (
+            f"{fn.__name__}: Final mode missing"
+        )
+
+    # IVF variants: the probe-side nprobe window already shuffled by
+    # query_id, so stage-1 arrives co-partitioned and Spark plans a
+    # Final-only WindowGroupLimit with NO new Exchange — the group-limit
+    # heap must still be there (a plain Window would buffer every
+    # candidate row per query before filtering).
+    for fn in (ann_topk_ivf_sq8, ann_topk_ivf_pq):
+        plan = _formatted(fn(spark, sf_dir))
+        release_tracked_caches()
+        assert re.search(r"row_number\(\), \d+, Final", plan), (
+            f"{fn.__name__}: WindowGroupLimit heap missing\n{plan[:1500]}"
+        )
