@@ -1195,14 +1195,16 @@ def build_quality_model(
     dense.repartition(1).write.mode("overwrite").parquet(model_path)
 
 
-def _quality_model_path(sf_dir: str) -> str:
+def _quality_model_path(sf_dir: str, fp: str) -> str:
     import tempfile
 
     # v2 in the name: the artifact FORMAT is versioned so a box holding a
-    # stale artifact from an older model definition retrains cleanly
+    # stale artifact from an older model definition retrains cleanly; the
+    # fingerprint suffix keys the CONTENT, so a regenerated corpus at an
+    # unchanged sf_dir never serves stale weights (ADVICE r4)
     return os.path.join(
         tempfile.gettempdir(),
-        "qopcfdr_qm2_model_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"qopcfdr_qm2_model_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
     )
 
 
@@ -1227,10 +1229,14 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     model state — inference stays one parquet-scan projection inside
     whole-stage codegen.  The token-order left fold is replayed with the
     identical add order by the oracle, so the float sum is bit-equal."""
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    model_path = _quality_model_path(sf_dir)
-    if not os.path.exists(os.path.join(model_path, "_SUCCESS")):
-        build_quality_model(spark, model_path, docs)
+    model_path = build_once(
+        _quality_model_path(sf_dir, corpus_fingerprint(docs)),
+        "_SUCCESS",
+        lambda p: build_quality_model(spark, p, docs),
+    )
     weights = load_quality_weights(spark, model_path)
 
     t = _tokens()
@@ -1416,15 +1422,16 @@ def posixjoin(*parts: str) -> str:
     return posixpath.join(*parts)
 
 
-def _lm_model_path(sf_dir: str) -> str:
+def _lm_model_path(sf_dir: str, fp: str) -> str:
     import tempfile
 
     # v2 in the name: the artifact FORMAT is versioned (bigrams gained
     # the denormalized prev_c1 column) so a box holding a stale artifact
-    # from an older layout retrains cleanly
+    # from an older layout retrains cleanly; the fingerprint suffix keys
+    # the CONTENT (regenerated corpus => new path, ADVICE r4)
     return os.path.join(
         tempfile.gettempdir(),
-        "qopcfdr_lm2_model_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"qopcfdr_lm2_model_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
     )
 
 
@@ -1492,10 +1499,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean NLL under the bigram-with-backoff LM, scored
     against the parquet model artifact (trained on first use from the
     corpus itself — self-scoring, the CCNet bootstrap arrangement)."""
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    model_path = _lm_model_path(sf_dir)
-    if not os.path.exists(os.path.join(model_path, "scalars", "_SUCCESS")):
-        train_lm_model(spark, docs, model_path)
+    model_path = build_once(
+        _lm_model_path(sf_dir, corpus_fingerprint(docs)),
+        os.path.join("scalars", "_SUCCESS"),
+        lambda p: train_lm_model(spark, docs, p),
+    )
     return score_lm(docs, spark, model_path)
 
 
@@ -1505,10 +1516,14 @@ def text_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (with its denormalized context denominator) and one more LEFT
     join, nothing else; KenLM's 5-gram is two further iterations of the
     identical step."""
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    model_path = _lm_model_path(sf_dir) + "_tri"
-    if not os.path.exists(os.path.join(model_path, "scalars", "_SUCCESS")):
-        train_lm_model(spark, docs, model_path, order=3)
+    model_path = build_once(
+        _lm_model_path(sf_dir, corpus_fingerprint(docs)) + "_tri",
+        os.path.join("scalars", "_SUCCESS"),
+        lambda p: train_lm_model(spark, docs, p, order=3),
+    )
     return score_lm(docs, spark, model_path, order=3)
 
 
@@ -1886,15 +1901,21 @@ def corpus_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_assignments(kept).withColumn(
         "shard", F.floor(F.col("seq_id") / EXPORT_SEQS_PER_SHARD).cast("long")
     )
-    # fixed per-SF path + overwrite, NOT mkdtemp-per-call: repeated
-    # driver/test/bench invocations reuse (and truncate) one directory
-    # instead of leaking a new parquet tree on every run; the read-back
-    # below is lazy, so the directory must outlive this builder
+    # fixed per-SF final path (no per-call parquet-tree leak), built via
+    # a process-unique staging dir + rename swap so a concurrent session
+    # never scans a half-overwritten export; the read-back below is
+    # lazy, so the final directory must outlive this builder
+    import uuid
+
+    from ..sinks.artifacts import publish_swap
+
     base = os.path.join(
         tempfile.gettempdir(),
         "qopcfdr_export_" + os.path.basename(os.path.normpath(sf_dir)),
     )
-    packed.write.mode("overwrite").partitionBy("shard").parquet(base)
+    stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    packed.write.mode("overwrite").partitionBy("shard").parquet(stage)
+    publish_swap(stage, base)
     back = spark.read.parquet(base)
     return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),

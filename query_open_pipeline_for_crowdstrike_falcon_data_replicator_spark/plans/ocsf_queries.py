@@ -206,9 +206,16 @@ def ocsf_etl_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
         .alias("value")
     )
-    # fixed path + overwrite, not mkdtemp-per-call (directory-leak rule)
+    # fixed final path (no per-call directory leak), staged build +
+    # rename swap so a concurrent session never reads a partial lake
+    import uuid
+
+    from ..sinks.artifacts import publish_swap
+
     base = os.path.join(tempfile.gettempdir(), f"qopcfdr_etl_{n}")
-    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
+    stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    process_batch(spark, parse_fdr_lines(lines), stage, mode="overwrite")
+    publish_swap(stage, base)
     out = None
     for key in TABLE_KEYS:
         df = spark.read.parquet(f"{base}/{key}")
@@ -274,6 +281,10 @@ def _build_verify_lake(spark: SparkSession) -> str:
     from ..sources.fdr import parse_fdr_lines
     from ..sources.tables import ensure_runtime_conf
 
+    import uuid
+
+    from ..sinks.artifacts import publish_swap
+
     ensure_runtime_conf(spark)
     base = os.path.join(tempfile.gettempdir(), f"qopcfdr_etl_verify_{N_VERIFY}")
     fixtures = F.array(*[F.lit(l) for l in _fixture_lines()])
@@ -281,10 +292,15 @@ def _build_verify_lake(spark: SparkSession) -> str:
         F.element_at(fixtures, (F.col("id") % len(_fixture_lines())).cast("int") + 1)
         .alias("value")
     )
-    process_batch(spark, parse_fdr_lines(lines), base, mode="overwrite")
-    with open(os.path.join(base, "_lake_built"), "w") as f:
+    # build into a process-unique staging tree, then rename-swap it in:
+    # a concurrent reader of the previous lake never scans a half-written
+    # overwrite (ADVICE r4), and the probe still re-runs its write path
+    # every call (that IS what it verifies)
+    stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    process_batch(spark, parse_fdr_lines(lines), stage, mode="overwrite")
+    with open(os.path.join(stage, "_lake_built"), "w") as f:
         f.write(str(N_VERIFY))
-    return base
+    return publish_swap(stage, base)
 
 
 def ocsf_etl_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:

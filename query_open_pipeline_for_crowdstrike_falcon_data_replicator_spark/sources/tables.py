@@ -45,7 +45,10 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
     # shuffle partitions pays pure scheduling overhead on a single node
     # (AQE coalescing does not cover every stage — e.g. foreachBatch
     # work inside streaming probes); size it to the actual parallelism.
-    # A caller that DELIBERATELY set a value is left untouched.
+    # A caller that set a NON-DEFAULT value is left untouched; note a
+    # deliberate, explicit 200 is indistinguishable from the unset
+    # default at runtime (conf.get sees "200" either way) and is resized
+    # too — callers that truly want 200 must set it after this call.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",

@@ -23,7 +23,6 @@ and tests.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -31,15 +30,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import PACK_SEQ_LEN, _tokens
-from ..sinks.snapshot import current_version, read_snapshot
+from ..sinks.artifacts import build_once
+from ..sinks.snapshot import read_snapshot
 from ..sources.tables import load_table
 from .packing import PACKED_TABLE, STATE_TABLE, _running_total, run_packing_stream
 
 
-def _base_dir(sf_dir: str) -> str:
+def _base_dir(sf_dir: str, fp: int) -> str:
+    # salted with the corpus token total (a content key): a regenerated
+    # corpus at an unchanged sf_dir gets a fresh stream run instead of a
+    # stale snapshot (ADVICE r4)
     return os.path.join(
         tempfile.gettempdir(),
-        "qopcfdr_streampack_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"qopcfdr_streampack_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
     )
 
 
@@ -78,28 +81,36 @@ def stream_pack_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.agg(F.sum(F.size(_tokens())).alias("t")).collect()[0]["t"]
     )
 
-    base = _base_dir(sf_dir)
-    out = os.path.join(base, "out")
-    state_path = os.path.join(out, STATE_TABLE)
-    have = (
-        _running_total(spark, state_path)
-        if current_version(spark, state_path) is not None
-        else -1
-    )
-    if have != expected_total:
-        shutil.rmtree(base, ignore_errors=True)
-        src = os.path.join(base, "src")
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
         _write_ordered_batches(docs, src)
         q = run_packing_stream(
             spark,
             os.path.join(src, "b*"),
-            out,
-            os.path.join(base, "ckpt"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
             max_files_per_trigger=1,
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:
+            # Reading back a partially-packed snapshot would surface as a
+            # confusing oracle hash mismatch; fail loudly instead.
+            raise TimeoutError(
+                "stream_pack_verify: packing stream did not drain within "
+                "300s; snapshot is partial, refusing to read it back"
+            )
+        have = _running_total(spark, os.path.join(stage, "out", STATE_TABLE))
+        if have != expected_total:
+            raise AssertionError(
+                f"stream carried {have} tokens across batches, corpus has "
+                f"{expected_total}"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(str(expected_total))
 
+    base = build_once(_base_dir(sf_dir, expected_total), "_COMPLETE", _build)
+    out = os.path.join(base, "out")
     packed = read_snapshot(spark, os.path.join(out, PACKED_TABLE))
     return (
         packed.groupBy(F.col("seq_id").cast("long").alias("seq_id"))
