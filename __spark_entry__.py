@@ -31,9 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Curated to 50 entries: the round driver's correctness harness records
-    at most 50, so duplicate-by-construction entries are excluded here
-    (registry.DRIVER_EXCLUDE) while remaining in ``registry.all_queries``
-    for tests, bench, and tools/driver_sim.py."""
+    at most 50, so structural duplicates are excluded
+    (registry.STRUCTURAL_EXCLUDE) and the slots go to anchors +
+    never-verified + oldest-green-first per the recorded verification
+    history (verification.DRIVER_HISTORY); everything stays in
+    ``registry.all_queries`` for tests, bench, and tools/driver_sim.py."""
     return {name: fn for name, (fn, _sql) in driver_queries().items()}
 
 

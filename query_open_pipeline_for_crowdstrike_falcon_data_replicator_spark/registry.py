@@ -54,20 +54,14 @@ BENCH_EXCLUDE = {
 # entries (CORRECTNESS_r01.json stopped at exactly the first 50 in dict
 # order while the SAME round's bench ran all 55+ fine, so it was a count
 # cap, not a failure).  queries()/oracle_sql() therefore expose a curated
-# 50-entry set; the excluded entries below are duplicates-by-construction
-# whose operators remain covered by a surviving entry plus the in-repo
-# oracle tests (tests/test_relational.py + tools/driver_sim.py run ALL of
-# all_queries() every session).
-DRIVER_EXCLUDE = {
-    # ================================================================ #
-    # Never-driver-verified entries take priority for the 50 slots; an
-    # exclusion below means the entry ALREADY has a green hash-matched
-    # row in a CORRECTNESS_r0N.json (round noted) or is a duplicate-by-
-    # construction of a surviving entry.  Every excluded entry still
-    # runs its exact oracle every session via tests/test_relational.py
-    # (parametrizes all_queries()) and tools/driver_sim.py --all.
-    # ================================================================ #
-    #
+# 50-entry set.  Since round 5 the selection is DERIVED from recorded
+# verification history (verification.DRIVER_HISTORY): never-verified
+# entries first, then oldest-green-first, so no entry goes stale for many
+# rounds.  Only structural exclusions are hand-maintained below; every
+# excluded entry still runs its exact oracle every session via
+# tests/test_relational.py (parametrizes all_queries()) and
+# tools/driver_sim.py --all.
+STRUCTURAL_EXCLUDE = {
     # --- duplicates-by-construction (no own driver slot by design) ---
     # subset of events_hypertable_rollup (same daily agg minus n_users/segment)
     "events_daily_agg",
@@ -83,130 +77,39 @@ DRIVER_EXCLUDE = {
     # rows-only sink probe superseded as driver signal by ocsf_etl_verify
     # (same write path with a VALUES-join oracle)
     "ocsf_etl_50k",
-    # 0-vs-0 rows at sf0.01 (no customers without orders in the synthetic
-    # data) — zero content signal; anti-join shape covered by q21
+    # --- zero content signal at sf0.01 (0-vs-0 rows every round) ---
+    # no customers without orders in the synthetic data; anti-join shape
+    # covered by q21
     "anti_join_customers_without_orders",
-    # 0-vs-0 rows at sf0.01 (no idle customers) — same rule
+    # no idle customers — same rule
     "q22_idle_customers",
-    # 0-vs-0 rows at sf0.01 every round (no cosine>=0.9 pairs in the
-    # synthetic embeddings); machinery driver-covered by dedup_semantic
+    # no cosine>=0.9 pairs in the synthetic embeddings; machinery
+    # driver-covered by dedup_semantic
     "embedding_neardup_pairs",
-    # approximate by construction (Greenwald-Khanna / DataSketches) -> no
-    # exact oracle; accuracy pinned against exact yardsticks in tests
+    # --- approximate by construction (Greenwald-Khanna / DataSketches)
+    #     -> no exact oracle; accuracy pinned against exact yardsticks
+    #     in tests ---
     "profile_quantiles_approx",
     "events_sketch_rollup",
     "events_sketch_range",
-    #
-    # --- TPC-H family anchors: q1/q3/q5 keep slots; these shapes are
-    #     strict family twins of a surviving anchor (all driver-green in
-    #     r1/r2 or covered by the anchor's harder variant) ---
-    "q6_forecast_revenue",   # subset of q1 scan-agg; family via q14/q17/q19... q19 keeps
-    "q4_priority_check",     # EXISTS semi shape via semi_join_urgent_customers + q21
-    "q14_promo_revenue",     # CASE-fraction agg family via q19
-    "q15_top_supplier",      # scalar-threshold family via q2/q20
-    "q12_priority_classes",  # join + CASE-sum via q8
-    "q10_returned_items",    # q3's join-agg-topk chain + a broadcast dim
-    "q17_small_quantity",    # correlated-scalar family via q2/q20
-    "q7_volume_shipping",    # broadcast-dim multi-join CASE agg via q5/q8/q9
-    "q18_large_volume",      # group-HAVING + topk via q3 + window_top
-    # driver-green r1-r3; scalar-subquery threshold family keeps q2/q20;
-    # slot rotated to the never-verified set in r4
-    "q11_important_stock",
-    #
-    # --- window/text/ocsf shapes covered by surviving anchors ---
-    # WindowExec family keeps window_top_orders_per_customer
-    "window_running_revenue",
-    # parse->envelope stage driver-verified inside ocsf_etl_verify
-    "events_ocsf_envelope",
-    # driver-green r1-r3; the normalize path is the FIRST STAGE of
-    # ocsf_etl_verify (which keeps its slot), so rotating this out keeps
-    # full driver coverage of parse->classify->normalize->write
-    "ocsf_normalize_100k",
-    # per-doc single-projection scan via text_token_fingerprint;
-    # aggregate form text_quality_by_lang is BUILT from it
-    "text_stats",
-    #
-    # --- driver-green in r3 (hash-matched rows in CORRECTNESS_r03.json),
-    #     rotated out in r4 so the never-verified entries get slots ---
-    "events_cm_topk",        # r3 green (merge-losslessness proven)
-    "events_ewma_anomaly",   # r3 green; decay fold also pinned vs stream twin
-    "text_gopher_filter",    # r3 green
-    "ann_topk_pq",           # r3 green; codebook/ADC stage lives on in ivf_pq
-    "ann_topk_lsh",          # r3 green; hyperplane family via bruteforce anchor
-    "dedup_semantic",        # r3 green; Lloyd-cell machinery via corpus_prune_prototypes
-    "dedup_substring",       # r3 green
-    "text_repetition",       # r3 green
-    "text_winnow",           # r3 green
-    "ann_topk_ivf_sq8",      # r3 green; int8+cell-probe machinery via ann_topk_sq8 + ann_topk_ivf_pq
-    "corpus_pack_sequences", # r3 green; packing arithmetic re-verified every round inside corpus_export_verify
-    "events_resample_locf",  # r3 green; resampled-grid machinery via events_cusum_changepoint
-    "dedup_cluster",         # r3 green
-    "text_contamination",    # r3 green
-    "corpus_mix_sources",    # r3 green; md5-coin stratum machinery via corpus_dsir_resample
-    "text_pii_redact",       # r3 green
-    "multimodal_features",   # r3 green; Arrow mapInPandas path keeps a slot via multimodal_meta
-    "multimodal_frames",     # r3 green (1->N frame explode)
-    #
-    # --- driver-green r1/r2, out since r3 ---
-    "dedup_exact",           # r1+r2 green; md5-groupBy is corpus_curation's first stage (now a slot)
-    "corpus_sample_budget",  # r2+r3 green; rate machinery via corpus_mix_sources/corpus_dsir_resample
-    "ann_topk_ivf",          # r2 green; strict subset of ann_topk_ivf_sq8 (r3 green)
-    # --- late-r4 swaps: three triple-green rows free slots for the
-    #     three operators added this round, taking CUMULATIVE driver
-    #     coverage to every exact-oracled entry in the registry ---
-    "dedup_simhash",        # r3 green; dedup keeps 4 driver rows
-    "set_ops_nations",      # r1+r2+r3 green (three exact hash-matches)
-    "events_pivot_daily",   # r1+r2+r3 green (three exact hash-matches)
-    # --- round-4-tail swaps: two r3-green rows free slots for the JL
-    #     projection pair added at the round-4 tail ---
-    # r3 green; the stopword-vote lang-ID machinery is the grouping key
-    # of text_quality_by_lang, which keeps its slot
-    "text_lang_id",
-    # r3 green; the MinHash band-join pipeline is re-run end-to-end by
-    # dedup_cluster_best (pair graph -> CC -> survivor ranking, in) and
-    # the batch-vs-corpus variant by dedup_incremental (in)
-    "dedup_minhash_lsh",
 }
 
+# kept for external references; the historical per-entry rotation notes
+# now live as data in verification.DRIVER_HISTORY
+DRIVER_EXCLUDE = STRUCTURAL_EXCLUDE
 
-# Never-driver-verified entries FIRST (the 18 the round-3 verdict flagged
-# plus this round's new registrations), so they are inside any driver
-# count or time budget; long-green anchors follow.
-_DRIVER_FIRST = [
-    # round-4 rotations: 18 exact-oracled entries with no driver row yet
-    "text_lm_score",
-    "text_quality_model",
-    "events_retention_cohorts",
-    "events_funnel",
-    "events_cusum_changepoint",
-    "corpus_dsir_resample",
-    "ann_topk_ivf_pq",
-    "text_bm25",
-    "text_phrase_mining",
-    "corpus_prune_prototypes",
-    "corpus_chunk_overlap",
-    "corpus_dedup_chunks",
-    "text_vocabulary",
-    "events_anomaly_zscore",
-    "dedup_incremental",
-    "ann_topk_sq8",
-    "corpus_curation",
-    "multimodal_meta",
-    # NEW this round: the stream-produced-snapshot read-back probe and
-    # the cross-class union-view search (the Athena-replacement shape)
-    "stream_pack_verify",
-    "ocsf_all_search",
-    # NEW late this round (swapped in for triple-green rows)
-    "corpus_split_holdout",
-    "dedup_cluster_best",
-    "text_lm_score_trigram",
-    # NEW at the round-4 tail: the JL projection and its ANN composition
-    "embedding_project_rp",
-    "ann_topk_rp",
-    # write-path anchors (stay every round)
+# Always-in slots: the three relational anchors plus the two write-path
+# probes (batch 13-sink lake + curate->pack->shard export) — these gate
+# regressions on the reference's PRIMARY dataflow every round.
+DRIVER_ANCHORS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "ocsf_etl_verify",
     "corpus_export_verify",
-]
+)
+
+DRIVER_SLOTS = 50
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
@@ -238,13 +141,23 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
 
 
 def driver_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    """The curated ≤50-entry set the round driver verifies, previously
-    unverified entries first (see DRIVER_EXCLUDE note)."""
+    """The curated ≤50-entry set the round driver verifies, derived from
+    recorded verification history: anchors first, then never-verified
+    entries, then oldest-green-first (verification.DRIVER_HISTORY), so
+    re-verification recency is optimized mechanically instead of by
+    hand-rotated exclusion lists."""
+    from .verification import last_green
+
     full = all_queries()
     ordered: dict[str, tuple[QueryFn, str | None]] = {
-        n: full[n] for n in _DRIVER_FIRST if n in full and n not in DRIVER_EXCLUDE
+        n: full[n] for n in DRIVER_ANCHORS if n in full
     }
-    for n, v in full.items():
-        if n not in ordered and n not in DRIVER_EXCLUDE:
-            ordered[n] = v
+    eligible = sorted(
+        (n for n in full if n not in ordered and n not in STRUCTURAL_EXCLUDE),
+        key=lambda n: (last_green(n), n),
+    )
+    for n in eligible:
+        if len(ordered) >= DRIVER_SLOTS:
+            break
+        ordered[n] = full[n]
     return ordered
