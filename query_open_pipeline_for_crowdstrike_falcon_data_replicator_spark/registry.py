@@ -47,6 +47,9 @@ BENCH_EXCLUDE = {
     # may rebuild the 13-sink verify lake inside the builder (a
     # correctness probe over the union view, not a timed op)
     "ocsf_all_search",
+    # runs the full OCSF pipeline as a Structured Streaming query (3
+    # micro-batches x 17 snapshot commits) inside the builder
+    "ocsf_stream_verify",
 }
 
 

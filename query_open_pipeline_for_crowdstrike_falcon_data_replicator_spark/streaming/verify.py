@@ -164,8 +164,106 @@ GROUP BY 1
 """
 
 
+def ocsf_stream_verify(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the reference's PRIMARY dataflow as a
+    STREAM (README.md:36-43: S3 object notifications -> micro-batches ->
+    13 sinks): the same 20k synthetic FDR fixture events as
+    ``ocsf_etl_verify``, but delivered as three NDJSON file drops through
+    ``run_stream(snapshot=True)`` — file-source discovery standing in for
+    EventBridge, maxFilesPerTrigger=1 for the notification batch, each
+    micro-batch committing all 13 OCSF tables + 4 quarantines as
+    exactly-once snapshot versions — then the snapshot tables read BACK
+    and aggregated per (sink, eventDay).  The oracle is the identical
+    VALUES-join replay ``ocsf_etl_verify`` uses: a hash-match proves the
+    stream path (micro-batch slicing, per-batch classify->normalize->
+    route, the snapshot commit protocol, partition-column derivation)
+    lands value-for-value where the batch path does.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the operators it drives carry their own 100 TB
+    design (plan pins + run_stream's trigger/buffer knobs)."""
+    import json
+
+    from ..ocsf.schemas import TABLE_KEYS
+    from ..plans.ocsf_queries import N_VERIFY, _fixture_lines
+    from ..sources.tables import ensure_runtime_conf
+    from .pipeline import run_stream
+
+    ensure_runtime_conf(spark)
+    fixtures = _fixture_lines()
+    n_fix = len(fixtures)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        t0 = 1_000_000_000
+        cuts = (N_VERIFY // 3, 2 * N_VERIFY // 3, N_VERIFY)
+        lo = 0
+        for i, hi in enumerate(cuts):
+            d = os.path.join(src, f"b{i}")
+            os.makedirs(d)
+            fpath = os.path.join(d, "events.ndjson")
+            with open(fpath, "w") as f:
+                for j in range(lo, hi):
+                    f.write(fixtures[j % n_fix] + "\n")
+            os.utime(fpath, (t0 + i, t0 + i))
+            lo = hi
+        q = run_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            snapshot=True,
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "ocsf_stream_verify: stream did not drain within 600s; "
+                "snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(json.dumps({"n": N_VERIFY, "n_fix": n_fix}))
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(), f"qopcfdr_stream_verify_{N_VERIFY}_{n_fix}"
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    out = os.path.join(base, "out")
+    agg = None
+    for key in TABLE_KEYS:
+        df = read_snapshot(spark, os.path.join(out, key))
+        part = (
+            df.groupBy(F.col("eventDay").cast("string").alias("event_day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("class_uid").alias("n_classes"),
+                F.min(F.unix_millis("time")).alias("min_time_ms"),
+                F.max(F.unix_millis("time")).alias("max_time_ms"),
+            )
+            .select(
+                F.lit(key).alias("sink"), "event_day", "n_rows",
+                "n_classes", "min_time_ms", "max_time_ms",
+            )
+        )
+        agg = part if agg is None else agg.unionByName(part)
+    return agg
+
+
+def _stream_verify_oracle_sql() -> str:
+    # the stream must land value-for-value where the batch write path
+    # does — same VALUES-join fixture replay, byte-identical SQL
+    from ..plans.ocsf_queries import _etl_verify_oracle_sql
+
+    return _etl_verify_oracle_sql()
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "stream_pack_verify": (stream_pack_verify, STREAM_PACK_VERIFY_SQL),
+    "ocsf_stream_verify": (ocsf_stream_verify, _stream_verify_oracle_sql()),
 }
