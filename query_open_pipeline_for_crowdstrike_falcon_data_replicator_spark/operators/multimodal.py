@@ -163,12 +163,280 @@ def _decode_png_stdlib(data: bytes):
     return width, height, px.reshape(height, width, channels)
 
 
+_JPEG_SIG = b"\xff\xd8"
+
+
+def _zigzag_order():
+    """The JPEG zigzag scan as (row, col) pairs, generated (not typed)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and 0 <= s - i < 8]
+        order.extend(diag[::-1] if s % 2 == 0 else diag)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix M: forward F = M f M^T, inverse
+    f = M^T F M — the separable form both the stdlib decoder and the
+    test-fixture encoder share."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8))
+    for k in range(8):
+        c = math.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            m[k, n] = c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return m
+
+
+def _build_huffman(counts, symbols):
+    """Canonical JPEG Huffman table -> {(length, code): symbol}."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy stream exhausted mid-block")
+        v = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, lut) -> int:
+    length = 0
+    code = 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Amplitude decode (spec F.2.2.1): s low bits v -> signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg_stdlib(data: bytes):
+    """Pure-stdlib baseline JPEG decode -> (width, height, HxWxC uint8).
+
+    Supports sequential baseline (SOF0), 8-bit, grayscale or YCbCr with
+    sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), tables from the file,
+    restart markers, byte stuffing.  Progressive (SOF2) / arithmetic /
+    12-bit keep the declared NotImplementedError — install Pillow for
+    those.  Mirrors the stdlib PNG path: real decode of the checked-in
+    fixtures, honest boundary for the rest."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != _JPEG_SIG:
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                    np.int32
+                )
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = list(seg[i : i + 16])
+                i += 16
+                n = sum(counts)
+                huff[(tc, th)] = _build_huffman(counts, list(seg[i : i + n]))
+                i += n
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for c in range(seg[5]):
+                o = 6 + 3 * c
+                comps.append(
+                    {"h": seg[o + 1] >> 4, "v": seg[o + 1] & 15, "tq": seg[o + 2]}
+                )
+            if len(comps) not in (1, 3) or any(
+                c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps
+            ):
+                raise NotImplementedError(
+                    "stdlib JPEG path supports gray / YCbCr with sampling "
+                    "factors 1-2; install Pillow for the rest"
+                )
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) without Pillow"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [
+                (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)
+            ]
+            break
+        # APPn / COM / DNL etc.: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+
+    # entropy-coded segments, unstuffed, split at restart markers
+    segments: list[bytearray] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(cur)
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(cur)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
+        for c in comps
+    ]
+    M = _dct_matrix()
+    preds = [0] * len(comps)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                dclut = huff[(0, scan[ci][0])]
+                aclut = huff[(1, scan[ci][1])]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dclut)
+                        preds[ci] += _extend(br.read_bits(s), s) if s else 0
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, aclut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coeffs[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros((8, 8))
+                        dq = coeffs * q
+                        for zi, (r_, c_) in enumerate(_ZIGZAG):
+                            blk[r_, c_] = dq[zi]
+                        px = np.clip(np.round(M.T @ blk @ M + 128), 0, 255)
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px.astype(
+                            np.uint8
+                        )
+            n_mcu += 1
+
+    # chroma upsample by pixel replication to the padded luma grid, crop
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if comp["h"] != hmax or comp["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+            )
+        full.append(p[:h, :w].astype(np.float64))
+    if len(full) == 1:
+        return w, h, full[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return w, h, rgb
+
+
 def decode_image_batch(payloads):
     """REAL image decode for a batch of payloads -> list of
     (width, height, HxWxC uint8 pixels).  Pillow when installed (any
-    format it reads); else the stdlib PNG decoder above.  Other formats
-    without Pillow keep the declared NotImplementedError — the honest
-    boundary of what this container can decode."""
+    format it reads); else the stdlib PNG decoder above or the stdlib
+    baseline-JPEG decoder.  Other formats without Pillow keep the
+    declared NotImplementedError — the honest boundary of what this
+    container can decode."""
     out = []
     for payload in payloads:
         raw = bytes(payload)
@@ -184,10 +452,13 @@ def decode_image_batch(payloads):
             out.append((arr.shape[1], arr.shape[0], arr.astype("uint8")))
         elif raw[: len(_PNG_SIG)] == _PNG_SIG:
             out.append(_decode_png_stdlib(raw))
+        elif raw[:2] == _JPEG_SIG:
+            out.append(_decode_jpeg_stdlib(raw))
         else:
             raise NotImplementedError(
-                "only PNG is decodable without Pillow; install Pillow for "
-                "JPEG/WebP/…, or use the deterministic fake decoder"
+                "only PNG and baseline JPEG are decodable without Pillow; "
+                "install Pillow for WebP/progressive-JPEG/…, or use the "
+                "deterministic fake decoder"
             )
     return out
 

@@ -1314,3 +1314,108 @@ def test_rp_ann_recall_floor(spark, sf_dir):
     rp = {(r.query_id, r.neighbor_id) for r in ann_topk_rp(spark, sf_dir).collect()}
     recall = len(bf & rp) / len(bf)
     assert recall >= 0.5, recall
+
+
+def test_jpeg_stdlib_decode_fixtures():
+    """Baseline-JPEG without Pillow (VERDICT r4 #7): the checked-in
+    spec-conformant fixtures (flat gray = analytically exact DC-only
+    round-trip; 4:2:0 solid color = exact through subsampling; gradients
+    with restart markers + non-MCU-aligned dims = byte-stable) decode
+    through the stdlib path."""
+    import hashlib
+
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        _decode_jpeg_stdlib,
+    )
+
+    w, h, px = _decode_jpeg_stdlib(
+        open(os.path.join(_FIXDIR, "flat_gray.jpg"), "rb").read()
+    )
+    assert (w, h, px.shape[2]) == (16, 8, 1)
+    # q=1 flat blocks: DC-only, exact round-trip
+    assert (px[:, :8, 0] == 100).all() and (px[:, 8:, 0] == 200).all()
+
+    w, h, px = _decode_jpeg_stdlib(
+        open(os.path.join(_FIXDIR, "flat_color_420.jpg"), "rb").read()
+    )
+    assert (w, h, px.shape[2]) == (16, 16, 3)
+    # solid color survives RGB<->YCbCr + 4:2:0 subsampling exactly here
+    assert (px == np.array([70, 130, 200], dtype=np.uint8)).all()
+
+    # gradients: byte-stable decode (pinned hash) + close to the source
+    for name, digest, shape in [
+        ("gradient_rgb_444.jpg", "1027298da70150fa", (8, 8, 3)),
+        ("ramp_gray_restart.jpg", "da8e924f3865c345", (10, 24, 1)),
+    ]:
+        _, _, px = _decode_jpeg_stdlib(
+            open(os.path.join(_FIXDIR, name), "rb").read()
+        )
+        assert px.shape == shape
+        assert hashlib.sha256(px.tobytes()).hexdigest()[:16] == digest
+
+
+def test_jpeg_roundtrip_through_fixture_encoder():
+    """Encoder/decoder agreement on fresh images: q=1 baseline streams
+    round-trip within IDCT/color rounding (<=2/channel), exactly for
+    flat blocks — the property that makes the fixtures trustworthy."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, _FIXDIR)
+    from make_jpeg_fixtures import encode_jpeg
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        _decode_jpeg_stdlib,
+    )
+
+    rng = np.random.RandomState(7)
+    # smooth random image (low-frequency): rounding error stays tiny
+    base = rng.randint(40, 216, size=(3, 4, 3)).astype(np.float64)
+    img = np.round(
+        np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    ).astype(np.uint8)  # 24x32 RGB, flat 8x8 tiles
+    for sub in ("444", "420"):
+        _, _, px = _decode_jpeg_stdlib(encode_jpeg(img, subsampling=sub))
+        assert int(np.abs(px.astype(int) - img.astype(int)).max()) <= 2, sub
+
+    gray = np.round(
+        np.repeat(np.repeat(rng.randint(0, 256, size=(2, 3)), 8, 0), 8, 1)
+    ).astype(np.uint8)
+    _, _, px = _decode_jpeg_stdlib(encode_jpeg(gray))
+    assert (px[:, :, 0] == gray).all()  # flat tiles: exact
+
+
+def test_jpeg_decode_through_features_same_arrow_plan(spark):
+    """The JPEG payloads flow through the SAME Arrow mapInPandas plan as
+    the fake decoder (plan equality, the PNG precedent) and the moments
+    equal the decoded pixel values."""
+    import re as _re
+
+    import numpy as np
+
+    payloads = {
+        1: open(os.path.join(_FIXDIR, "flat_gray.jpg"), "rb").read(),
+        2: open(os.path.join(_FIXDIR, "gradient_rgb_444.jpg"), "rb").read(),
+    }
+    bin_df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    real = extract_features(bin_df, deterministic_fake=False)
+    fake = extract_features(bin_df, deterministic_fake=True)
+    real_plan = real._jdf.queryExecution().executedPlan().toString()
+    fake_plan = fake._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in real_plan
+    assert "BatchEvalPython" not in real_plan
+    strip = lambda s: _re.sub(r"#\d+", "#", s)  # noqa: E731
+    assert strip(real_plan.split("\n")[0]) == strip(fake_plan.split("\n")[0])
+
+    out = {r.doc_id: r for r in real.collect()}
+    assert out[1].byte_mean == pytest.approx(150.0, abs=1e-9)  # half 100, half 200
+    px = decode_image_batch([payloads[2]])[0][2].reshape(-1)
+    assert out[2].byte_mean == pytest.approx(
+        float(px.astype(np.float64).mean()), abs=1e-9
+    )
