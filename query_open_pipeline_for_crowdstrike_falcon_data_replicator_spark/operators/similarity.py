@@ -1015,6 +1015,107 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------- #
+# Metadata-filtered ANN (predicate + top-k)
+# --------------------------------------------------------------------- #
+# The filtered-search shape every retrieval stack needs ("top-k among
+# docs that pass the quality gate / license filter / language"): the SAME
+# IVF index serves arbitrary metadata predicates at query time — the
+# predicate lands on the posting scan, where it composes with cell
+# pruning (at scale the assignment table is partitioned by cell, so the
+# scan reads ~nprobe/K of the corpus AND row-group-skips on the pushed
+# metadata filter before any vector math).  One index, many filters:
+# nothing is re-trained or re-written per predicate.
+ANN_FILTER_LABEL_MOD = 2  # the gate: candidates with label % 2 = 0
+
+
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k restricted to candidates passing the metadata predicate
+    (label % ANN_FILTER_LABEL_MOD = 0); queries are unrestricted.  Shares
+    the trained quantizer with ann_topk_ivf (same cache key); the
+    predicate filters the posting side BEFORE any per-vector work."""
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    cents = _trained(
+        (sf_dir, "ivf", IVF_CELLS),
+        lambda: _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark),
+    )
+    assigned = (
+        emb.filter(F.col("label") % ANN_FILTER_LABEL_MOD == 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("u").alias("cu"),
+            _nearest_cell(F.col("u"), cents).alias("cell"),
+        )
+    )
+    probe_entries = [
+        F.struct(
+            (-_dot(F.col("u"), F.lit(c))).alias("d"),
+            F.lit(k).alias("c"),
+        )
+        for k, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("qu"),
+            F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+        )
+    )
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    scored = (
+        q.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def _ivf_filtered_oracle_sql() -> str:
+    """The IVF replay (_ivf_oracle_sql) with the metadata predicate on
+    the assigned (posting) side — queries stay unrestricted, training is
+    unchanged (one index serves every filter)."""
+    return f"""
+WITH {_lloyd_chain()},
+assigned AS (
+  SELECT a.vec_id AS neighbor_id, a.u AS cu, a.cell
+  FROM ({_ASSIGN_T.format(src="u", cents="c2")}) a
+  JOIN embeddings l ON l.vec_id = a.vec_id
+  WHERE l.label % {ANN_FILTER_LABEL_MOD} = 0
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM (
+    SELECT t.vec_id, t.u, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s
+    WHERE t.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(list_dot_product(qu, cu), 4) + 0.0 AS cosine
+  FROM probes JOIN assigned USING (cell)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------- #
 # IVF-SQ8: the composed scale-path index
 # --------------------------------------------------------------------- #
 def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,6 +1973,115 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# Hybrid retrieval: BM25 + vector, fused by reciprocal-rank fusion
+# --------------------------------------------------------------------- #
+# The standard two-tower corpus-search shape (targeted data curation,
+# "find more like this" sampling): a lexical BM25 leg over `documents`
+# and a cosine leg over `embeddings` (the tables share the id space —
+# embeddings.vec_id IS the document's embedding row), each reduced to its
+# top-HYBRID_CAND candidates, then fused with RRF(d) = sum over legs of
+# 1/(K + rank_leg(d)) over the UNION of candidates (Cormack et al.'s
+# rank fusion — score scales never have to be calibrated against each
+# other).  Scale shape: each leg ends in an orderBy+limit
+# (TakeOrderedAndProject — no global sort), the fusion join runs over
+# 2*HYBRID_CAND rows, and the final rank window runs over HYBRID_TOPK
+# rows; corpus-size work is exactly one BM25 scan + one cosine scan.
+HYBRID_RRF_K = 60
+HYBRID_CAND = 50
+HYBRID_TOPK = 10
+HYBRID_QUERY_ID = 0  # the query item: doc 0's terms-query + vec 0's embedding
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-k: BM25 leg (the shared bm25_scores stage, query terms
+    BM25_QUERY) + cosine leg (query vector = embedding of
+    HYBRID_QUERY_ID), RRF-fused.  Output: (doc_id, lex_rank, vec_rank,
+    rrf, rank); a doc missing from one leg contributes 0 from that leg
+    (rank columns stay NULL).  Deterministic end-to-end: both legs rank
+    on rounded scores with id-ascending tie-breaks, rrf is rounded to 6
+    decimals before the final rank."""
+    from pyspark.sql import Window
+
+    from .text import bm25_scores
+
+    lex_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != HYBRID_QUERY_ID)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(HYBRID_CAND)
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .select("doc_id", "lex_rank")
+    )
+    emb = _embedded(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    vec_w = Window.orderBy(F.desc("vec_score"), F.asc("doc_id"))
+    vec = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("vec_score"))
+        .orderBy(F.desc("vec_score"), F.asc("doc_id"))
+        .limit(HYBRID_CAND)
+        .withColumn("vec_rank", F.row_number().over(vec_w))
+        .select("doc_id", "vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "vec_rank", rrf.alias("rrf")
+    )
+    # final rank window runs over HYBRID_TOPK rows only (post-limit)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _hybrid_oracle_sql() -> str:
+    from .text import bm25_oracle_ctes
+
+    return f"""
+WITH {bm25_oracle_ctes()},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM scored
+  WHERE score > 0 AND doc_id <> {HYBRID_QUERY_ID}
+  QUALIFY lex_rank <= {HYBRID_CAND}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vec AS (
+  SELECT c.vec_id AS doc_id,
+         row_number() OVER (
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                      c.vec_id ASC) AS vec_rank
+  FROM e q JOIN e c
+    ON q.vec_id = {HYBRID_QUERY_ID} AND c.vec_id <> {HYBRID_QUERY_ID}
+  QUALIFY vec_rank <= {HYBRID_CAND}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({HYBRID_RRF_K} + l.lex_rank), 0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({HYBRID_RRF_K} + v.vec_rank), 0),
+               6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM fused
+QUALIFY rank <= {HYBRID_TOPK}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
@@ -1885,4 +2095,6 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
     "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
     "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
+    "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
+    "ann_hybrid_rrf": (ann_hybrid_rrf, _hybrid_oracle_sql()),
 }

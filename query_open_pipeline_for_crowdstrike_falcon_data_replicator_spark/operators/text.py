@@ -1771,13 +1771,13 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k for the literal query BM25_QUERY: score(d) = sum over
-    query terms of idf(t) * tf/(tf + k1*(1-b+b*dl/avgdl)) with the
-    +1-smoothed idf ln((N-df+0.5)/(df+0.5)+1).  Scores rounded to 4
-    decimals before ranking; ties break to the lower doc_id."""
-    from pyspark.sql import Window
-
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): rounded BM25 of every MATCHING doc (score > 0)
+    for the literal query BM25_QUERY — the shared scoring stage behind
+    ``text_bm25`` (top-k) and ``ann_hybrid_rrf`` (lexical leg of the
+    fused retrieval): score(d) = sum over query terms of idf(t) *
+    tf/(tf + k1*(1-b+b*dl/avgdl)) with the +1-smoothed idf
+    ln((N-df+0.5)/(df+0.5)+1)."""
     docs = tracked_persist(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.split(F.lower("text"), " ").alias("toks")
@@ -1805,20 +1805,33 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, t in enumerate(BM25_QUERY):
         term = idf[i] * tf[t] / (tf[t] + norm)
         score = term if score is None else score + term
-    # top-k via orderBy+limit (TakeOrderedAndProject — no SinglePartition
-    # sort of every matching doc); the rank window runs over k rows only
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         docs.crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for the literal query BM25_QUERY (see bm25_scores);
+    ties break to the lower doc_id."""
+    from pyspark.sql import Window
+
+    # top-k via orderBy+limit (TakeOrderedAndProject — no SinglePartition
+    # sort of every matching doc); the rank window runs over k rows only
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
         .withColumn("rank", F.row_number().over(w))
     )
 
 
-def _bm25_oracle_sql() -> str:
+def bm25_oracle_ctes() -> str:
+    """The shared DuckDB CTE prefix replaying ``bm25_scores`` ('stats' +
+    'scored'); reused by the text_bm25 oracle and the hybrid-RRF oracle
+    (operators.similarity)."""
     tf = {
         t: f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
         for t in BM25_QUERY
@@ -1833,8 +1846,7 @@ def _bm25_oracle_sql() -> str:
         f" + {BM25_B} * len(string_split(lower(text), ' ')) * 1.0 / avgdl)))"
         for i, t in enumerate(BM25_QUERY)
     )
-    return f"""
-WITH stats AS (
+    return f"""stats AS (
   SELECT count(*) AS n_docs,
          avg(len(string_split(lower(text), ' '))) AS avgdl,
          {dfs}
@@ -1843,7 +1855,12 @@ WITH stats AS (
 scored AS (
   SELECT doc_id, round({terms}, 4) AS score
   FROM documents CROSS JOIN stats
-)
+)"""
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+WITH {bm25_oracle_ctes()}
 SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
 FROM scored
@@ -2316,6 +2333,144 @@ FROM keyed
 """
 
 
+# --------------------------------------------------------------------- #
+# Character-entropy quality signal
+# --------------------------------------------------------------------- #
+# Shannon entropy of the character distribution — the classic cheap
+# detector for degenerate training documents (key-mash, single-character
+# runs, base64 blobs sit HIGH, natural prose sits ~4.0-4.5 bits/char).
+# Computed as a pure per-row projection: distinct chars and their counts
+# are array expressions over the row's own text, so the operator is
+# shuffle-FREE — it scales as the parquet scan itself, no aggregation
+# state at any corpus size.  Cross-engine determinism: the c*ln(c) fold
+# runs over the SORTED distinct-char list on both engines (identical
+# fold order -> bit-identical sums), and both sides compute the same
+# ln-based expression shape before the single round.
+ENTROPY_LOW_BITS = 2.0
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) +
+    low-entropy flag: H = (ln L - (sum c*ln c)/L) / ln 2 over per-char
+    counts c; entropy rounded to 4 decimals, flag from the ROUNDED value
+    so both engines gate on the identical number."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the char array once behind a projection boundary so the
+    # per-distinct-char counting filters don't re-split the text
+    # (the corpus_chunk_overlap precedent)
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")).alias("chars"),
+    )
+    n = F.size(F.col("chars"))
+    counts = F.transform(
+        F.array_sort(F.array_distinct(F.col("chars"))),
+        lambda ch: F.size(F.filter(F.col("chars"), lambda c: c == ch)).cast("double"),
+    )
+    clogc = F.aggregate(counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c))
+    entropy = F.round((F.log(n.cast("double")) - clogc / n) / F.log(F.lit(2.0)), 4)
+    return base.select(
+        "doc_id",
+        n.alias("len_chars"),
+        entropy.alias("entropy"),
+        (entropy < ENTROPY_LOW_BITS).alias("is_low_entropy"),
+    )
+
+
+TEXT_ENTROPY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS chars
+  FROM documents
+),
+folded AS (
+  SELECT doc_id, len(chars) AS len_chars,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list_distinct(chars)),
+               ch -> CAST(len(list_filter(chars, c -> c = ch)) AS DOUBLE))),
+           (acc, c) -> acc + c * ln(c)) AS clogc
+  FROM base
+),
+scored AS (
+  SELECT doc_id, len_chars,
+         round((ln(CAST(len_chars AS DOUBLE)) - clogc / len_chars) / ln(2.0), 4)
+           + 0.0 AS entropy
+  FROM folded
+)
+SELECT doc_id, len_chars, entropy,
+       entropy < {ENTROPY_LOW_BITS} AS is_low_entropy
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------- #
+# Per-document TF-IDF keyword extraction
+# --------------------------------------------------------------------- #
+# The standard "what is this document about" summarizer a curation
+# pipeline uses for topic bucketing and mixture audits: top-k terms per
+# document by tf * ln(N/df).  Scale shape: one explode -> one (doc, term)
+# count -> one term-keyed df aggregate joined back on the term key (AQE
+# handles the zipfian skew of common terms), corpus size N rides the
+# broadcast 1-row scalar pattern, and the per-doc top-k window gets the
+# WindowGroupLimit partial-heap rewrite (rank <= k before the shuffle).
+TFIDF_TOPK = 3
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK terms per document by tf-idf (idf = ln(N/df), no
+    smoothing — df >= 1 by construction); scores rounded to 4 decimals
+    before ranking, ties break to the lexicographically lower term."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tracked_persist(tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) + 0.0 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -2341,4 +2496,6 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
     "corpus_chunk_overlap": (corpus_chunk_overlap, CORPUS_CHUNK_SQL),
     "corpus_dedup_chunks": (corpus_dedup_chunks, CORPUS_DEDUP_CHUNKS_SQL),
+    "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
+    "text_tfidf_keywords": (text_tfidf_keywords, TEXT_TFIDF_SQL),
 }

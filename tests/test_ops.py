@@ -1419,3 +1419,135 @@ def test_jpeg_decode_through_features_same_arrow_plan(spark):
     assert out[2].byte_mean == pytest.approx(
         float(px.astype(np.float64).mean()), abs=1e-9
     )
+
+
+def test_entropy_known_values(spark, tmp_path):
+    """Hand-checkable entropies: a single-char run is 0 bits, a perfect
+    two-char alternation is 1 bit, 4 equiprobable chars are 2 bits; the
+    low-entropy flag gates on the rounded value."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_entropy,
+    )
+
+    rows = [
+        (0, "aaaaaaaa", "en", "s", 8),
+        (1, "abababab", "en", "s", 8),
+        (2, "abcdabcd", "en", "s", 8),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in text_entropy(spark, str(tmp_path)).collect()}
+    assert got[0].entropy == 0.0 and got[0].is_low_entropy
+    assert got[1].entropy == 1.0 and got[1].is_low_entropy
+    assert got[2].entropy == 2.0 and not got[2].is_low_entropy
+    assert got[3].entropy > 3.5 and not got[3].is_low_entropy
+    assert got[3].len_chars == 43
+
+
+def test_entropy_plan_shuffle_free(spark, sf_dir):
+    """The entropy operator is a pure per-row projection — no Exchange
+    anywhere in the plan, so it scales as the parquet scan itself."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_entropy,
+    )
+
+    plan = text_entropy(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_distinctive_term_ranks_first(spark, tmp_path):
+    """A term unique to one doc must be that doc's top keyword; a term
+    present in EVERY doc has idf ln(1) = 0 and scores exactly 0."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        TFIDF_TOPK,
+        text_tfidf_keywords,
+    )
+
+    rows = [
+        (0, "common zebra zebra zebra common filler", "en", "s", 0),
+        (1, "common apple filler other words here", "en", "s", 0),
+        (2, "common banana filler more words again", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = text_tfidf_keywords(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top0 = min(by_doc[0], key=lambda r: r.rank)
+    assert top0.term == "zebra"
+    ubiquitous = [r for r in got if r.term == "common"]
+    assert all(r.tfidf == 0.0 for r in ubiquitous)
+    assert all(len(v) <= TFIDF_TOPK for v in by_doc.values())
+    for v in by_doc.values():
+        assert sorted(r.rank for r in v) == list(range(1, len(v) + 1))
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """Every returned neighbor passes the metadata gate, queries stay
+    unrestricted, and per-query result size is capped at TOP_K."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ANN_FILTER_LABEL_MOD,
+        ann_topk_filtered,
+    )
+
+    got = ann_topk_filtered(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    joined = got.join(labels, "neighbor_id").collect()
+    assert joined, "filtered ANN returned nothing"
+    assert all(r.label % ANN_FILTER_LABEL_MOD == 0 for r in joined)
+    per_q = {}
+    for r in joined:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(c <= TOP_K for c in per_q.values())
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, tmp_path):
+    """An item that is rank 1 on BOTH legs must win the fusion with
+    rrf = round(2/(K+1+60-60)... i.e. 2/(60+1), and items present on one
+    leg only still appear with the other leg's rank NULL."""
+    import math
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        DIM,
+        HYBRID_RRF_K,
+        ann_hybrid_rrf,
+    )
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(0, f"table join spark {filler}", "en", "s", 0)]
+    # doc 7: saturated with the query terms -> lexical rank 1
+    docs += [(7, ("table join spark " * 6) + filler, "en", "s", 0)]
+    docs += [(i, f"{filler} iota kappa {i}", "en", "s", 0) for i in (1, 2, 3, 4, 5)]
+    # doc 9: lexical-only candidate (one term), no embedding row
+    docs += [(9, f"one table mention {filler}", "en", "s", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def unit(seed: int) -> list[float]:
+        v = [math.sin(seed * DIM + d + 1) for d in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = unit(0)
+    vecs = [(0, q, 0), (7, q, 0)]  # vec 7 == query vector -> cosine 1, vec rank 1
+    vecs += [(i, unit(i), 0) for i in (1, 2, 3, 4, 5)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = ann_hybrid_rrf(spark, str(tmp_path)).collect()
+    top = got[0]
+    assert top.doc_id == 7
+    assert top.lex_rank == 1 and top.vec_rank == 1
+    assert top.rrf == round(2.0 / (HYBRID_RRF_K + 1), 6)
+    lex_only = [r for r in got if r.doc_id == 9]
+    assert lex_only and lex_only[0].vec_rank is None
