@@ -584,3 +584,63 @@ def test_ann_stage1_windows_get_window_group_limit(spark, sf_dir):
         assert re.search(r"row_number\(\), \d+, Final", plan), (
             f"{fn.__name__}: WindowGroupLimit heap missing\n{plan[:1500]}"
         )
+
+
+def test_tfidf_plan_group_limit_heap(spark, sf_dir):
+    """text_tfidf_keywords' per-doc top-3 must get the WindowGroupLimit
+    Partial heap (per-partition top-k BEFORE the doc_id shuffle) and the
+    corpus-size scalar must ride a broadcast — no CartesianProduct."""
+    import re
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_tfidf_keywords,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(text_tfidf_keywords(spark, sf_dir))
+    release_tracked_caches()
+    assert re.search(r"row_number\(\), \d+, Partial", plan), plan[:1500]
+    assert re.search(r"row_number\(\), \d+, Final", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_filtered_ann_plan_predicate_and_heap(spark, sf_dir):
+    """ann_topk_filtered: the metadata predicate must appear as a Filter
+    on the posting side (BEFORE the cell join — at scale it row-group
+    skips on the scan), and the rank filter keeps its WindowGroupLimit
+    heap; no CartesianProduct."""
+    import re
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_topk_filtered,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(ann_topk_filtered(spark, sf_dir))
+    release_tracked_caches()
+    # formatted mode carries the predicate in the node-details section
+    assert re.search(r"Condition[^\n]*label#\d+ % 2", plan), plan[:1500]
+    assert re.search(r"row_number\(\), \d+, Final", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_plan_shapes(spark, sf_dir):
+    """ann_hybrid_rrf: each leg and the final cut must end in
+    TakeOrderedAndProject (per-partition heaps — no global sort of
+    corpus-size data); the only nested-loop joins are the broadcast
+    1-row scalar/query-vector attaches; no CartesianProduct."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_hybrid_rrf,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(ann_hybrid_rrf(spark, sf_dir))
+    release_tracked_caches()
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:1500]
+    assert "CartesianProduct" not in plan
