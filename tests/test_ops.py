@@ -1551,3 +1551,53 @@ def test_hybrid_rrf_fuses_both_legs(spark, tmp_path):
     assert top.rrf == round(2.0 / (HYBRID_RRF_K + 1), 6)
     lex_only = [r for r in got if r.doc_id == 9]
     assert lex_only and lex_only[0].vec_rank is None
+
+
+def test_containment_catches_doc_inside_doc(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment ~1 flags the
+    pair while its Jaccard (~|A|/|B|) sits far below the dedup threshold
+    — the asymmetric case the Jaccard path is blind to."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        capped_postings,
+        dedup_containment,
+        jaccard_pairs_from,
+        postings_of,
+    )
+
+    short = " ".join(f"w{i}" for i in range(12))
+    long = short + " " + " ".join(f"x{i}" for i in range(120))
+    other = " ".join(f"y{i}" for i in range(40))
+    rows = [(0, short, "en", "s", 0), (1, long, "en", "s", 0), (2, other, "en", "s", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = dedup_containment(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r.containment_a == 1.0  # all of the short doc lives in the long one
+    assert r.containment_b < 0.5
+    # and the Jaccard path would NOT have flagged it
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    jac = jaccard_pairs_from(capped_postings(postings_of(docs))).collect()
+    assert all(not (p.doc_a == 0 and p.doc_b == 1) for p in jac)
+    assert 10.0 / 130.0 < JACCARD_THRESHOLD  # the blind spot being tested
+
+
+def test_lsh_candidates_bucket_cap_star(spark):
+    """Buckets <= cap emit all pairs; an over-cap (boilerplate-blown)
+    bucket emits exactly m-1 star edges to its min doc — nothing
+    quadratic — and every member stays one hop from the rep."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        lsh_candidates,
+    )
+
+    rows = [(d, 0, 111) for d in range(50)]  # giant bucket, m=50 > cap=10
+    rows += [(100, 1, 222), (101, 1, 222), (102, 1, 222)]  # small, m=3
+    bands = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidates(bands, cap=10).collect()}
+    star = {(0, d) for d in range(1, 50)}
+    small = {(100, 101), (100, 102), (101, 102)}
+    assert got == star | small

@@ -72,6 +72,7 @@ def main() -> None:
         SUBSTRING_K,
         _window_hashes,
         lsh_bands,
+        lsh_candidates,
         minhash_profiles,
         postings_of,
     )
@@ -95,20 +96,11 @@ def main() -> None:
     )
 
     def run_minhash():
+        # bucket-capped candidate generation (lsh_candidates): all-pairs
+        # in small buckets, star-to-min in boilerplate-blown ones — the
+        # operator's production path
         profiles = minhash_profiles(postings_of(corpus))
-        bands = lsh_bands(profiles)
-        cands = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("a_doc"), F.col("b.doc_id").alias("b_doc"))
-            .distinct()
-        )
-        return cands.count()
+        return lsh_candidates(lsh_bands(profiles)).count()
 
     def run_substring():
         base = toks.select(
@@ -147,17 +139,8 @@ def main() -> None:
         )
 
         profiles = minhash_profiles(postings_of(corpus))
-        bands = lsh_bands(profiles)
-        pairs = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-            .distinct()
+        pairs = lsh_candidates(lsh_bands(profiles)).selectExpr(
+            "doc_a AS src", "doc_b AS dst"
         )
         edges = pairs.union(pairs.selectExpr("dst AS src", "src AS dst"))
         return connected_components(edges).groupBy("cluster_rep").count().count()
