@@ -824,9 +824,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplification, but each row is an 8+32-byte pair); ONE groupBy on the
     window hash computes distinct-doc counts (map-side partial over the
     (hash, doc) pre-distinct); the >= 2-doc survivors join back against
-    the postings — both sides hash-partitioned on the window hash, and
-    AQE broadcasts the survivor side when boilerplate is rare.  Nothing
-    is quadratic and no per-doc state exceeds the token count."""
+    the postings with a SHUFFLE_HASH hint — the survivor side is derived
+    data whose static size estimate Catalyst cannot trust (measured at
+    500k docs: estimated 36 MB, built a multi-GiB broadcast HashedRelation
+    and OOMed repeated runs), and it grows with corpus duplication, so it
+    must never ride a plan-time broadcast; both sides hash-partition on
+    the window hash instead.  Nothing is quadratic and no per-doc state
+    exceeds the token count."""
     base = tracked_persist(
         token_docs(spark, sf_dir).select(
             "doc_id",
@@ -844,7 +848,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w")
     )
     dup_per_doc = (
-        pos.join(dup_keys, "w")
+        pos.join(dup_keys.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )

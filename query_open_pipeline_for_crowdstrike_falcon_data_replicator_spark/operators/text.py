@@ -977,8 +977,11 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = tracked_persist(winnow_fingerprints(spark, sf_dir))
     nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    # shuffle_hash: nd is derived, corpus-sized data — a plan-time size
+    # estimate must never promote it to a broadcast (the dedup_substring
+    # lesson: 36 MB estimated, multi-GiB built)
     return (
-        fp.join(nd, "fp")
+        fp.join(nd.hint("shuffle_hash"), "fp")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fp"),

@@ -112,12 +112,21 @@ def main() -> None:
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter(F.col("nd") >= 2)
         )
-        return pos.join(nd.select("w"), "w").groupBy("doc_id").count().count()
+        # shuffle_hash mirrors the operator: the survivor side is derived
+        # data whose static estimate must never pick a broadcast
+        return (
+            pos.join(nd.select("w").hint("shuffle_hash"), "w")
+            .groupBy("doc_id")
+            .count()
+            .count()
+        )
 
     def run_winnow():
         fp = fingerprints_of(toks)
         nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
-        return fp.join(nd, "fp").groupBy("doc_id").count().count()
+        return (
+            fp.join(nd.hint("shuffle_hash"), "fp").groupBy("doc_id").count().count()
+        )
 
     lm_path = f"/tmp/dedup_probe_lm_model_{n}"
     train_lm_model(spark, corpus, lm_path)  # model state: trained once
