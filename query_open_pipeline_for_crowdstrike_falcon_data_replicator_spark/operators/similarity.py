@@ -360,6 +360,91 @@ def assign_cells_join(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _group_centroids(
+    cents: list[list[float]], n_groups: int
+) -> tuple[list[list[float]], list[int]]:
+    """Partition the K centroids into n_groups coarse groups around
+    evenly-spaced representative centroids (driver-side, pure Python over
+    model state — K x DIM doubles, deterministic: max inner product, ties
+    to the lower group)."""
+    step = max(1, len(cents) // n_groups)
+    reps = [list(cents[i]) for i in range(0, len(cents), step)][:n_groups]
+    assign = [0] * len(cents)
+    for _ in range(4):  # k-means over the centroids: reps become group means
+        for i, c in enumerate(cents):
+            best = min(
+                (-sum(a * b for a, b in zip(c, r)), g) for g, r in enumerate(reps)
+            )
+            assign[i] = best[1]
+        for g in range(len(reps)):
+            members = [cents[i] for i in range(len(cents)) if assign[i] == g]
+            if members:
+                reps[g] = [
+                    round(sum(m[d] for m in members) / len(members), 6)
+                    for d in range(len(members[0]))
+                ]
+    return reps, assign
+
+
+def assign_cells_twolevel(
+    emb: DataFrame,
+    cents: list[list[float]],
+    n_groups: int | None = None,
+    probe_groups: int = 2,
+) -> DataFrame:
+    """APPROXIMATE cell assignment for the K ∝ N regime, where even the
+    broadcast-join form's O(N*K) dot products go quadratic in the corpus
+    (measured: K=641 at 500k vecs spent 97.6 s in exact assignment).
+    Two levels, the IMI/coarse-quantizer idea: ~sqrt(K) group reps as
+    plan literals (one argmin projection), then a broadcast centroid-table
+    join RESTRICTED to each vector's probe_groups nearest groups — per
+    vector ~sqrt(K) + probe_groups*K/sqrt(K) dot products instead of K.
+
+    Approximate by construction (a vector whose true cell sits in an
+    unprobed group lands in its best probed cell): this is a quantizer-
+    QUALITY knob, not a correctness contract — IVF probing and SemDeDup
+    cell granularity already tolerate approximate cell boundaries.  Its
+    premise is CLUSTER STRUCTURE: real embedding corpora cluster, which
+    is what lets a coarse rep summarize its group (measured 100%
+    agreement with exact assignment at K=256/probe_groups=2 on clustered
+    vectors, vs ~35% on structureless uniform ones — where no coarse
+    level can help).  The exact dispatcher (``assign_cells``) therefore
+    remains the default everywhere an oracle replays assignment;
+    agreement is test-pinned on clustered data at the K=256 switch
+    point (>=95% identical cells, cosine loss <= 0.05)."""
+    import math
+
+    k = len(cents)
+    g = n_groups or max(2, int(math.isqrt(k)))
+    reps, grp_of = _group_centroids(cents, g)
+    spark = emb.sparkSession
+    cent_rows = [
+        (cell, grp_of[cell], [float(x) for x in c]) for cell, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell int, grp int, c array<double>")
+    probe_entries = [
+        F.struct((-_dot(F.col("u"), F.lit(r))).alias("d"), F.lit(i).alias("g"))
+        for i, r in enumerate(reps)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, probe_groups)
+    probed = emb.select(
+        "vec_id",
+        "u",
+        F.explode(F.transform(probes, lambda s: s["g"])).alias("grp"),
+    )
+    scored = probed.join(F.broadcast(cdf), "grp").select(
+        "vec_id",
+        F.struct(
+            (-_dot(F.col("u"), F.col("c"))).alias("d"), F.col("cell").alias("c")
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.c").alias("cell"), (-F.col("m.d")).alias("cos"))
+    )
+
+
 # Trained quantizer state (centroids / PQ codebooks) is DETERMINISTIC
 # per corpus (seeds = first-k training rows by vec_id, 6-decimal means),
 # so within a process each (corpus, quantizer) pair trains ONCE and is

@@ -1601,3 +1601,47 @@ def test_lsh_candidates_bucket_cap_star(spark):
     star = {(0, d) for d in range(1, 50)}
     small = {(100, 101), (100, 102), (101, 102)}
     assert got == star | small
+
+
+def test_assign_twolevel_agreement(spark):
+    """Two-level (coarse-group) assignment must agree with the exact
+    broadcast-join dispatcher on clustered data — its target regime
+    (real embedding corpora cluster; that structure is WHY a coarse
+    level can route).  On structureless uniform vectors the coarse
+    level cannot help (measured ~35% agreement) — which is why the
+    exact dispatcher stays the default and two-level is an explicit
+    opt-in for the K ∝ N scale path."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        DIM,
+        _ivf_train,
+        assign_cells_join,
+        assign_cells_twolevel,
+    )
+
+    def clustered_vecs(n, n_clusters=64, noise=0.25):
+        base = spark.range(n).select(F.col("id").alias("vec_id"))
+        cid = F.col("vec_id") % n_clusters
+        comps = [
+            (
+                F.xxhash64(cid * DIM + F.lit(d)) / F.lit(float(2**63))
+                + noise
+                * (
+                    F.xxhash64(F.col("vec_id") * DIM + F.lit(d) + F.lit(7777777))
+                    / F.lit(float(2**63))
+                )
+            ).alias(f"x{d}")
+            for d in range(DIM)
+        ]
+        v = F.array(*comps)
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return base.select("vec_id", F.transform(v, lambda x: x / nrm).alias("u"))
+
+    emb = clustered_vecs(20_000)
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark, k=256)
+    exact = {r.vec_id: (r.cell, r.cos) for r in assign_cells_join(emb, cents).collect()}
+    two = {r.vec_id: (r.cell, r.cos) for r in assign_cells_twolevel(emb, cents).collect()}
+    assert set(two) == set(exact)
+    same = sum(1 for v in exact if two[v][0] == exact[v][0])
+    assert same / len(exact) >= 0.95, f"agreement {same / len(exact):.3f}"
+    worst = max(exact[v][1] - two[v][1] for v in exact)
+    assert worst <= 0.05, f"worst cosine loss {worst:.4f}"

@@ -162,6 +162,23 @@ def main() -> None:
             .count()
         )
 
+    def run_ivf_assign_2l():
+        # the K ∝ N scale path: two-level (coarse-group) assignment —
+        # ~sqrt(K) + 2*K/sqrt(K) dot products per vector instead of K.
+        # Throughput-only here (the probe corpus is uniform; assignment
+        # QUALITY on clustered data — its target regime — is pinned in
+        # tests/test_ops.py::test_assign_twolevel_agreement)
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+            assign_cells_twolevel,
+        )
+
+        return (
+            assign_cells_twolevel(emb, cents)
+            .groupBy("cell")
+            .count()
+            .count()
+        )
+
     def run_rp_stage1():
         # JL-projected candidate generation (ann_topk_rp stage 1):
         # project every vector to 16 rounded doubles, score 20 queries
@@ -198,6 +215,7 @@ def main() -> None:
         "semdedup": run_semdedup,
         "pq_encode_adc": run_pq_adc,
         "ivf_assign": run_ivf_assign,
+        "ivf_assign_2l": run_ivf_assign_2l,
         "rp_project_stage1": run_rp_stage1,
     }
     out = {}
