@@ -2356,21 +2356,43 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-level Shannon entropy (bits/char) +
     low-entropy flag: H = (ln L - (sum c*ln c)/L) / ln 2 over per-char
     counts c; entropy rounded to 4 decimals, flag from the ROUNDED value
-    so both engines gate on the identical number."""
+    so both engines gate on the identical number.
+
+    The c*ln(c) sum comes from ONE run-length fold over the SORTED char
+    array (struct accumulator: current run char, run length, partial
+    sum) — O(L log L) per row instead of the O(L * alphabet) per-distinct
+    counting scan, and still a pure shuffle-free projection.  Both
+    engines fold the identically-sorted array with the identical update
+    expression, so the sum is bit-identical by construction."""
     docs = load_table(spark, sf_dir, "documents")
     # materialize the char array once behind a projection boundary so the
-    # per-distinct-char counting filters don't re-split the text
-    # (the corpus_chunk_overlap precedent)
+    # sort/fold don't re-split the text (the corpus_chunk_overlap
+    # precedent)
     base = docs.select(
         "doc_id",
-        F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")).alias("chars"),
+        F.array_sort(
+            F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+        ).alias("chars"),
     )
     n = F.size(F.col("chars"))
-    counts = F.transform(
-        F.array_sort(F.array_distinct(F.col("chars"))),
-        lambda ch: F.size(F.filter(F.col("chars"), lambda c: c == ch)).cast("double"),
+
+    def _run(prev, run, s):
+        return F.struct(prev.alias("prev"), run.alias("run"), s.alias("s"))
+
+    def _closed(acc):
+        # fold the pending run's c*ln(c) into the sum (run=0 only at init)
+        return acc["s"] + F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"].cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    clogc = F.aggregate(
+        F.col("chars"),
+        _run(F.lit(""), F.lit(0).cast("long"), F.lit(0.0)),
+        lambda acc, c: F.when(
+            c == acc["prev"], _run(acc["prev"], acc["run"] + 1, acc["s"])
+        ).otherwise(_run(c, F.lit(1).cast("long"), _closed(acc))),
+        _closed,
     )
-    clogc = F.aggregate(counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c))
     entropy = F.round((F.log(n.cast("double")) - clogc / n) / F.log(F.lit(2.0)), 4)
     return base.select(
         "doc_id",
@@ -2380,6 +2402,15 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle note: the Spark side folds c*ln(c) over RUNS of the sorted char
+# array; this oracle folds it over the sorted DISTINCT chars with
+# per-char counts — the identical sequence of additions (runs in sorted
+# order ARE the sorted distinct chars), so the sums agree bit-for-bit.
+# A struct-accumulator list_reduce replay of the run fold was tried and
+# abandoned: DuckDB evaluates it correctly row-at-a-time but returns
+# wrong sums for ~18% of rows when executed over the full table (a
+# vectorization fault in lambda struct accumulators) — oracles must
+# stick to scalar-accumulator folds.
 TEXT_ENTROPY_SQL = f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS chars
