@@ -490,6 +490,77 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 CC_MAX_ROUNDS = 25
 
 
+def connected_components_star(edges: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds in the GRAPH SIZE, independent of diameter, so chain-shaped
+    graphs (sequentially-edited near-dup lineages) converge where
+    min-label propagation needs diameter rounds.
+
+    Each round: large-star hangs every neighbor v > u onto m(u) =
+    min(Γ(u) ∪ {u}); small-star re-hangs every neighbor v <= u (and u
+    itself) onto m(u).  Both are one groupBy (min) + one join — no
+    adjacency lists are ever collected.  Converges when the edge set is
+    a fixed point: every node points at its component minimum.  Returns
+    ``(doc_id, cluster_rep)`` for every vertex, reps included."""
+    # symmetric view: Γ(u) from both directions
+    rounds = 0
+    edges = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        rounds += 1
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("mn", F.col("src")).alias("m"))
+        # large-star: (v, m(u)) for v in Γ(u), v > u
+        large = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        edges2 = (
+            large.filter(F.col("src") != F.col("dst")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star on the large-star output
+        sym2 = edges2.union(
+            edges2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m2 = sym2.groupBy("src").agg(F.min("dst").alias("mn"))
+        m2 = m2.select("src", F.least("mn", F.col("src")).alias("m"))
+        small = (
+            sym2.join(m2, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select("src", F.col("m").alias("dst")))
+        )
+        new_edges = (
+            small.filter(F.col("src") != F.col("dst")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: the (node -> min) star set stopped changing
+        if rounds > 1 and new_edges.exceptAll(edges).limit(1).count() == 0 and (
+            edges.exceptAll(new_edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+        if rounds > 60:  # log2 bound with huge margin; defensive only
+            raise RuntimeError("connected_components_star: no fixed point")
+    labels = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_rep"))
+    reps = labels.select(F.col("cluster_rep").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_rep")
+    )
+    return labels.union(reps).distinct()
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label connected components over an undirected edge list
     ``(src, dst)`` (one row per direction).  Returns ``(doc_id, cluster_rep)``
@@ -500,7 +571,15 @@ def connected_components(edges: DataFrame) -> DataFrame:
     corpus itself is never touched.  Each round shuffles the label frame
     once (join on dst) and partially aggregates map-side (min).  Lineage is
     cut every round with an eager localCheckpoint so plan size stays O(1)
-    in rounds."""
+    in rounds.
+
+    Near-dup pair graphs are shallow (duplicate clusters are dense, so
+    min labels reach everything in a few hops); when a pathological
+    chain-shaped graph (diameter > CC_MAX_ROUNDS) defeats that
+    assumption, the computation FALLS BACK to the alternating
+    large-star/small-star variant (``connected_components_star``), whose
+    round count is O(log n) in graph size regardless of diameter —
+    graceful degradation instead of the pre-round-5 hard failure."""
     edges = edges.localCheckpoint(eager=True)  # don't re-derive LSH per round
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -527,11 +606,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             return labels.select("doc_id", F.col("label").alias("cluster_rep"))
-    raise RuntimeError(
-        f"connected_components: no fixpoint after {CC_MAX_ROUNDS} rounds — "
-        "graph diameter exceeds the near-dup assumption; switch to the "
-        "large-star/small-star variant for chain-shaped graphs"
-    )
+    # diameter exceeded the near-dup assumption: hand the graph to the
+    # O(log n)-round star variant instead of failing
+    return connected_components_star(edges)
 
 
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:

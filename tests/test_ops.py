@@ -1645,3 +1645,46 @@ def test_assign_twolevel_agreement(spark):
     assert same / len(exact) >= 0.95, f"agreement {same / len(exact):.3f}"
     worst = max(exact[v][1] - two[v][1] for v in exact)
     assert worst <= 0.05, f"worst cosine loss {worst:.4f}"
+
+
+def test_cc_star_equals_minlabel_random(spark):
+    """Alternating large-star/small-star must produce the identical
+    (doc_id, cluster_rep) labeling as min-label propagation on shallow
+    random graphs — the regime both serve."""
+    import random
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        pairs = set()
+        for _ in range(60):
+            a, b = rng.randrange(80), rng.randrange(80)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        rows = [(a, b) for a, b in pairs]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+        ml = {(r.doc_id, r.cluster_rep) for r in connected_components(edges).collect()}
+        st = {(r.doc_id, r.cluster_rep) for r in connected_components_star(edges).collect()}
+        assert st == ml, f"trial {trial}: star != min-label"
+
+
+def test_cc_chain_falls_back_to_star(spark):
+    """A chain longer than CC_MAX_ROUNDS (diameter > rounds) used to
+    raise; it must now fall back to the star variant and still label
+    every vertex with the chain minimum."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        CC_MAX_ROUNDS,
+        connected_components,
+    )
+
+    n = CC_MAX_ROUNDS * 3  # diameter 3x the min-label round budget
+    rows = [(i, i + 1) for i in range(n)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
