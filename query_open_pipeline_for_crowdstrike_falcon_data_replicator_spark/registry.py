@@ -50,6 +50,9 @@ BENCH_EXCLUDE = {
     # runs the full OCSF pipeline as a Structured Streaming query (3
     # micro-batches x 17 snapshot commits) inside the builder
     "ocsf_stream_verify",
+    # runs the curation/dedup gate as a Structured Streaming query (3
+    # micro-batches probing the persisted band index) inside the builder
+    "stream_curate_verify",
 }
 
 

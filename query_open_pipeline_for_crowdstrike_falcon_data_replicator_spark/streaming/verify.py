@@ -261,9 +261,201 @@ def _stream_verify_oracle_sql() -> str:
     return _etl_verify_oracle_sql()
 
 
+def stream_curate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the streaming CURATION pipeline
+    (``streaming/curation.py`` — the streaming twin of
+    ``corpus_curation`` + ``dedup_incremental``): the documents corpus is
+    split into three doc_id-range NDJSON drops and streamed through
+    ``run_curation_stream`` (availableNow, one file per micro-batch), so
+    each micro-batch is admitted against what earlier batches ALREADY
+    accepted — exact dedup within the batch and against the corpus
+    fingerprints, the quality/language gate, then the near-dup LSH gate
+    probing the persisted band index.  The curated docs snapshot is read
+    back and aggregated per (batch_id, predicted_lang).
+
+    The DuckDB oracle replays the admission SEQUENTIALLY — a three-step
+    CTE chain where batch k's survivors are filtered against batches
+    < k's ACCEPTED set (fingerprint anti-join + exact-Jaccard near-dup
+    pairs).  The sequential semantics genuinely differ from a one-shot
+    batch dedup: a doc whose only near-dup match was itself dropped in
+    an earlier batch SURVIVES here (the dropped doc never entered the
+    index), where a whole-corpus pairwise pass would drop it.  A
+    hash-match therefore proves micro-batch ordering, the cross-batch
+    index state, exactly-once snapshot commits, and the admission logic
+    itself.  LSH band recall stands in for the exact pair set on the
+    same argument as ``DEDUP_MINHASH_SQL`` (miss probability ~8e-8 at
+    j=0.8); both engines gate on the ROUNDED Jaccard.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the operators it drives carry their own 100 TB
+    design (broadcast increment-side band join against the persisted
+    index, never batch x corpus — see ``curation.curate_batch``)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .curation import DOCS_TABLE, run_curation_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_curation_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_curate_verify: curation stream did not drain within "
+                "600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamcurate_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    curated = read_snapshot(spark, os.path.join(base, "out", DOCS_TABLE))
+    return curated.groupBy(
+        F.col("batch_id").cast("long").alias("batch_id"), "predicted_lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _stream_curate_oracle_sql() -> str:
+    """Sequential three-batch admission replay.  Batch cuts are the same
+    thirds-of-max(doc_id) rule ``_write_ordered_batches`` uses; the
+    near-dup relation is the exact string-shingle Jaccard pair set
+    (gated on the ROUNDED value, mirroring ``curation._exact_jaccard``),
+    restricted to gate-passed docs — only pairs with a_doc < b_doc are
+    needed because the drops are ascending doc_id ranges."""
+    from ..operators.dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD
+    from ..operators.text import (
+        CURATION_MIN_DISTINCT,
+        CURATION_MIN_TOKENS,
+        _PREDICTED_LANG_SQL,
+    )
+
+    return f"""
+WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         md5(lower(text)) AS fingerprint,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 4) AS distinct_ratio,
+         {_PREDICTED_LANG_SQL} AS predicted_lang,
+         CASE WHEN doc_id <= max_id // 3 THEN 0
+              WHEN doc_id <= 2 * max_id // 3 THEN 1
+              ELSE 2 END AS batch
+  FROM documents CROSS JOIN m
+),
+canon AS (
+  SELECT *,
+         doc_id = min(doc_id) OVER (PARTITION BY batch, fingerprint)
+           AS is_canonical
+  FROM per_doc
+),
+gate AS (
+  SELECT doc_id, fingerprint, n_tokens, predicted_lang, batch
+  FROM canon
+  WHERE is_canonical
+    AND n_tokens >= {CURATION_MIN_TOKENS}
+    AND distinct_ratio >= {CURATION_MIN_DISTINCT}
+),
+{JACCARD_SHINGLES_CTE.strip()},
+sh AS (
+  SELECT s.doc_id, s.sh FROM sh_all s JOIN gate g ON g.doc_id = s.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_doc, b_doc
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a_doc
+  JOIN sizes sb ON sb.doc_id = b_doc
+  WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)
+          >= {JACCARD_THRESHOLD}
+),
+acc0 AS (
+  SELECT * FROM gate g
+  WHERE batch = 0
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN gate a ON a.doc_id = p.a_doc AND a.batch = 0
+      WHERE p.b_doc = g.doc_id)
+),
+p1 AS (
+  SELECT * FROM gate g
+  WHERE batch = 1
+    AND NOT EXISTS (SELECT 1 FROM acc0 WHERE acc0.fingerprint = g.fingerprint)
+),
+acc1 AS (
+  SELECT * FROM p1 g
+  WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN p1 a ON a.doc_id = p.a_doc
+      WHERE p.b_doc = g.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN acc0 a ON a.doc_id = p.a_doc
+      WHERE p.b_doc = g.doc_id)
+),
+p2 AS (
+  SELECT * FROM gate g
+  WHERE batch = 2
+    AND NOT EXISTS (SELECT 1 FROM acc0 WHERE acc0.fingerprint = g.fingerprint)
+    AND NOT EXISTS (SELECT 1 FROM acc1 WHERE acc1.fingerprint = g.fingerprint)
+),
+acc2 AS (
+  SELECT * FROM p2 g
+  WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN p2 a ON a.doc_id = p.a_doc
+      WHERE p.b_doc = g.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN acc0 a ON a.doc_id = p.a_doc
+      WHERE p.b_doc = g.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs p JOIN acc1 a ON a.doc_id = p.a_doc
+      WHERE p.b_doc = g.doc_id)
+),
+acc AS (
+  SELECT batch, predicted_lang, n_tokens, doc_id FROM acc0
+  UNION ALL SELECT batch, predicted_lang, n_tokens, doc_id FROM acc1
+  UNION ALL SELECT batch, predicted_lang, n_tokens, doc_id FROM acc2
+)
+SELECT CAST(batch AS BIGINT) AS batch_id,
+       predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM acc
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "stream_pack_verify": (stream_pack_verify, STREAM_PACK_VERIFY_SQL),
     "ocsf_stream_verify": (ocsf_stream_verify, _stream_verify_oracle_sql()),
+    "stream_curate_verify": (stream_curate_verify, _stream_curate_oracle_sql()),
 }
