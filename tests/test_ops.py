@@ -1688,3 +1688,40 @@ def test_cc_chain_falls_back_to_star(spark):
     edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
     got = {r.doc_id: r.cluster_rep for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_trained_disk_artifact_roundtrip(spark):
+    """The disk-backed quantizer cache must hand a FRESH process exactly
+    the floats a retrain would produce: json round-trip is exact for
+    doubles, and the artifact path is salted with the corpus fingerprint
+    so a different corpus never shares it."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = (sf, "ivf", sim.IVF_CELLS)
+    # train once through the full path (possibly loading a prior artifact)
+    first = sim._trained(
+        key,
+        lambda: sim._ivf_train(
+            sim._embedded(spark, sf)
+            .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+            .filter(F.col("vec_id") % 5 == 0),
+            spark,
+        ),
+    )
+    # a fresh process is simulated by clearing the in-process level: the
+    # second lookup must come from DISK and be float-for-float identical
+    sim._TRAINED_CACHE.pop(key)
+    def _fail():
+        raise AssertionError("retrained instead of loading the artifact")
+    second = sim._trained(key, _fail)
+    assert second == first
+    # exactness of the serialization itself (not just approximate)
+    import json
+
+    assert json.loads(json.dumps(first)) == first
+    # a corpus with different content keys a different path
+    home = sim._quant_artifact_dir(sf, key)
+    assert home is not None and "qopcfdr_quant1_" in home
