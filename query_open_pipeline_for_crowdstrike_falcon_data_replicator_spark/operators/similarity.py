@@ -1571,12 +1571,18 @@ def semdedup_from(
     tau: float = SEMDEDUP_TAU,
     cents: list[list[float]] | None = None,
     cache_key: tuple | None = None,
+    assign: Callable[[DataFrame, list[list[float]]], DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup core over a prepared (vec_id, u) unit-vector frame; ``k``
     is the quantizer granularity (grow it with the corpus — K ∝ N keeps
     per-vector pair work constant).  Pass pre-trained ``cents`` to reuse
     an existing quantizer (e.g. the IVF index's), or ``cache_key`` to
-    memoize the train through ``_trained``."""
+    memoize the train through ``_trained``.  ``assign`` overrides the
+    cell-assignment strategy: the default exact dispatcher is what every
+    oracle-replayed path uses; pass ``assign_cells_twolevel`` for the
+    K ∝ N regime where exact flat assignment is O(N·K) — the explicit
+    scale opt-in (its clustered-data premise is documented on the
+    function)."""
     if cents is None:
         if cache_key is not None:
             cents = _trained(
@@ -1587,9 +1593,13 @@ def semdedup_from(
             )
         else:
             cents = _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark, k=k)
+    if assign is not None:
+        assigned = emb.select("vec_id", "u").join(
+            assign(emb, cents).select("vec_id", "cell"), "vec_id"
+        )
     # K ∝ N means a production corpus runs thousands of cells: the
     # dispatcher keeps assignment codegen flat past ASSIGN_JOIN_MIN_CELLS
-    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+    elif len(cents) < ASSIGN_JOIN_MIN_CELLS:
         assigned = emb.select(
             "vec_id", "u", _nearest_cell(F.col("u"), cents).alias("cell")
         )

@@ -66,8 +66,9 @@ def _timed(fn) -> float:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 50_000
+    runs = int(pos[1]) if len(pos) > 1 else 2
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
 
     from pyspark.sql import Window
@@ -211,13 +212,35 @@ def main() -> None:
             .count()
         )
 
+    def run_semdedup_2l():
+        # SemDeDup end-to-end on the K ∝ N scale path: the same
+        # within-cell prune, assignment routed through the two-level
+        # coarse quantizer (the explicit opt-in for K grown with N)
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+            assign_cells_twolevel,
+        )
+
+        return (
+            semdedup_from(emb, spark, cents=cents, assign=assign_cells_twolevel)
+            .filter(F.col("is_kept") == 0)
+            .count()
+        )
+
     ops = {
         "semdedup": run_semdedup,
+        "semdedup_2l": run_semdedup_2l,
         "pq_encode_adc": run_pq_adc,
         "ivf_assign": run_ivf_assign,
         "ivf_assign_2l": run_ivf_assign_2l,
         "rp_project_stage1": run_rp_stage1,
     }
+    # --ops=a,b,c selects a subset: the O(N*K) exact forms (semdedup,
+    # ivf_assign) are deliberately skippable at N where K ∝ N makes
+    # them quadratic — the 500k row already measured that cliff
+    sel = next((a for a in sys.argv[1:] if a.startswith("--ops=")), None)
+    if sel:
+        keep = set(sel.split("=", 1)[1].split(","))
+        ops = {k: v for k, v in ops.items() if k in keep}
     out = {}
     for name, fn in ops.items():
         fn()  # warmup (codegen JIT, one Lloyd train)
