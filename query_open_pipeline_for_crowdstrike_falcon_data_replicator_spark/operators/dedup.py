@@ -678,6 +678,30 @@ FROM labels JOIN csizes USING (cluster_rep)
 """
 
 
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_cluster`` with components computed by the alternating
+    large-star/small-star variant (``connected_components_star``) — the
+    same output contract (cluster rep = component minimum, a property of
+    the GRAPH, not the algorithm), so the identical recursive-CTE
+    closure oracle verifies it cross-engine.  Registered separately so
+    the O(log n)-round chain-graph path is driver-verified on the real
+    LSH pair graph, not only unit-tested on synthetic chains."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = connected_components_star(edges)
+    sizes = labels.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+    )
+
+
 def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scored canonical selection: the same LSH pair graph and
     connected components as ``dedup_cluster``, but the survivor of each
@@ -984,6 +1008,7 @@ DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_cluster": (dedup_cluster, DEDUP_CLUSTER_SQL),
+    "dedup_cluster_star": (dedup_cluster_star, DEDUP_CLUSTER_SQL),
     "dedup_cluster_best": (dedup_cluster_best, _cluster_best_oracle_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
