@@ -2229,6 +2229,105 @@ QUALIFY rank <= {HYBRID_TOPK}
 """
 
 
+def embedding_assign_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level (coarse-quantizer) cell assignment as a registered,
+    exactly-oracled query — the K ∝ N scale path (`assign_cells_twolevel`)
+    pinned cross-engine, not just agreement-tested: group-rep k-means
+    over the trained centroids is deterministic (evenly-spaced seeds,
+    4 iterations, 6-decimal means, max-inner-product ties to the lower
+    group), so DuckDB replays the whole chain — Lloyd centroids, the
+    group refinement, the 2-group probe, and the within-probe argmin —
+    and must land on the identical (vec_id, cell, cos) rows.
+
+    Scale shape is the operator's own: ~sqrt(K) + 2*K/sqrt(K) dot
+    products per vector instead of K (BASELINE.md: 8.4x over exact at
+    500k/K=641, O(N*sqrt(K)) measured at 1M)."""
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    cents = _trained(
+        (sf_dir, "ivf", IVF_CELLS),
+        lambda: _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark),
+    )
+    a = assign_cells_twolevel(emb, cents)
+    return a.select(
+        "vec_id", "cell", F.round(F.col("cos"), 4).alias("cos")
+    )
+
+
+# group-rep k-means templates over the centroid table (the _ASSIGN_T /
+# _MEAN_T / _UPDATE_T idea one level up: rows are (cell, c), groups are
+# (grp, c)).  Seeds replay _group_centroids exactly: K=16, g=isqrt(16)=4,
+# step=4 -> cells 0,4,8,12 become groups 0..3.
+_GASSIGN_T = (
+    "SELECT cell, c, grp FROM (\n"
+    "    SELECT t.cell, t.c, s.grp,\n"
+    "           row_number() OVER (PARTITION BY t.cell\n"
+    "               ORDER BY -list_dot_product(t.c, s.c), s.grp) AS rn\n"
+    "    FROM c2 t CROSS JOIN {reps} s)\n"
+    "  WHERE rn = 1"
+)
+_GMEAN_T = (
+    "SELECT grp, i.i AS pos, round(avg(c[i.i]), 6) AS m\n"
+    "  FROM {assigned}, (SELECT unnest(range(1, {dimp1})) AS i) i\n"
+    "  GROUP BY grp, i.i"
+)
+_GUPDATE_T = (
+    "SELECT p.grp, coalesce(g.c, p.c) AS c\n"
+    "  FROM {prev} p LEFT JOIN (SELECT grp, list(m ORDER BY pos) AS c\n"
+    "                           FROM {means} GROUP BY grp) g USING (grp)"
+)
+
+
+def _assign_2l_oracle_sql() -> str:
+    """DuckDB replay of `assign_cells_twolevel` on the trained IVF
+    centroids: the `_lloyd_chain` prefix for c2, then 4 unrolled
+    group-k-means rounds over the centroid TABLE (assignment ga_t uses
+    reps gr_{t-1}; the returned cell->group map is the 4th-round
+    assignment ga4, computed BEFORE the final rep update gr4 — exactly
+    `_group_centroids`' loop order), the per-vector 2-group probe
+    against gr4, and the within-probe argmin against the raw centroids."""
+    step = max(1, IVF_CELLS // max(2, int(IVF_CELLS**0.5)))
+    n_groups = max(2, int(IVF_CELLS**0.5))
+    rounds = []
+    prev = "gseed"
+    for t in range(1, 5):
+        rounds.append(f"ga{t} AS ({_GASSIGN_T.format(reps=prev)})")
+        rounds.append(f"gm{t} AS ({_GMEAN_T.format(assigned=f'ga{t}', dimp1=DIM + 1)})")
+        rounds.append(f"gr{t} AS ({_GUPDATE_T.format(prev=prev, means=f'gm{t}')})")
+        prev = f"gr{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_lloyd_chain()},
+gseed AS (
+  SELECT cell // {step} AS grp, c FROM c2
+  WHERE cell % {step} = 0 AND cell // {step} < {n_groups}
+),
+{chain},
+cents2 AS (
+  SELECT a.cell, a.grp, c2.c FROM ga4 a JOIN c2 USING (cell)
+),
+vprobe AS (
+  SELECT vec_id, u, grp FROM (
+    SELECT t.vec_id, t.u, s.grp,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.grp) AS rn
+    FROM u t CROSS JOIN gr4 s)
+  WHERE rn <= 2
+),
+best AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT p.vec_id, c.cell, -list_dot_product(p.u, c.c) AS d,
+           row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -list_dot_product(p.u, c.c), c.cell) AS rn
+    FROM vprobe p JOIN cents2 c USING (grp))
+  WHERE rn = 1
+)
+SELECT vec_id, cell, round(-d, 4) + 0.0 AS cos FROM best
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
@@ -2244,4 +2343,5 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
     "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
     "ann_hybrid_rrf": (ann_hybrid_rrf, _hybrid_oracle_sql()),
+    "embedding_assign_2l": (embedding_assign_2l, _assign_2l_oracle_sql()),
 }
