@@ -1,0 +1,212 @@
+"""Graph analytics over the near-duplicate document graph.
+
+The LSH pair set (``dedup_minhash_lsh``) IS a graph — docs are vertices,
+verified near-dup pairs are edges — and two classic distributed graph
+operators complete the curation toolkit the cluster/star CC ops started:
+
+- triangle counting: the local-clustering signal (a doc in many
+  triangles sits inside a tightly-mutually-similar boilerplate family,
+  not a chain of pairwise borderline matches — a different dedup
+  confidence than component size);
+- PageRank: within-component centrality, the principled "which copy is
+  canonical" signal (``dedup_cluster_best`` ranks by an external quality
+  model; PageRank ranks by the graph itself).
+
+Scale design (100 TB):
+
+- Triangles use DEGREE ORIENTATION (Suri & Vassilvitskii's MR-friendly
+  form): orient each undirected edge from its lower-(degree, id) endpoint
+  to the higher, enumerate length-2 paths only from each vertex's
+  oriented OUT-edges, and close them against the canonical edge set.
+  Out-degrees under this orientation are bounded by O(sqrt(m)), so wedge
+  generation is O(m^1.5) worst-case instead of sum(deg^2) — the hub that
+  breaks the naive a<b<c self-join contributes only sqrt-bounded wedges.
+  Every stage is a shuffle on vertex/edge keys; nothing is quadratic in
+  corpus size (the LSH bucket cap already bounds raw degrees upstream).
+- PageRank is the standard join-aggregate power iteration — messages
+  shuffle on dst, partial-aggregated map-side — but in FIXED-POINT
+  integer arithmetic: ranks are micro-units (1.0 = 1_000_000), each
+  per-edge contribution is ``pr DIV deg`` (integer division), and the
+  damping step is ``150000 + (85 * sum) DIV 100``.  Integer sums are
+  order-independent, so the result is bit-identical across engines,
+  partitionings, and retries — which is what makes an exact DuckDB
+  oracle (5 unrolled iterations) possible, and at cluster scale makes
+  the computation deterministic under speculative execution.  The
+  quantization error vs float PageRank is < deg * 1e-6 per step —
+  irrelevant for ranking.
+
+The edge lists here are derived, post-filter tables: joins against them
+hint ``shuffle_hash`` where Catalyst's derived-stats estimate could
+otherwise pick a plan-time broadcast (the substring-dedup OOM lesson);
+no plan-time broadcast rides a corpus-derived table.  Reference has no graph ops at all (beyond-reference surface,
+same rationale as the dedup family: ``qopcfdr_stream_loader.py`` ships
+events one at a time and never compares two documents).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tracked_persist
+from .dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD, dedup_minhash_lsh
+
+PAGERANK_ITERS = 5
+PR_ONE = 1_000_000  # fixed-point scale: 1.0 rank unit = 1e6 micro-units
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (doc_a < doc_b) verified near-dup pairs, persisted —
+    both operators and both directions read it repeatedly."""
+    return tracked_persist(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the near-dup graph via
+    degree orientation: rank vertices by (degree, id), orient every edge
+    low->high, build wedges from co-ranked out-neighbor pairs, and close
+    each wedge against the canonical edge set.  Each triangle is found
+    exactly once (at its lowest-ranked apex), then credited to all three
+    corners.  Output: one row per doc in >=1 triangle."""
+    pairs = _near_dup_edges(spark, sf_dir)
+    und = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "doc_a", "node"
+    )
+    # orientation by (deg, id): strict total order, so each undirected
+    # edge survives in exactly one direction
+    oriented = (
+        und.join(deg.withColumnsRenamed({"node": "doc_a", "deg": "deg_a"}), "doc_a")
+        .join(deg.withColumnsRenamed({"node": "doc_b", "deg": "deg_b"}), "doc_b")
+        .filter(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    oriented = tracked_persist(oriented)
+    # wedges at the apex: unordered out-neighbor pairs, id-canonicalized
+    # so the closing edge lookup hits the doc_a<doc_b pair set directly
+    o2 = oriented.withColumnRenamed("dst", "dst2")
+    wedges = oriented.join(o2, "src").filter(F.col("dst") < F.col("dst2"))
+    tri = wedges.join(
+        pairs.hint("shuffle_hash"),
+        (wedges["dst"] == pairs["doc_a"]) & (wedges["dst2"] == pairs["doc_b"]),
+    ).select("src", "dst", "dst2")
+    corners = tri.select(
+        F.explode(F.array("src", "dst", "dst2")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85, ``PAGERANK_ITERS`` power
+    iterations) over the undirected near-dup graph.  All arithmetic is
+    64-bit integer micro-units — see the module docstring for why that
+    buys cross-engine bit-equality and retry determinism.  Every vertex
+    has degree >= 1 by construction (it appears in a pair), so there is
+    no dangling-mass term.  Output: (doc_id, pr_micro)."""
+    pairs = _near_dup_edges(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg_src) once, persisted: the loop re-reads it per
+    # iteration; hash-partitioned on src so the per-iteration rank join
+    # co-locates without a fresh edge shuffle
+    cedges = tracked_persist(
+        edges.join(deg.hint("shuffle_hash"), "src").repartition("src")
+    )
+    pr = deg.select("src", F.lit(PR_ONE).cast("bigint").alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        msgs = (
+            cedges.join(pr.hint("shuffle_hash"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr DIV deg")).alias("s"))
+        )
+        pr = msgs.select(
+            F.col("dst").alias("src"),
+            (F.lit(150_000) + F.expr("(85 * s) DIV 100")).cast("bigint").alias("pr"),
+        )
+    return pr.select(F.col("src").alias("doc_id"), F.col("pr").alias("pr_micro"))
+
+
+# --------------------------------------------------------------------- #
+# Oracles: the exact-Jaccard pair set (same LSH-recall argument as
+# DEDUP_MINHASH_SQL) re-derived as a CTE, then pure-SQL graph math.
+# --------------------------------------------------------------------- #
+
+_PAIRS_CTE = f"""
+{JACCARD_SHINGLES_CTE.strip()},
+sh AS (SELECT doc_id, sh FROM sh_all),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+"""
+
+# id-ordered enumeration (a<b<c) — the SAME triangle set the oriented
+# Spark plan finds, since orientation only changes the discovery order
+TRIANGLE_SQL = f"""
+WITH {_PAIRS_CTE.strip()},
+tri AS (
+  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled power iteration: same integer micro-unit recurrence as
+    the Spark loop (DuckDB ``//`` == Spark ``DIV`` on non-negative
+    operands); HUGEINT intermediates cast back to BIGINT."""
+    rounds = []
+    prev = "pr0"
+    for t in range(1, PAGERANK_ITERS + 1):
+        rounds.append(
+            f"pr{t} AS (\n"
+            f"  SELECT e.dst AS node,\n"
+            f"         CAST(150000 + (85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr\n"
+            f"  FROM e JOIN {prev} p ON p.node = e.src\n"
+            f"         JOIN deg d ON d.node = e.src\n"
+            f"  GROUP BY e.dst)"
+        )
+        prev = f"pr{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_PAIRS_CTE.strip()},
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+pr0 AS (SELECT node, CAST({PR_ONE} AS BIGINT) AS pr FROM deg),
+{chain}
+SELECT node AS doc_id, pr AS pr_micro FROM {prev}
+"""
+
+
+GRAPH_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),
+    "graph_pagerank": (graph_pagerank, _pagerank_oracle_sql()),
+}

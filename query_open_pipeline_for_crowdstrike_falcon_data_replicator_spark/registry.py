@@ -127,6 +127,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     # imports fail loudly: a refactor-introduced ImportError must shrink
     # the test suite, not silently shrink the driver-visible surface
     from .operators.dedup import DEDUP_QUERIES
+    from .operators.graph import GRAPH_QUERIES
     from .operators.multimodal import MULTIMODAL_QUERIES
     from .operators.similarity import SIMILARITY_QUERIES
     from .operators.sketches import SKETCH_QUERIES
@@ -142,6 +143,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(TPCH_EXTRA_QUERIES)
     merged.update(TEMPORAL_QUERIES)
     merged.update(DEDUP_QUERIES)
+    merged.update(GRAPH_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(SKETCH_QUERIES)
     merged.update(SIMILARITY_QUERIES)

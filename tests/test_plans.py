@@ -644,3 +644,44 @@ def test_hybrid_rrf_plan_shapes(spark, sf_dir):
     release_tracked_caches()
     assert plan.count("TakeOrderedAndProject") >= 3, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_plan_oriented_no_broadcast_of_derived(spark, sf_dir):
+    """Triangle closing joins run on shuffle keys: the wedge-closing
+    join against the derived pair table is hash-hinted (a post-LSH
+    derived table must never ride a plan-time broadcast — its stats
+    estimate is unreliable), and nothing degenerates to a cartesian or
+    nested-loop join."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        graph_triangle_count,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(graph_triangle_count(spark, sf_dir))
+    release_tracked_caches()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_plan_iterations_stay_on_shuffle_keys(spark, sf_dir):
+    """Each power iteration is a key-equi join + partial-aggregated
+    groupBy; the corpus-scale rank table is never broadcast (hinted
+    shuffle_hash), and no stage collapses to SinglePartition."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        graph_pagerank,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(graph_pagerank(spark, sf_dir))
+    release_tracked_caches()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            raise AssertionError(f"unexpected SinglePartition exchange: {line}")
