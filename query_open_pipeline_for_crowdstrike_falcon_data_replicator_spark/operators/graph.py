@@ -72,7 +72,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     each wedge against the canonical edge set.  Each triangle is found
     exactly once (at its lowest-ranked apex), then credited to all three
     corners.  Output: one row per doc in >=1 triangle."""
-    pairs = _near_dup_edges(spark, sf_dir)
+    return triangle_count_from(_near_dup_edges(spark, sf_dir))
+
+
+def triangle_count_from(pairs: DataFrame) -> DataFrame:
+    """Core oriented triangle count over canonical (doc_a < doc_b) pairs
+    — separated from the LSH derivation so scale probes can feed
+    synthetic edge sets of controlled size and skew."""
     und = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -112,7 +118,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys cross-engine bit-equality and retry determinism.  Every vertex
     has degree >= 1 by construction (it appears in a pair), so there is
     no dangling-mass term.  Output: (doc_id, pr_micro)."""
-    pairs = _near_dup_edges(spark, sf_dir)
+    return pagerank_from(_near_dup_edges(spark, sf_dir))
+
+
+def pagerank_from(pairs: DataFrame) -> DataFrame:
+    """Core fixed-point PageRank over canonical (doc_a < doc_b) pairs —
+    separated from the LSH derivation for the scale probes."""
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )

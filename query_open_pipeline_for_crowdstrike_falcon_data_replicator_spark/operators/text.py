@@ -1760,6 +1760,308 @@ TEXT_QUALITY_MODEL_SQL = _quality_model_oracle_sql().format(
 
 
 # --------------------------------------------------------------------- #
+# model evaluation: held-out ranking + threshold metrics (AUC/P/R/F1)
+# --------------------------------------------------------------------- #
+# A trained quality filter needs an eval loop: train on one content-keyed
+# split, measure how well the score RANKS kept-vs-dropped docs on unseen
+# data.  The split reuses the holdout coin (md5 of lowercased content, so
+# surviving dupes can never straddle train/eval), widened to 20% so the
+# eval set is statistically meaningful at small SF.
+#
+# All metrics are FIXED-POINT integers (micro-units, the PageRank trick):
+# AUC via the rank-sum identity 2U = sum_s p(s)*(2*cumq_below(s) + q(s))
+# over DISTINCT scores s — ties get the standard 1/2 credit exactly, and
+# every quantity stays integer until one final integer division, so the
+# DuckDB replay matches bit-for-bit with no float-rounding hazard.
+#
+# Scale shape: the corpus-scale work is one scan for scoring + one
+# map-side-combined groupBy per distinct score.  Scores are logits
+# rounded to 6 decimals with |logit| < max|weight| (< ~5), so the
+# distinct-score table is bounded by the rounding grid (~10^7 rows worst
+# case, a few thousand in practice) REGARDLESS of corpus size — the one
+# globally-ordered window below runs over model-bounded data, never over
+# corpus-scale data.  Micro-unit products stay inside int64 for eval
+# sets to ~3*10^8 docs (2*P*Q*1e6 < 2^63); a larger eval slice would
+# move the two ratio divisions to decimal(38,0).
+MODEL_EVAL_COIN_LT = 2_000  # coin in [0, 2000) -> eval (20%), rest train
+METRIC_ONE = 1_000_000  # fixed-point scale: metric 1.0 = 1e6 micro-units
+
+
+def _eval_model_path(sf_dir: str, fp: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"qopcfdr_qmeval1_model_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+    )
+
+
+def model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed-linear quality model on the 80% train split,
+    score the 20% held-out split, and report ranking quality against the
+    Gopher weak labels: exact tie-aware ROC-AUC plus threshold-0
+    precision/recall/F1, all in integer micro-units.  One row."""
+    from pyspark.sql import Window
+
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(F.substring(F.md5(F.lower(F.col("text"))), 1, 15), 16, 10)
+        .cast("long")
+        % HOLDOUT_COIN_MOD
+    )
+    train = docs.filter(coin >= MODEL_EVAL_COIN_LT)
+    held = docs.filter(coin < MODEL_EVAL_COIN_LT)
+    model_path = build_once(
+        _eval_model_path(sf_dir, corpus_fingerprint(docs)),
+        "_SUCCESS",
+        lambda p: build_quality_model(spark, p, train),
+    )
+    weights = load_quality_weights(spark, model_path)
+
+    t = _tokens()
+    warr = F.lit(weights)
+    score = F.aggregate(
+        F.transform(
+            t, lambda tok: F.element_at(warr, _qm_bucket(tok).cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, w: acc + w,
+    )
+    logit = F.round(score / F.size(t), 6)
+    labels = gopher_table(held).select(
+        "doc_id", F.col("keep").cast("long").alias("y")
+    )
+    # persisted: the rank-sum pass and the confusion-matrix pass both
+    # read the scored eval slice
+    scored = tracked_persist(
+        held.select("doc_id", logit.alias("logit")).join(labels, "doc_id")
+    )
+    by_s = scored.groupBy("logit").agg(
+        F.sum("y").alias("p"), F.sum(F.lit(1) - F.col("y")).alias("q")
+    )
+    # bounded-table window (distinct rounded logits), see section comment
+    w_below = Window.orderBy("logit").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_s.withColumn(
+        "cumq", F.coalesce(F.sum("q").over(w_below), F.lit(0))
+    )
+    rank_tot = cum.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cumq") + F.col("q"))).alias("two_u"),
+    )
+    thr = scored.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.when((F.col("logit") > 0) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("logit") > 0) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("logit") <= 0) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("logit") <= 0) & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    return thr.crossJoin(F.broadcast(rank_tot)).select(
+        "n_eval",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(f"({METRIC_ONE} * two_u) DIV nullif(2 * n_pos * n_neg, 0)").alias(
+            "auc_micro"
+        ),
+        F.expr(f"({METRIC_ONE} * tp) DIV nullif(tp + fp, 0)").alias(
+            "precision_micro"
+        ),
+        F.expr(f"({METRIC_ONE} * tp) DIV nullif(tp + fn, 0)").alias(
+            "recall_micro"
+        ),
+        F.expr(f"(2 * {METRIC_ONE} * tp) DIV nullif(2 * tp + fp + fn, 0)").alias(
+            "f1_micro"
+        ),
+    )
+
+
+def _model_eval_oracle_sql() -> str:
+    """Full replay: split -> train on the train split -> score the eval
+    split -> rank-sum AUC + confusion matrix, all integer micro-units
+    (DuckDB ``//`` == Spark ``DIV`` on non-negative operands)."""
+    bucket = _QM_BUCKET_SQL.format(tok="tok")
+    coin = (
+        "CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)"
+        f" % {HOLDOUT_COIN_MOD}"
+    )
+    return f"""
+WITH coins AS (SELECT doc_id, {coin} AS c FROM documents),
+g AS ({{GOPHER_SQL}}),
+labels AS (SELECT doc_id, keep AS y FROM g),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents JOIN coins USING (doc_id)
+  WHERE c >= {MODEL_EVAL_COIN_LT}
+),
+bc AS (
+  SELECT {bucket} AS bucket,
+         sum(l.y) AS kept, sum(1 - l.y) AS dropped
+  FROM toks t JOIN labels l USING (doc_id)
+  GROUP BY 1
+),
+w AS (
+  SELECT b.b AS bucket,
+         round(ln((coalesce(bc.kept, 0) + 1.0)
+                  / (coalesce(bc.dropped, 0) + 1.0)), 6) AS weight
+  FROM (SELECT unnest(range({QUALITY_MODEL_BUCKETS})) AS b) b
+  LEFT JOIN bc ON bc.bucket = b.b
+),
+warr AS (SELECT list(weight ORDER BY bucket) AS ws FROM w),
+scored AS (
+  SELECT d.doc_id,
+         round(
+           list_reduce(
+             list_prepend(0.0,
+               list_transform(string_split(lower(text), ' '),
+                 tok -> ws[CAST({_QM_BUCKET_SQL.format(tok="tok")} AS INTEGER) + 1])),
+             (acc, x) -> acc + x)
+           / len(string_split(lower(text), ' ')), 6) + 0.0 AS logit,
+         l.y AS y
+  FROM documents d
+  JOIN coins USING (doc_id)
+  JOIN labels l ON l.doc_id = d.doc_id
+  CROSS JOIN warr
+  WHERE c < {MODEL_EVAL_COIN_LT}
+),
+by_s AS (SELECT logit, sum(y) AS p, sum(1 - y) AS q FROM scored GROUP BY 1),
+cum AS (
+  SELECT p, q,
+         coalesce(sum(q) OVER (ORDER BY logit
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumq
+  FROM by_s
+),
+rank_tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(q) AS BIGINT) AS n_neg,
+         CAST(sum(p * (2 * cumq + q)) AS BIGINT) AS two_u
+  FROM cum
+),
+thr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN logit > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN logit > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN logit <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN logit <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT n_eval, n_pos, n_neg, tp, fp, fn, tn,
+       ({METRIC_ONE} * two_u) // nullif(2 * n_pos * n_neg, 0) AS auc_micro,
+       ({METRIC_ONE} * tp) // nullif(tp + fp, 0) AS precision_micro,
+       ({METRIC_ONE} * tp) // nullif(tp + fn, 0) AS recall_micro,
+       (2 * {METRIC_ONE} * tp) // nullif(2 * tp + fp + fn, 0) AS f1_micro
+FROM thr CROSS JOIN rank_tot
+"""
+
+
+MODEL_EVAL_SQL = _model_eval_oracle_sql().format(GOPHER_SQL=TEXT_GOPHER_SQL)
+
+
+# --------------------------------------------------------------------- #
+# exact stratified sampling: largest-remainder allocation + hash order
+# --------------------------------------------------------------------- #
+# corpus_sample_budget above keeps documents at a per-stratum RATE (the
+# expected-size form); this operator draws an EXACT-size sample: a fixed
+# document budget apportioned across strata proportionally with
+# largest-remainder (Hamilton) rounding, then the per-stratum quota
+# filled in deterministic hash order.  Everything is integer arithmetic
+# and total orders, so the draw is reproducible across runs, engines,
+# and cluster layouts — and the DuckDB oracle matches exactly.
+#
+# Scale shape: stratum counts are one map-side-combined groupBy to a
+# #strata-row table (bounded — languages/sources, not documents); the
+# allocation windows run on that bounded table only.  The per-stratum
+# fill is a row_number window with a LITERAL rank cap first (eligible
+# for Spark 4.1's WindowGroupLimit per-partition top-k heaps, so only
+# ~budget rows per input partition ever shuffle), then the exact
+# per-stratum quota cut against the broadcast allocation table.
+STRATIFIED_BUDGET_DOCS = 100
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ``STRATIFIED_BUDGET_DOCS``-document sample, proportionally
+    apportioned over ``lang`` strata by largest remainder and drawn in
+    md5(doc_id) hash order.  Output: (doc_id, lang, coin, rk)."""
+    from pyspark.sql import Window
+
+    k = STRATIFIED_BUDGET_DOCS
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("coin"),
+        )
+    )
+    counts = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(f"({k} * c) DIV n").alias("base"),
+        F.expr(f"({k} * c) % n").alias("rem"),
+    )
+    leftover = base.agg((F.lit(k) - F.sum("base")).alias("leftover"))
+    # bounded-table window: one row per stratum
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    alloc = base.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w_rem) <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    w_sel = Window.partitionBy("lang").orderBy("coin", "doc_id")
+    return (
+        per_doc.join(F.broadcast(alloc), "lang")
+        .withColumn("rk", F.row_number().over(w_sel))
+        # literal cap first: alloc <= k always, and the literal bound is
+        # what makes the window WindowGroupLimit-eligible
+        .filter((F.col("rk") <= k) & (F.col("rk") <= F.col("alloc")))
+        .select("doc_id", "lang", "coin", "rk")
+    )
+
+
+CORPUS_STRATIFIED_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS coin
+  FROM documents
+),
+counts AS (SELECT lang, count(*) AS c FROM per_doc GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+base AS (
+  SELECT lang, ({STRATIFIED_BUDGET_DOCS} * c) // n AS base,
+         ({STRATIFIED_BUDGET_DOCS} * c) % n AS rem
+  FROM counts CROSS JOIN tot
+),
+lf AS (
+  SELECT {STRATIFIED_BUDGET_DOCS} - CAST(sum(base) AS BIGINT) AS leftover
+  FROM base
+),
+alloc AS (
+  SELECT lang,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                     <= leftover THEN 1 ELSE 0 END AS alloc
+  FROM base CROSS JOIN lf
+),
+ranked AS (
+  SELECT doc_id, p.lang AS lang, coin, alloc,
+         row_number() OVER (PARTITION BY p.lang ORDER BY coin, doc_id) AS rk
+  FROM per_doc p JOIN alloc USING (lang)
+)
+SELECT doc_id, lang, coin, rk FROM ranked WHERE rk <= alloc
+"""
+
+
+# --------------------------------------------------------------------- #
 # BM25 retrieval scoring (Robertson-Sparck Jones / Okapi)
 # --------------------------------------------------------------------- #
 # The standard lexical-retrieval scorer a training-data pipeline uses for
@@ -2532,4 +2834,6 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_dedup_chunks": (corpus_dedup_chunks, CORPUS_DEDUP_CHUNKS_SQL),
     "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
     "text_tfidf_keywords": (text_tfidf_keywords, TEXT_TFIDF_SQL),
+    "model_eval_auc": (model_eval_auc, MODEL_EVAL_SQL),
+    "corpus_sample_stratified": (corpus_sample_stratified, CORPUS_STRATIFIED_SQL),
 }

@@ -685,3 +685,37 @@ def test_pagerank_plan_iterations_stay_on_shuffle_keys(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange SinglePartition" in line:
             raise AssertionError(f"unexpected SinglePartition exchange: {line}")
+
+
+def test_stratified_sample_plan_group_limit(spark, sf_dir):
+    """The per-stratum quota fill must keep its literal rank cap
+    WindowGroupLimit-eligible (per-partition top-k heaps before the
+    shuffle) — the exact-alloc filter alone would disqualify it."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_sample_stratified,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_sample_stratified(spark, sf_dir))
+    release_tracked_caches()
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_model_eval_plan_windows_bounded(spark, sf_dir):
+    """model_eval_auc's only Window is the cumq prefix over the DISTINCT-
+    logit aggregate (bounded by the rounding grid) — a second window
+    would mean someone reintroduced a corpus-scale global sort."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        model_eval_auc,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(model_eval_auc(spark, sf_dir))
+    release_tracked_caches()
+    assert plan.count(") Window\n") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
