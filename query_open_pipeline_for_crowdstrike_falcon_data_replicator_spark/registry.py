@@ -126,6 +126,7 @@ DRIVER_SLOTS = 50
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     # imports fail loudly: a refactor-introduced ImportError must shrink
     # the test suite, not silently shrink the driver-visible surface
+    from .operators.bpe import BPE_QUERIES
     from .operators.dedup import DEDUP_QUERIES
     from .operators.graph import GRAPH_QUERIES
     from .operators.multimodal import MULTIMODAL_QUERIES
@@ -144,6 +145,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     merged.update(TEMPORAL_QUERIES)
     merged.update(DEDUP_QUERIES)
     merged.update(GRAPH_QUERIES)
+    merged.update(BPE_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(SKETCH_QUERIES)
     merged.update(SIMILARITY_QUERIES)

@@ -1725,3 +1725,66 @@ def test_trained_disk_artifact_roundtrip(spark):
     # a corpus with different content keys a different path
     home = sim._quant_artifact_dir(sf, key)
     assert home is not None and "qopcfdr_quant1_" in home
+
+
+def test_bpe_merge_fold_reference(spark):
+    """The string fold must implement standard left-to-right
+    non-overlapping BPE merging, including the no-retrigger property
+    (a freshly merged symbol never re-matches the pair's left side) and
+    merged-symbol participation in LATER rounds."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.bpe import (
+        _merge_fold,
+    )
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a"], "a", "b"),
+        (["a", "b"], "a", "b"),
+        (["a", "a", "a"], "a", "a"),          # overlap: (aa)(a), not (a)(aa)
+        (["a", "a", "a", "a"], "a", "a"),     # (aa)(aa)
+        (["x", "a", "b", "a", "b", "y"], "a", "b"),
+        (["m", "er", "er"], "m", "er"),       # merged symbol as right ctx
+        (["er", "er", "er"], "er", "er"),
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(s)) for i, (s, _, _) in enumerate(cases)], ["i", "ws"]
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_merge_fold(F.col("ws"), a, b).alias("f"))
+            .collect()[0]["f"]
+        )
+        assert got == " ".join(ref_merge(syms, a, b)), (syms, a, b, got)
+
+
+def test_bpe_tokenize_join_never_broadcasts_vocab(spark, sf_dir):
+    """The trained vocabulary is a derived aggregate — its plan-time
+    stats estimate must never ride a broadcast (shuffle_hash pinned)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.bpe import (
+        text_bpe_tokenize,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        text_bpe_tokenize(spark, sf_dir).explain("formatted")
+    release_tracked_caches()
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "BroadcastHashJoin" not in plan, plan[:1500]
