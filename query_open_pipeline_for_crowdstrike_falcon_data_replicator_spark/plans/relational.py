@@ -971,6 +971,101 @@ FROM scored
 """
 
 
+HOLT_ONE = 1_000_000  # fixed-point scale: 1 event/day = 1e6 micro-units
+HOLT_DAY_SECONDS = 86_400
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    count series, plus the one-step-ahead forecast (level + trend) —
+    EWMA tracks level only; Holt adds the trend term operational
+    capacity planning needs.
+
+    Cross-engine determinism: the recurrence runs ENTIRELY in int64
+    micro-units with DYADIC smoothing weights (alpha=1/4, beta=1/8), so
+    each update is adds/multiplies plus an arithmetic right-shift —
+    level' = (y + 3*(level+trend)) >> 2, trend' = (level' - level +
+    7*trend) >> 3.  Both engines floor negative shifts identically
+    (two's-complement), so the fold is bit-exact with no rounding mode
+    in play at all.  (DuckDB 1.0's list_reduce mis-evaluates STRUCT
+    accumulators whose fields share subexpressions, so the oracle
+    encodes (level, trend) as a 'l:t' string — the BPE fold trick;
+    Spark folds the native struct.)
+
+    Scale shape: the corpus-scale pass is the map-side-combined daily
+    count; the fold runs per event type over the bounded day series
+    (collect -> sort -> fold, the CUSUM/EWMA sequential-recurrence
+    convention).  Output: one row per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / HOLT_DAY_SECONDS).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("day_slot"))
+        .groupBy("event_type", "day_slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day_slot", "n"))).alias("l"),
+    )
+    ys = F.transform(F.col("l"), lambda s: s["n"] * HOLT_ONE)
+
+    def step(acc, y):
+        lvl = F.shiftright(y + 3 * (acc["a"] + acc["b"]), 2)
+        trd = F.shiftright(lvl - acc["a"] + 7 * acc["b"], 3)
+        return F.struct(lvl.alias("a"), trd.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(ys, F.lit(2), F.size(ys) - 1),
+        F.struct(
+            F.element_at(ys, 1).alias("a"), F.lit(0).cast("bigint").alias("b")
+        ),
+        step,
+    )
+    return per.select("event_type", "n_days", fold.alias("st")).select(
+        "event_type",
+        "n_days",
+        F.col("st")["a"].alias("level_micro"),
+        F.col("st")["b"].alias("trend_micro"),
+        (F.col("st")["a"] + F.col("st")["b"]).alias("forecast_next_micro"),
+    )
+
+
+_HOLT_L = "CAST(string_split(acc, ':')[1] AS BIGINT)"
+_HOLT_T = "CAST(string_split(acc, ':')[2] AS BIGINT)"
+_HOLT_LVL = f"((CAST(x AS BIGINT) + 3*({_HOLT_L} + {_HOLT_T})) >> 2)"
+
+EVENTS_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('second', TIMESTAMP '1970-01-01', ts) // {HOLT_DAY_SECONDS}
+           AS day_slot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         list(n * {HOLT_ONE} ORDER BY day_slot) AS ys
+  FROM daily GROUP BY 1
+),
+folded AS (
+  SELECT event_type, n_days,
+         list_reduce(
+           list_prepend(CAST(ys[1] AS VARCHAR) || ':0',
+                        list_transform(ys[2:], y -> CAST(y AS VARCHAR))),
+           (acc, x) -> CAST({_HOLT_LVL} AS VARCHAR) || ':' ||
+                       CAST(({_HOLT_LVL} - {_HOLT_L} + 7*{_HOLT_T}) >> 3
+                            AS VARCHAR)) AS st
+  FROM ser
+)
+SELECT event_type, n_days,
+       CAST(string_split(st, ':')[1] AS BIGINT) AS level_micro,
+       CAST(string_split(st, ':')[2] AS BIGINT) AS trend_micro,
+       CAST(string_split(st, ':')[1] AS BIGINT)
+         + CAST(string_split(st, ':')[2] AS BIGINT) AS forecast_next_micro
+FROM folded
+"""
+
+
 CUSUM_SLACK_C = 2500  # per-step drift allowance k, in value-hundredths
 CUSUM_ALARM_C = 40000  # decision threshold h, in value-hundredths
 
@@ -1193,6 +1288,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
     "events_ewma_anomaly": (events_ewma_anomaly, EVENTS_EWMA_SQL),
+    "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
