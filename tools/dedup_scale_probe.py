@@ -154,12 +154,28 @@ def main() -> None:
         edges = pairs.union(pairs.selectExpr("dst AS src", "src AS dst"))
         return connected_components(edges).groupBy("cluster_rep").count().count()
 
+    def run_bpe_train():
+        # full 8-round BPE training: the corpus-scale word count plus 8
+        # bounded-vocabulary merge rounds (pair count + argmax + fold) —
+        # the Heap's-law collapse is what this measures at scale
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.bpe import (
+            train_bpe,
+        )
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+            release_tracked_caches,
+        )
+
+        merges, _ = train_bpe(spark, corpus)
+        release_tracked_caches()
+        return len(merges)
+
     ops = {
         "minhash_lsh": run_minhash,
         "substring": run_substring,
         "winnow": run_winnow,
         "bigram_lm_score": run_lm_score,
         "cc_cluster": run_cluster,
+        "bpe_train": run_bpe_train,
     }
     out = {}
     for name, fn in ops.items():
