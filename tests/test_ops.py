@@ -1788,3 +1788,111 @@ def test_bpe_tokenize_join_never_broadcasts_vocab(spark, sf_dir):
     plan = buf.getvalue()
     assert "ShuffledHashJoin" in plan, plan[:1500]
     assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
+def test_stratified_allocation_exact(spark, sf_dir):
+    """Largest-remainder apportionment: the sample is EXACTLY the budget,
+    every stratum gets floor(share) or floor(share)+1, and ranks within
+    each stratum are the contiguous prefix 1..alloc."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        STRATIFIED_BUDGET_DOCS,
+        corpus_sample_stratified,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = corpus_sample_stratified(spark, sf_dir).collect()
+    release_tracked_caches()
+    assert len(rows) == STRATIFIED_BUDGET_DOCS
+    counts = {}
+    for r in rows:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    per_stratum = {
+        r["lang"]: r["c"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(per_stratum.values())
+    for lang, k in counts.items():
+        base = STRATIFIED_BUDGET_DOCS * per_stratum[lang] // n
+        assert k in (base, base + 1), (lang, k, base)
+        got_rks = sorted(r["rk"] for r in rows if r["lang"] == lang)
+        assert got_rks == list(range(1, k + 1)), (lang, got_rks)
+
+
+def test_model_eval_degenerate_split_null_metrics(spark, tmp_path):
+    """A one-class eval slice must yield NULL AUC (division guard), not a
+    crash or a fabricated number."""
+    import os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        model_eval_auc,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    # corpus whose eval slice is all Gopher-drop (too few words): every
+    # doc is 3 tokens, so keep=0 everywhere -> n_pos = 0 -> auc NULL.
+    # Texts are DISTINCT (the split coin hashes content, so identical
+    # texts would all land in one split and empty the eval slice).
+    docs = spark.createDataFrame(
+        [(i, f"a b c{i}") for i in range(200)], ["doc_id", "text"]
+    )
+    sf = str(tmp_path / "sfdeg")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    row = model_eval_auc(spark, sf).collect()[0]
+    release_tracked_caches()
+    assert row["n_pos"] == 0
+    assert row["auc_micro"] is None
+    assert row["recall_micro"] is None
+
+
+def test_holt_fold_matches_python_reference(spark, tmp_path):
+    """The dyadic-shift Holt recurrence must equal the plain-Python
+    reference on a synthetic daily series, including negative trends."""
+    import os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        HOLT_ONE,
+        events_holt_forecast,
+    )
+
+    # one event per (type, second) within chosen days -> daily counts
+    counts = [30, 5, 4, 8, 2, 1]  # sharp drop -> negative trend
+    rows = []
+    eid = 0
+    import datetime as dt
+
+    for day, n in enumerate(counts):
+        for j in range(n):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=j)
+            rows.append((eid, ts, 1, "t1", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf = str(tmp_path / "sfholt")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+    def ref(ys):
+        l, t = ys[0] * HOLT_ONE, 0
+        for y in ys[1:]:
+            nl = (y * HOLT_ONE + 3 * (l + t)) >> 2
+            t = (nl - l + 7 * t) >> 3
+            l = nl
+        return l, t
+
+    got = events_holt_forecast(spark, sf).collect()[0]
+    l, t = ref(counts)
+    assert t < 0  # the scenario really exercises negative shifts
+    assert (got["level_micro"], got["trend_micro"]) == (l, t)
+    assert got["forecast_next_micro"] == l + t
