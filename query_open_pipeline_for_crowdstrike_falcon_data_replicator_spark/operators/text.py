@@ -1963,6 +1963,84 @@ MODEL_EVAL_SQL = _model_eval_oracle_sql().format(GOPHER_SQL=TEXT_GOPHER_SQL)
 
 
 # --------------------------------------------------------------------- #
+# corpus-order n-gram novelty (memorization / diversity metric)
+# --------------------------------------------------------------------- #
+# Dedup asks "does this doc match ANOTHER doc"; novelty asks the
+# curation question behind memorization analyses: how much of each
+# document's k-gram content is FIRST INTRODUCED by that document, in
+# canonical corpus order?  A low-novelty tail is boilerplate/recombined
+# text even when no single pairwise match crosses a dedup threshold.
+#
+# Scale shape: one tokenize projection exploding distinct k-gram window
+# hashes (the dedup_substring posting machinery — md5-of-joined-window
+# so both engines hash identically), ONE map-side-combined groupBy for
+# the global first-seen doc per gram, and a shuffle_hash join back (the
+# first-seen table is derived data — never plan-time broadcast).  The
+# novelty ratio is integer micro-units (no float rounding surface).
+NOVELTY_K = 8
+NOVELTY_ONE = 1_000_000
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty over NOVELTY_K-token shingles: n_grams
+    distinct shingles, n_novel of them globally first seen in this doc
+    (first = min doc_id), novelty_micro = 1e6 * n_novel DIV n_grams.
+    Docs shorter than NOVELTY_K tokens have no shingles and no row."""
+    from .dedup import _window_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(_window_hashes(_tokens(), NOVELTY_K)).alias("wins"),
+    )
+    # persisted: the first-seen aggregate AND the join back both read it
+    pos = tracked_persist(base.select("doc_id", F.explode("wins").alias("w")))
+    first = pos.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pos.join(first.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr(f"({NOVELTY_ONE} * n_novel) DIV n_grams").alias(
+                "novelty_micro"
+            ),
+        )
+    )
+
+
+TEXT_NOVELTY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+  FROM documents
+),
+pos AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, i, i + {NOVELTY_K - 1}), ' ')) AS w
+  FROM base, LATERAL unnest(generate_series(1, n - {NOVELTY_K - 1})) AS u(i)
+  WHERE n >= {NOVELTY_K}
+),
+first AS (SELECT w, min(doc_id) AS first_doc FROM pos GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ({NOVELTY_ONE} * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                             AS BIGINT))
+         // CAST(count(*) AS BIGINT) AS novelty_micro
+FROM pos JOIN first USING (w)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- #
 # exact stratified sampling: largest-remainder allocation + hash order
 # --------------------------------------------------------------------- #
 # corpus_sample_budget above keeps documents at a per-stratum RATE (the
@@ -2836,4 +2914,5 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_tfidf_keywords": (text_tfidf_keywords, TEXT_TFIDF_SQL),
     "model_eval_auc": (model_eval_auc, MODEL_EVAL_SQL),
     "corpus_sample_stratified": (corpus_sample_stratified, CORPUS_STRATIFIED_SQL),
+    "text_novelty": (text_novelty, TEXT_NOVELTY_SQL),
 }
