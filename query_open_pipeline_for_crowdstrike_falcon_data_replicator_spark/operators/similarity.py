@@ -2328,6 +2328,74 @@ SELECT vec_id, cell, round(-d, 4) + 0.0 AS cos FROM best
 """
 
 
+# --------------------------------------------------------------------- #
+# quantizer evaluation: per-cell cosine inertia (model-quality metric)
+# --------------------------------------------------------------------- #
+# The embedding-side twin of model_eval_auc: a trained quantizer needs a
+# quality number before it serves dedup/ANN traffic.  Per-cell cosine
+# inertia — sum of (1 - cos(u, centroid_assigned)) — is the k-means
+# objective in the inner-product geometry everything here runs in; a
+# drifted corpus shows up as rising inertia (the refresh trigger the IVF
+# refresh op acts on).
+#
+# Determinism: the dissimilarity is quantized per vector BEFORE summing
+# (floor((1-cos)*1e6 + 0.5) -> int64 micro-units), so the per-cell sums
+# are order-independent integers; the dot itself is bit-identical across
+# engines because both fold left-to-right over the same 6-decimal-rounded
+# centroids (the _lloyd_chain argument).
+INERTIA_ONE = 1_000_000
+
+
+def embedding_eval_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quantizer quality over the full corpus: (cell, n_vecs,
+    inertia_micro, mean_dissim_micro) against the SAME memoized IVF
+    centroids the serving path uses."""
+    emb = tracked_persist(
+        _embedded(spark, sf_dir)
+        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+    )
+    cents = _trained(
+        (sf_dir, "ivf", IVF_CELLS),
+        lambda: _ivf_train(emb.filter(F.col("vec_id") % 5 == 0), spark),
+    )
+    a = assign_cells(emb, cents)
+    dis = F.floor((1.0 - F.col("cos")) * INERTIA_ONE + 0.5).cast("long")
+    return (
+        a.select("cell", dis.alias("d"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d").alias("inertia_micro"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "inertia_micro",
+            F.expr("inertia_micro DIV n_vecs").alias("mean_dissim_micro"),
+        )
+    )
+
+
+def _inertia_oracle_sql() -> str:
+    """Lloyd replay -> assignment -> per-vector micro quantization ->
+    integer per-cell sums (order-independent by construction)."""
+    return f"""
+WITH {_lloyd_chain()},
+assigned AS ({_ASSIGN_T.format(src="u", cents="c2")}),
+scored AS (
+  SELECT a.cell,
+         CAST(floor((1.0 - list_dot_product(a.u, s.c)) * {INERTIA_ONE} + 0.5)
+              AS BIGINT) AS d
+  FROM assigned a JOIN c2 s USING (cell)
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d) AS BIGINT) AS inertia_micro,
+       CAST(sum(d) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_dissim_micro
+FROM scored
+GROUP BY cell
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
@@ -2344,4 +2412,5 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
     "ann_hybrid_rrf": (ann_hybrid_rrf, _hybrid_oracle_sql()),
     "embedding_assign_2l": (embedding_assign_2l, _assign_2l_oracle_sql()),
+    "embedding_eval_inertia": (embedding_eval_inertia, _inertia_oracle_sql()),
 }
