@@ -408,6 +408,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = JACCARD_PAIRS_SQL
 
 
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair set as a build-once ARTIFACT
+    (fingerprint-salted parquet, same protocol as the quantizer/LM
+    models): downstream graph analytics — clustering, triangles,
+    PageRank — consume the pair GRAPH repeatedly, and production builds
+    it once per corpus version rather than re-running minhash->LSH->
+    verify inside every consumer.  Content is byte-identical to a live
+    ``dedup_minhash_lsh`` run (the derivation is deterministic), so
+    every consumer's oracle replay is unaffected."""
+    import os
+    import tempfile
+
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qopcfdr_pairs1_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{corpus_fingerprint(docs)}",
+    )
+    p = build_once(
+        path,
+        "_SUCCESS",
+        lambda stage: dedup_minhash_lsh(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(stage),
+    )
+    return spark.read.parquet(p)
+
+
 # --------------------------------------------------------------------- #
 # Incremental dedup: new batch vs existing corpus
 # --------------------------------------------------------------------- #
@@ -621,7 +651,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no dedup at all; this is the standard
     training-corpus pipeline composition (pairs are necessary but not
     sufficient — transitivity is what makes "keep one copy" well-defined)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -686,7 +716,7 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure oracle verifies it cross-engine.  Registered separately so
     the O(log n)-round chain-graph path is driver-verified on the real
     LSH pair graph, not only unit-tested on synthetic chains."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )

@@ -51,17 +51,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tracked_persist
-from .dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD, dedup_minhash_lsh
+from .dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD, near_dup_pairs
 
 PAGERANK_ITERS = 5
 PR_ONE = 1_000_000  # fixed-point scale: 1.0 rank unit = 1e6 micro-units
 
 
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (doc_a < doc_b) verified near-dup pairs, persisted —
+    """Canonical (doc_a < doc_b) verified near-dup pairs from the
+    build-once pair artifact (``dedup.near_dup_pairs``), persisted —
     both operators and both directions read it repeatedly."""
     return tracked_persist(
-        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     )
 
 
