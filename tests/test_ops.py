@@ -1896,3 +1896,21 @@ def test_holt_fold_matches_python_reference(spark, tmp_path):
     assert t < 0  # the scenario really exercises negative shifts
     assert (got["level_micro"], got["trend_micro"]) == (l, t)
     assert got["forecast_next_micro"] == l + t
+
+
+def test_near_dup_pair_artifact_equals_live_derivation(spark, sf_dir):
+    """The build-once pair artifact must be byte-equivalent to a live
+    dedup_minhash_lsh run — consumers' oracles replay the LIVE
+    derivation, so any drift here would surface as driver mismatches."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        near_dup_pairs,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    art = {tuple(r) for r in near_dup_pairs(spark, sf_dir).collect()}
+    live = {tuple(r) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    release_tracked_caches()
+    assert art == live and len(art) > 0
