@@ -1986,15 +1986,26 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles, n_novel of them globally first seen in this doc
     (first = min doc_id), novelty_micro = 1e6 * n_novel DIV n_grams.
     Docs shorter than NOVELTY_K tokens have no shingles and no row."""
-    from .dedup import _window_hashes
+    from .dedup import _window_hashes, token_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # token_docs spreads the single-file local scan so the md5 window
+    # hashing fans out (no-op on a many-split lake); explode_outer +
+    # filter instead of explode so the optimizer can't push an inferred
+    # size()>0 filter below the exchange and re-evaluate the whole
+    # window expression per row (the postings_of lesson — measured 2.8x
+    # on this exact shape)
+    base = token_docs(spark, sf_dir).select(
         "doc_id",
-        F.array_distinct(_window_hashes(_tokens(), NOVELTY_K)).alias("wins"),
+        F.array_distinct(
+            _window_hashes(F.col("toks"), NOVELTY_K)
+        ).alias("wins"),
     )
     # persisted: the first-seen aggregate AND the join back both read it
-    pos = tracked_persist(base.select("doc_id", F.explode("wins").alias("w")))
+    pos = tracked_persist(
+        base.select("doc_id", F.explode_outer("wins").alias("w")).filter(
+            F.col("w").isNotNull()
+        )
+    )
     first = pos.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     return (
         pos.join(first.hint("shuffle_hash"), "w")
