@@ -149,6 +149,56 @@ def pagerank_from(pairs: DataFrame) -> DataFrame:
     return pr.select(F.col("src").alias("doc_id"), F.col("pr").alias("pr_micro"))
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 5
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling over the near-dup graph: ``KCORE_ROUNDS`` unrolled
+    rounds of "drop vertices with degree < KCORE_K, keep edges whose
+    BOTH endpoints survive".  The 2-core separates densely-duplicated
+    boilerplate FAMILIES from pendant one-off pairs — a different dedup
+    confidence than component size (a 100-doc chain is a big component
+    with an empty 2-core; a 4-clique is a small component entirely
+    inside it).
+
+    Fixed round count keeps the oracle an unrolled CTE chain (the
+    PageRank convention): the result equals the true k-core whenever the
+    peel converges within the rounds (the LSH graph's planted families
+    peel in <= 2; a deeper production graph raises KCORE_ROUNDS or
+    switches to the convergence loop of connected_components).  Every
+    round is one map-side-combined degree count + two semi-joins on
+    vertex keys — nothing quadratic, survivor sets are derived data and
+    ride shuffle_hash semi-joins, never a plan-time broadcast.
+    Output: (doc_id, core_deg) for vertices in the (round-limited)
+    2-core."""
+    pairs = _near_dup_edges(spark, sf_dir)
+    edges = tracked_persist(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = tracked_persist(
+            edges.join(keep.hint("shuffle_hash"), "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+                "dst",
+                "left_semi",
+            )
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("src").alias("doc_id"), "core_deg")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Oracles: the exact-Jaccard pair set (same LSH-recall argument as
 # DEDUP_MINHASH_SQL) re-derived as a CTE, then pure-SQL graph math.
@@ -218,7 +268,41 @@ SELECT node AS doc_id, pr AS pr_micro FROM {prev}
 """
 
 
+def _kcore_oracle_sql() -> str:
+    """Unrolled peel: per round, degree count -> survivor set -> edge
+    filter on both endpoints.  Every round's CTEs are MATERIALIZED:
+    DuckDB inlines CTEs by default, and each round references the
+    previous edge set twice (degree count + filter), so the un-hinted
+    chain re-derives the exact-Jaccard pair join 2^rounds times."""
+    rounds = []
+    prev = "e0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"k{t} AS MATERIALIZED (\n"
+            f"  SELECT src FROM (SELECT src, count(*) AS deg FROM {prev} GROUP BY 1)\n"
+            f"  WHERE deg >= {KCORE_K}),\n"
+            f"e{t} AS MATERIALIZED (\n"
+            f"  SELECT e.src, e.dst FROM {prev} e\n"
+            f"  JOIN k{t} a ON a.src = e.src\n"
+            f"  JOIN k{t} b ON b.src = e.dst)"
+        )
+        prev = f"e{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_PAIRS_CTE.strip()},
+e0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+{chain}
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY 1
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),
     "graph_pagerank": (graph_pagerank, _pagerank_oracle_sql()),
+    "graph_kcore": (graph_kcore, _kcore_oracle_sql()),
 }
