@@ -719,3 +719,21 @@ def test_model_eval_plan_windows_bounded(spark, sf_dir):
     release_tracked_caches()
     assert plan.count(") Window\n") == 1, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_kcore_plan_semi_joins_on_keys(spark, sf_dir):
+    """Each peel round is a degree aggregate + two LeftSemi hash joins on
+    vertex keys; survivor sets are derived data and must never ride a
+    plan-time broadcast or degenerate to a nested loop."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        graph_kcore,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(graph_kcore(spark, sf_dir))
+    release_tracked_caches()
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
