@@ -178,13 +178,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.selectExpr("doc_b AS src", "doc_a AS dst")
         )
     )
+    # fixpoint short-circuit: survivor sets shrink monotonically, so two
+    # consecutive rounds with EQUAL counts mean equal sets — every later
+    # round is the identity filter and the output matches the fully
+    # unrolled oracle exactly.  The per-round count is one aggregate over
+    # the (tiny, persisted) survivor set — the convergence-check shape
+    # connected_components already uses.
+    prev_n = None
     for _ in range(KCORE_ROUNDS):
-        keep = (
+        keep = tracked_persist(
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("src")
         )
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
         edges = tracked_persist(
             edges.join(keep.hint("shuffle_hash"), "src", "left_semi").join(
                 keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
