@@ -73,30 +73,17 @@ BENCH_EXCLUDE = {
 # tests/test_relational.py (parametrizes all_queries()) and
 # tools/driver_sim.py --all.
 STRUCTURAL_EXCLUDE = {
-    # --- duplicates-by-construction (no own driver slot by design) ---
-    # subset of events_hypertable_rollup (same daily agg minus n_users/segment)
-    "events_daily_agg",
-    # manual gaps-and-islands twin of events_session_window (identical output)
-    "events_sessionize",
-    # the GROUPING SETS family keeps one driver slot (agg_rollup_returns);
-    # cube and explicit grouping-sets are the same Expand-based plan
-    "agg_grouping_sets",
-    "agg_cube_orders",
+    # Only entries that CANNOT hash-match by construction are excluded;
+    # everything with an exact oracle rotates (VERDICT r5 #2: the
+    # duplicate-plan and zero-rows-at-sf0.01 entries previously listed
+    # here all hash-match trivially and now take their turn like any
+    # other entry, so no exact-oracled entry can go permanently stale).
     # 29-fixture rows-only probe; envelope path driver-verified by
     # ocsf_etl_verify, goldens in test_normalizers
     "ocsf_pipeline_envelopes",
     # rows-only sink probe superseded as driver signal by ocsf_etl_verify
     # (same write path with a VALUES-join oracle)
     "ocsf_etl_50k",
-    # --- zero content signal at sf0.01 (0-vs-0 rows every round) ---
-    # no customers without orders in the synthetic data; anti-join shape
-    # covered by q21
-    "anti_join_customers_without_orders",
-    # no idle customers — same rule
-    "q22_idle_customers",
-    # no cosine>=0.9 pairs in the synthetic embeddings; machinery
-    # driver-covered by dedup_semantic
-    "embedding_neardup_pairs",
     # --- approximate by construction (Greenwald-Khanna / DataSketches)
     #     -> no exact oracle; accuracy pinned against exact yardsticks
     #     in tests ---
