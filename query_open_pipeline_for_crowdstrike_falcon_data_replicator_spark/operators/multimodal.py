@@ -139,7 +139,8 @@ def _decode_png_stdlib(data: bytes):
                 raise NotImplementedError(
                     f"stdlib PNG path supports 8-bit gray/RGB/RGBA "
                     f"non-interlaced (got depth={depth} color={color} "
-                    f"interlace={interlace}); install Pillow for the rest"
+                    f"interlace={interlace}); install Pillow for the rest "
+                    f"(README.md: 'Image decoding')"
                 )
             channels = {0: 1, 2: 3, 6: 4}[color]
         elif ctype == b"IDAT":
@@ -315,13 +316,15 @@ def _decode_jpeg_stdlib(data: bytes):
             ):
                 raise NotImplementedError(
                     "stdlib JPEG path supports gray / YCbCr with sampling "
-                    "factors 1-2; install Pillow for the rest"
+                    "factors 1-2; install Pillow for the rest "
+                    "(README.md: 'Image decoding')"
                 )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) without Pillow"
+                "only baseline sequential JPEG (SOF0) without Pillow "
+                "(README.md: 'Image decoding')"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
