@@ -955,6 +955,56 @@ def ivf_load_model(spark: SparkSession, index_path: str) -> list[list[float]]:
     return read_meta()["centroids"]
 
 
+PROBE_JOIN_MIN_CELLS = 64
+
+
+def _probe_cells(
+    spark: SparkSession, queries: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """Each query's IVF_NPROBE nearest cells as (query_id, qu, qc, cell)
+    rows — the query-side twin of the ``assign_cells`` dispatcher.
+    Below PROBE_JOIN_MIN_CELLS the probe order is a literal
+    argmin-array expression (a handful of dot products compiled into
+    the plan); at or above, a broadcast centroid-table join + per-query
+    rank keeps plan size and compile time FLAT as K grows to thousands
+    of cells.  The threshold sits BELOW the assignment dispatcher's
+    (ASSIGN_JOIN_MIN_CELLS): assignment amortizes one compile over the
+    whole corpus, while serving pays it per CALL on a tiny query set —
+    measured at K=223 the literal form spent ~16 s in Catalyst per
+    serve call, 10x the actual scan.  Both forms share the tie order
+    (-dot, cell) ascending, so probe sets are identical at the switch
+    point."""
+    if len(cents) < PROBE_JOIN_MIN_CELLS:
+        probe_entries = [
+            F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ]
+        probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
+        return queries.select(
+            F.col("query_id"),
+            F.col("u").alias("qu"),
+            _sq8_code(F.col("u")).alias("qc"),
+            F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
+        )
+    from pyspark.sql import Window
+
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = spark.createDataFrame(cent_rows, "cell int, c array<double>")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+    return (
+        queries.crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id",
+            F.col("u").alias("qu"),
+            (-_dot(F.col("u"), F.col("c"))).alias("d"),
+            "cell",
+        )
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qu", _sq8_code(F.col("qu")).alias("qc"), "cell")
+    )
+
+
 def ivf_query_index(
     spark: SparkSession,
     index_path: str,
@@ -962,6 +1012,7 @@ def ivf_query_index(
     cents: list[list[float]],
     *,
     sq8: bool = False,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Top-k ANN over a persisted IVF index.  ``queries`` carries
     (query_id, u); each query probes its IVF_NPROBE nearest cells and the
@@ -974,17 +1025,7 @@ def ivf_query_index(
     at 100 TB), keeps the top SQ8_CAND integer-scored candidates per
     query, and a second pruned read fetches full-precision vectors for
     exact re-ranking of the candidates alone."""
-    probe_entries = [
-        F.struct((-_dot(F.col("u"), F.lit(c))).alias("d"), F.lit(k).alias("c"))
-        for k, c in enumerate(cents)
-    ]
-    probes = F.slice(F.array_sort(F.array(*probe_entries)), 1, IVF_NPROBE)
-    q = queries.select(
-        F.col("query_id"),
-        F.col("u").alias("qu"),
-        _sq8_code(F.col("u")).alias("qc"),
-        F.explode(F.transform(probes, lambda s: s["c"])).alias("cell"),
-    )
+    q = _probe_cells(spark, queries, cents)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -999,7 +1040,7 @@ def ivf_query_index(
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
+            .filter(F.col("rank") <= k)
         )
     codes = spark.read.parquet(index_path).select("neighbor_id", "cc", "cell")
     qscore = F.aggregate(
@@ -1027,7 +1068,7 @@ def ivf_query_index(
         .join(vectors, ["cell", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
     )
 
 

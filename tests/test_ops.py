@@ -1265,6 +1265,69 @@ def test_assign_cells_dispatch_large_k(spark, sf_dir):
     assert "array_min" in small_plan
 
 
+def test_probe_cells_dispatch_large_k(spark, sf_dir):
+    """The query-side probe dispatcher (`_probe_cells`): at
+    K >= PROBE_JOIN_MIN_CELLS the probe set must come from the broadcast
+    centroid-table join (no K-term literal sort in the plan — serving
+    pays Catalyst per CALL, so plan size must stay flat in K) and must
+    equal the literal argmin-array form on every query, ties included."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        IVF_NPROBE,
+        PROBE_JOIN_MIN_CELLS,
+        _dot,
+        _embedded,
+        _probe_cells,
+    )
+
+    emb = _embedded(spark, sf_dir).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "u"
+    )
+    cents = [
+        list(r["u"])
+        for r in emb.orderBy("vec_id").limit(PROBE_JOIN_MIN_CELLS).collect()
+    ]
+    assert len(cents) == PROBE_JOIN_MIN_CELLS
+
+    dispatched = _probe_cells(spark, queries, cents)
+    plan = dispatched._jdf.queryExecution().executedPlan().toString()
+    assert "array_sort" not in plan  # the K-struct literal sort is absent
+    assert "broadcast" in plan.lower()
+    joined = {(r.query_id, r.cell) for r in dispatched.collect()}
+
+    # the same K cells through the literal argmin-array expression
+    lit_probe = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-_dot(F.col("u"), F.lit(c))).alias("d"),
+                        F.lit(i).alias("c"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        ),
+        1,
+        IVF_NPROBE,
+    )
+    lit = {
+        (r.query_id, r.cell)
+        for r in queries.select(
+            "query_id",
+            F.explode(F.transform(lit_probe, lambda s: s["c"])).alias("cell"),
+        ).collect()
+    }
+    assert joined == lit and len(joined) == 20 * IVF_NPROBE
+
+    # below the switch point the dispatcher keeps the literal plan
+    small = _probe_cells(spark, queries, cents[:16])
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "array_sort" in small_plan
+
+
 def test_rp_projection_preserves_distances(spark, sf_dir):
     """JL property: the scaled +-1 projection to 8 dims preserves pairwise
     squared L2 distances in expectation -- over many pairs the mean ratio
