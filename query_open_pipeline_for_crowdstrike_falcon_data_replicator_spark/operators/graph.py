@@ -172,7 +172,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride shuffle_hash semi-joins, never a plan-time broadcast.
     Output: (doc_id, core_deg) for vertices in the (round-limited)
     2-core."""
-    pairs = _near_dup_edges(spark, sf_dir)
+    return kcore_from(_near_dup_edges(spark, sf_dir))
+
+
+def kcore_from(pairs: DataFrame) -> DataFrame:
+    """K-core peel over any canonical (doc_a < doc_b) pair set — the
+    composable core of ``graph_kcore`` (same contract as
+    ``triangle_count_from`` / ``pagerank_from``; used by the scale probe
+    and the streaming graph maintenance path)."""
     edges = tracked_persist(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
             pairs.selectExpr("doc_b AS src", "doc_a AS dst")

@@ -53,6 +53,10 @@ BENCH_EXCLUDE = {
     # runs the curation/dedup gate as a Structured Streaming query (3
     # micro-batches probing the persisted band index) inside the builder
     "stream_curate_verify",
+    # runs incremental pair-graph maintenance as a Structured Streaming
+    # query (3 micro-batches extending the edge snapshot), then CC +
+    # k-core consumers, inside the builder
+    "stream_graph_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

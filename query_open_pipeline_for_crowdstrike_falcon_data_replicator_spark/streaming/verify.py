@@ -452,10 +452,198 @@ GROUP BY 1, 2
 """
 
 
+def stream_graph_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of INCREMENTAL pair-graph maintenance
+    (``streaming/graphmaint.py``): the documents corpus arrives as three
+    doc_id-range NDJSON drops streamed through ``run_graph_stream``
+    (availableNow, one file per micro-batch), each batch extending the
+    persisted near-dup edge snapshot with exactly its new edges —
+    batch-internal pairs plus batch-vs-corpus pairs probed against the
+    band index earlier batches committed.  The accumulated snapshot is
+    read back and (a) summarized per discovering batch, (b) fed to the
+    graph CONSUMERS — connected components and the k-core peel — exactly
+    as they would run after any micro-batch, with NO full pair-graph
+    rebuild.
+
+    The DuckDB oracle computes the one-shot exact-Jaccard pair set over
+    the whole corpus, attributes each edge to the batch of its LATER
+    endpoint (the drops are ascending doc_id ranges, so that is the
+    micro-batch that discovers it), and replays the same component and
+    k-core math.  A hash-match therefore proves: per-batch edge
+    accumulation ≡ the full batch pair graph (edge sets AND Jaccard
+    values, via the per-batch micro-sums), micro-batch ordering,
+    exactly-once snapshot commits, and that the maintained artifact
+    feeds the graph consumers unchanged.  LSH band recall stands in for
+    the exact pair set on the same argument as ``DEDUP_MINHASH_SQL``
+    (miss probability ~8e-8 at j=0.8).
+
+    Output (metric, k, v): ('edges', batch, n) and ('jac_micro', batch,
+    sum of round(jaccard*10000)) per batch; ('cluster', rep, size) per
+    component; ('core_deg', doc_id, deg) per 2-core vertex.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (broadcast increment-side band join against the persisted
+    index — see ``graphmaint.extend_pair_graph``)."""
+    from ..operators.dedup import connected_components
+    from ..operators.graph import kcore_from
+    from ..session import tracked_persist
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .graphmaint import PAIRS_TABLE, run_graph_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_graph_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_graph_verify: maintenance stream did not drain "
+                "within 600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamgraph_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    pairs = tracked_persist(
+        read_snapshot(spark, os.path.join(base, "out", PAIRS_TABLE))
+    )
+
+    per_batch = pairs.groupBy(F.col("batch_id").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.round(F.col("jaccard") * 10000, 0).cast("long")).alias("jac"),
+    )
+    edges_m = per_batch.select(
+        F.lit("edges").alias("metric"), "k", F.col("n_edges").alias("v")
+    )
+    jac_m = per_batch.select(
+        F.lit("jac_micro").alias("metric"), "k", F.col("jac").alias("v")
+    )
+
+    canon = pairs.select("doc_a", "doc_b")
+    sym = canon.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        canon.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    cluster_m = (
+        connected_components(sym)
+        .groupBy(F.col("cluster_rep").alias("k"))
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("cluster").alias("metric"), "k", "v")
+    )
+    core_m = kcore_from(canon).select(
+        F.lit("core_deg").alias("metric"),
+        F.col("doc_id").alias("k"),
+        F.col("core_deg").cast("long").alias("v"),
+    )
+    return edges_m.unionByName(jac_m).unionByName(cluster_m).unionByName(core_m)
+
+
+def _stream_graph_oracle_sql() -> str:
+    """One-shot exact-Jaccard pair set with later-endpoint batch
+    attribution, then the same component (recursive min-reach closure)
+    and k-core (materialized unrolled peel — DuckDB inlines CTEs, and
+    each round references the previous edge set twice) math as the
+    ``dedup_cluster`` / ``graph_kcore`` oracles."""
+    from ..operators.dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD
+    from ..operators.graph import KCORE_K, KCORE_ROUNDS
+
+    krounds = []
+    prev = "e0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        krounds.append(
+            f"k{t} AS MATERIALIZED (\n"
+            f"  SELECT src FROM (SELECT src, count(*) AS deg FROM {prev} GROUP BY 1)\n"
+            f"  WHERE deg >= {KCORE_K}),\n"
+            f"e{t} AS MATERIALIZED (\n"
+            f"  SELECT e.src, e.dst FROM {prev} e\n"
+            f"  JOIN k{t} a ON a.src = e.src\n"
+            f"  JOIN k{t} b ON b.src = e.dst)"
+        )
+        prev = f"e{t}"
+    kchain = ",\n".join(krounds)
+    return f"""
+WITH RECURSIVE {JACCARD_SHINGLES_CTE.strip()},
+sh AS (SELECT doc_id, sh FROM sh_all),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairsj AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 4)
+          >= {JACCARD_THRESHOLD}
+),
+m AS (SELECT max(doc_id) AS max_id FROM documents),
+pb AS (
+  SELECT doc_a, doc_b, jaccard,
+         CASE WHEN doc_b <= max_id // 3 THEN 0
+              WHEN doc_b <= 2 * max_id // 3 THEN 1
+              ELSE 2 END AS batch
+  FROM pairsj CROSS JOIN m
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairsj
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairsj
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+),
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+{kchain}
+SELECT 'edges' AS metric, CAST(batch AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS v
+FROM pb GROUP BY batch
+UNION ALL
+SELECT 'jac_micro', CAST(batch AS BIGINT),
+       CAST(sum(CAST(round(jaccard * 10000, 0) AS BIGINT)) AS BIGINT)
+FROM pb GROUP BY batch
+UNION ALL
+SELECT 'cluster', cluster_rep, CAST(count(*) AS BIGINT)
+FROM labels GROUP BY cluster_rep
+UNION ALL
+SELECT 'core_deg', src, CAST(count(*) AS BIGINT)
+FROM {prev} GROUP BY src
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "stream_pack_verify": (stream_pack_verify, STREAM_PACK_VERIFY_SQL),
     "ocsf_stream_verify": (ocsf_stream_verify, _stream_verify_oracle_sql()),
     "stream_curate_verify": (stream_curate_verify, _stream_curate_oracle_sql()),
+    "stream_graph_verify": (stream_graph_verify, _stream_graph_oracle_sql()),
 }

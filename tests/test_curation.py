@@ -102,6 +102,121 @@ def test_curation_stream_exactly_once(spark, tmp_path):
     assert _doc_ids(spark, out) == [1, 3, 102]
 
 
+def test_graph_stream_incremental_and_exactly_once(spark, tmp_path):
+    """Incremental pair-graph maintenance (streaming/graphmaint.py):
+    each micro-batch appends exactly its new edges — within-batch pairs
+    plus batch-vs-corpus pairs probed against the persisted band index —
+    stamped with the discovering batch; replays are fenced; and the
+    accumulated edge set equals the one-shot pair set over the union
+    corpus."""
+    import hashlib
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.graphmaint import (
+        extend_pair_graph,
+        run_graph_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _pairs():
+        return sorted(
+            (r.doc_a, r.doc_b, r.batch_id)
+            for r in read_snapshot(spark, f"{out}/pairs").collect()
+        )
+
+    # batch 1: (1, 2) are near-dups -> one within-batch edge
+    _write_batch(src, "b1.json", [
+        (1, _text("alpha")),
+        (2, _neardup("alpha")),
+        (3, _text("beta")),
+    ])
+    q = run_graph_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    assert not q.isActive
+    assert _pairs() == [(1, 2, 0)]
+
+    # batch 2: 101 near-dups batch-1's doc 3 (found via the PERSISTED
+    # band index, stamped with the discovering batch), 102 is fresh
+    _write_batch(src, "b2.json", [
+        (101, _neardup("beta")),
+        (102, _text("gamma")),
+    ])
+    q2 = run_graph_stream(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    assert _pairs() == [(1, 2, 0), (3, 101, 1)]
+
+    # the index holds ALL docs (the graph keeps every vertex — no
+    # curation drop), so future batches can match any of them
+    idx_ids = sorted(
+        r.doc_id
+        for r in read_snapshot(spark, f"{out}/index/profiles")
+        .select("doc_id")
+        .collect()
+    )
+    assert idx_ids == [1, 2, 3, 101, 102]
+
+    # replay of batch 0 (same writer identity, same batch_id): every
+    # commit is fenced by the txn mark -> no duplicate edges, no new
+    # versions on any table
+    versions = {
+        t: current_version(spark, f"{out}/{t}")
+        for t in ("pairs", "index/bands", "index/profiles")
+    }
+    app = "graphmaint-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    replay = spark.createDataFrame(
+        [(1, _text("alpha")), (2, _neardup("alpha")), (3, _text("beta"))],
+        ["doc_id", "text"],
+    )
+    extend_pair_graph(spark, replay, out, 0, txn_app=app)
+    assert _pairs() == [(1, 2, 0), (3, 101, 1)]
+    for t, v in versions.items():
+        assert current_version(spark, f"{out}/{t}") == v, t
+
+    # accumulated edges == the one-shot pair set over the union corpus
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        lsh_bands,
+        lsh_candidates,
+        minhash_profiles,
+        postings_of,
+    )
+    from pyspark.sql import functions as F
+
+    union = spark.createDataFrame(
+        [
+            (1, _text("alpha")),
+            (2, _neardup("alpha")),
+            (3, _text("beta")),
+            (101, _neardup("beta")),
+            (102, _text("gamma")),
+        ],
+        ["doc_id", "text"],
+    )
+    profiles = minhash_profiles(postings_of(union)).persist()
+    cand = lsh_candidates(lsh_bands(profiles))
+    sh = profiles.select("doc_id", "shingles")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    oneshot = sorted(
+        (r.doc_a, r.doc_b)
+        for r in cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .filter(F.round(jac, 4) >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    profiles.unpersist()
+    assert [(a, b) for a, b, _ in _pairs()] == oneshot
+
+
 # --------------------------------------------------------------------- #
 # streaming sequence packing (streaming/packing.py)
 # --------------------------------------------------------------------- #
