@@ -1710,6 +1710,91 @@ def test_assign_twolevel_agreement(spark):
     assert worst <= 0.05, f"worst cosine loss {worst:.4f}"
 
 
+def test_ivf_twolevel_symmetric_probe_recall(spark, tmp_path):
+    """Serving a TWO-LEVEL-assigned index must probe through the SAME
+    coarse quantizer.  Regime: many fine clusters with no coarse
+    hierarchy (clusters >> groups), where two-level assignment disagrees
+    heavily with exact assignment — probing the exact-nearest cells then
+    collapses recall (measured 0.10 at 1M vectors / K=1000), while
+    symmetric probing keeps it high because near-identical vectors make
+    the same coarse-quantizer decisions."""
+    from pyspark.sql import Window
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        DIM,
+        _dot,
+        _ivf_train,
+        _sq8_code,
+        assign_cells_twolevel,
+        ivf_query_index,
+    )
+
+    # K = 2 cells per latent cluster — the K ∝ N operating point the
+    # scale probe runs (1M vectors / 512 clusters / K=1000)
+    n, n_clusters, k_cells, n_q, rk = 20_000, 64, 128, 32, 10
+
+    def clustered(nrows):
+        base = spark.range(nrows).select(F.col("id").alias("vec_id"))
+        cid = F.col("vec_id") % n_clusters
+        comps = [
+            (
+                F.xxhash64(cid * DIM + F.lit(d)) / F.lit(float(2**63))
+                + 0.2
+                * (
+                    F.xxhash64(F.col("vec_id") * DIM + F.lit(d) + F.lit(31337))
+                    / F.lit(float(2**63))
+                )
+            ).alias(f"x{d}")
+            for d in range(DIM)
+        ]
+        v = F.array(*comps)
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return base.select("vec_id", F.transform(v, lambda x: x / nrm).alias("u"))
+
+    emb = clustered(n).persist()
+    cents = _ivf_train(emb.filter(F.col("vec_id") % 4 == 0), spark, k=k_cells)
+    path = str(tmp_path / "ivf_2l")
+    emb.join(
+        assign_cells_twolevel(emb, cents).select("vec_id", "cell"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        _sq8_code(F.col("u")).alias("cc"),
+        "cell",
+    ).write.partitionBy("cell").parquet(path)
+
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), "u"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in q.select("query_id", F.col("u").alias("qu"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_dot("qu", "cu"), 4).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rk)
+        .collect()
+    }
+
+    def recall(twolevel):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_query_index(
+                spark, path, q, cents, k=rk, twolevel=twolevel
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_sym, r_exact = recall(True), recall(False)
+    emb.unpersist()
+    # symmetric probing must not lose to exact-nearest probing on a
+    # two-level index, and must clear a serving-quality floor
+    assert r_sym >= r_exact, (r_sym, r_exact)
+    assert r_sym >= 0.85, f"symmetric-probe recall {r_sym:.3f}"
+
+
 def test_cc_star_equals_minlabel_random(spark):
     """Alternating large-star/small-star must produce the identical
     (doc_id, cluster_rep) labeling as min-label propagation on shallow

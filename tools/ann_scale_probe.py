@@ -1,30 +1,33 @@
-"""Embedding-operator throughput probe at a corpus size where fixed
-overhead is noise: N synthetic unit vectors (seeded Spark-side generation
-— xxhash64-derived components, every 10th vector an exact copy of its
-predecessor so the dedup path has real drops) through the embedding
-family's heaviest operators:
+"""ANN serve-path probe at a corpus size where fixed overhead is noise:
+N synthetic CLUSTERED unit vectors (seeded Spark-side generation — the
+regime the two-level quantizer assumes and real embedding corpora
+exhibit) through the persisted-IVF serving stack:
 
-- SemDeDup (Lloyd cells -> within-cell cosine prune -> keep/drop), with
-  quantizer granularity K grown proportionally to N (K ~ N/780) so
-  per-vector pair work stays constant — the 100 TB operating rule the
-  operator docstring states;
-- PQ encode + ADC scan (4x16 codebooks, 20-query LUT stage-1 top-50);
-- IVF assignment (the index build's bulk step).
+1. train a K ∝ sqrt(N) quantizer on a deterministic sample (outside the
+   timer — the documented operating model: centroids train once per
+   corpus refresh),
+2. assign the corpus with the TWO-LEVEL path (``assign_cells_twolevel``
+   — the K ∝ N escape that keeps assignment off the O(N*K) cliff) and
+   write the (neighbor_id, cu, cc, cell) index PARTITIONED BY cell,
+3. serve a sampled query set through ``ivf_query_index`` (both the
+   full-precision and the codes-first SQ8 pass) — partition-pruned
+   probe reads, the 100 TB claim this probe evidences,
+4. brute-force the same queries for ground truth and report recall@10.
 
-The sf0.1 bench corpus is 5k vectors — small enough that JVM fixed costs
-dominate; this probe runs at 50k+ and reports vecs/s per operator, the
-scaling evidence BASELINE.md cites for the embedding family.  Generation
-happens in the executors (spark.range -> column expressions; the driver
-only ever sees the K x DIM centroid model state).
+Prints one JSON line:
+{"n_vectors": ..., "k_cells": ..., "dim": ..., "cores": ...,
+ "build": {"train_sec": ..., "assign_write_sec": ...},
+ "serve": {"ivf": {"best_sec": ..., "qps": ..., "recall_at_10": ...},
+           "ivf_sq8": {...}},
+ "brute": {"best_sec": ..., "qps": ...}}
 
-Usage: python tools/ann_scale_probe.py [N] [runs]
-Prints one JSON line: {"n_vecs": ..., "cores": ..., "ops": {name:
-{"best_sec": ..., "vecs_per_sec": ...}}}
+Usage: python tools/ann_scale_probe.py [N_vectors] [runs]
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -32,27 +35,27 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-NEARDUP_EVERY = 10
+DIM = 64
+N_LATENT = 512  # planted cluster structure (quantizer premise)
+N_QUERIES = 64
+RECALL_K = 10
 
 
-def synthetic_vecs(spark, n: int):
-    """(vec_id, u): deterministic unit vectors; every 10th is an exact
-    copy of its predecessor (planted semantic duplicates)."""
+def synthetic_unit_vectors(spark, n: int):
+    """(vec_id, u): deterministic clustered unit vectors, generated in
+    the executors — each vector is its latent cluster's center plus
+    small per-vector noise, normalized JVM-side."""
     from pyspark.sql import functions as F
 
-    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
-        DIM,
-    )
-
     base = spark.range(n).select(F.col("id").alias("vec_id"))
-    src = F.when(
-        F.col("vec_id") % NEARDUP_EVERY == 1, F.col("vec_id") - 1
-    ).otherwise(F.col("vec_id"))
-    comps = [
-        (F.xxhash64(src * DIM + F.lit(d)) / F.lit(float(2**63))).alias(f"x{d}")
-        for d in range(DIM)
-    ]
-    v = F.array(*comps)
+    cl = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_LATENT))
+    dims = F.sequence(F.lit(0), F.lit(DIM - 1))
+    comp = lambda d: (  # noqa: E731
+        (F.pmod(F.xxhash64(cl * 131 + d), F.lit(2001)) - 1000) / 1000.0
+        + (F.pmod(F.xxhash64(F.col("vec_id") * 977 + d), F.lit(2001)) - 1000)
+        / 5000.0
+    )
+    v = F.transform(dims, comp)
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return base.select(
         "vec_id", F.transform(v, lambda x: x / nrm).alias("u")
@@ -60,199 +63,138 @@ def synthetic_vecs(spark, n: int):
 
 
 def _timed(fn) -> float:
-    t0 = time.perf_counter()
+    t0 = time.monotonic()
     fn()
-    return time.perf_counter() - t0
+    return time.monotonic() - t0
 
 
 def main() -> None:
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(pos[0]) if pos else 50_000
-    runs = int(pos[1]) if len(pos) > 1 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    k_cells = max(16, int(math.isqrt(n)))
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
-        PQ_K,
-        PQ_M,
-        SQ8_CAND,
         _dot,
         _ivf_train,
-        _l2_nearest,
-        _subvec,
-        assign_cells,
-        semdedup_from,
+        _sq8_code,
+        assign_cells_twolevel,
+        ivf_query_index,
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
         get_spark,
     )
 
     spark = get_spark()
-    # size-keyed path: concurrent probes at different N must not clobber
-    # each other's corpus mid-run
-    path = f"/tmp/ann_probe_corpus_{n}"
-    synthetic_vecs(spark, n).write.mode("overwrite").parquet(path)
-    emb = spark.read.parquet(path)
-    train = emb.filter(F.col("vec_id") % 5 == 0)
+    # generator-versioned paths ("c1" = clustered v1): a stale corpus
+    # from an older generator silently poisons the recall numbers (the
+    # uniform-vector corpus from the previous probe version measured
+    # recall 0.10 here before this was keyed)
+    corpus_path = f"/tmp/ann_probe_corpus_c1_{n}"
+    index_path = f"/tmp/ann_probe_ivf_c1_{n}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synthetic_unit_vectors(spark, n).write.mode("overwrite").parquet(
+            corpus_path
+        )
+    emb = spark.read.parquet(corpus_path)
 
-    k_cells = max(16, n // 780)  # K ~ N: constant per-vector pair work
-
-    # Codebooks/centroids are model state, trained ONCE per corpus
-    # refresh (a handful of small jobs over the 20% sample); the probe
-    # times the per-vector scan paths that grow with the corpus.
+    # ---- build (train outside the serve timer, as documented) ----
+    train = emb.filter(F.col("vec_id") % max(1, n // 20_000) == 0)
+    t0 = time.monotonic()
     cents = _ivf_train(train, spark, k=k_cells)
-    books = [
-        _ivf_train(
-            train.select("vec_id", _subvec(F.col("u"), s).alias("u")),
-            spark,
-            nearest=_l2_nearest,
-            k=PQ_K,
-        )
-        for s in range(PQ_M)
-    ]
+    train_sec = time.monotonic() - t0
 
-    def run_semdedup():
-        return semdedup_from(emb, spark, cents=cents).filter(
-            F.col("is_kept") == 0
-        ).count()
-
-    def run_pq_adc():
-        codes = emb.select(
+    def write_index():
+        assigned = emb.join(
+            assign_cells_twolevel(emb, cents).select("vec_id", "cell"),
+            "vec_id",
+        ).select(
             F.col("vec_id").alias("neighbor_id"),
-            *[
-                _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
-                for s in range(PQ_M)
-            ],
+            F.col("u").alias("cu"),
+            _sq8_code(F.col("u")).alias("cc"),
+            "cell",
         )
-        lut_entries = [
-            _dot(_subvec(F.col("u"), s), F.lit(c))
-            for s in range(PQ_M)
-            for c in books[s]
-        ]
-        q = emb.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("query_id"), F.array(*lut_entries).alias("lut")
-        )
-        parts = [
-            F.element_at(F.col("lut"), (F.col(f"c{s}") + 1 + s * PQ_K).cast("int"))
-            for s in range(PQ_M)
-        ]
-        adc = F.round(((parts[0] + parts[1]) + parts[2]) + parts[3], 4)
-        w1 = Window.partitionBy("query_id").orderBy(
-            F.desc("qscore"), F.asc("neighbor_id")
-        )
-        return (
-            F.broadcast(q)
-            .crossJoin(codes)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", adc.alias("qscore"))
-            .withColumn("r1", F.row_number().over(w1))
-            .filter(F.col("r1") <= SQ8_CAND)
-            .count()
-        )
+        # cluster by cell before the partitioned write: without it every
+        # write task emits a fragment into every cell directory (~32
+        # files x K cells — 16k+ tiny files at 1M/K=1000, and the serve
+        # read pays an open() per file)
+        assigned.repartition("cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(index_path)
 
-    def run_ivf_assign():
-        # through the production dispatcher: literal argmin below 256
-        # cells, broadcast centroid-table join at or above (K ~ N puts
-        # the 200k run exactly at the switch point)
-        return (
-            assign_cells(emb, cents)
-            .groupBy("cell")
-            .count()
-            .count()
-        )
+    assign_write_sec = _timed(write_index)
 
-    def run_ivf_assign_2l():
-        # the K ∝ N scale path: two-level (coarse-group) assignment —
-        # ~sqrt(K) + 2*K/sqrt(K) dot products per vector instead of K.
-        # Throughput-only here (the probe corpus is uniform; assignment
-        # QUALITY on clustered data — its target regime — is pinned in
-        # tests/test_ops.py::test_assign_twolevel_agreement)
-        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
-            assign_cells_twolevel,
-        )
-
-        return (
-            assign_cells_twolevel(emb, cents)
-            .groupBy("cell")
-            .count()
-            .count()
-        )
-
-    def run_rp_stage1():
-        # JL-projected candidate generation (ann_topk_rp stage 1):
-        # project every vector to 16 rounded doubles, score 20 queries
-        # against all N projections, keep top RP_CAND per query
-        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
-            RP_CAND,
-            _rp_proj,
-        )
-
-        proj = emb.select(
-            F.col("vec_id").alias("neighbor_id"), _rp_proj(F.col("u")).alias("cp")
-        )
-        q = emb.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("query_id"), _rp_proj(F.col("u")).alias("qp")
-        )
-        w1 = Window.partitionBy("query_id").orderBy(
-            F.desc("qscore"), F.asc("neighbor_id")
-        )
-        return (
-            F.broadcast(q)
-            .crossJoin(proj)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(_dot(F.col("qp"), F.col("cp")), 4).alias("qscore"),
-            )
-            .withColumn("r1", F.row_number().over(w1))
-            .filter(F.col("r1") <= RP_CAND)
-            .count()
-        )
-
-    def run_semdedup_2l():
-        # SemDeDup end-to-end on the K ∝ N scale path: the same
-        # within-cell prune, assignment routed through the two-level
-        # coarse quantizer (the explicit opt-in for K grown with N)
-        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
-            assign_cells_twolevel,
-        )
-
-        return (
-            semdedup_from(emb, spark, cents=cents, assign=assign_cells_twolevel)
-            .filter(F.col("is_kept") == 0)
-            .count()
-        )
-
-    ops = {
-        "semdedup": run_semdedup,
-        "semdedup_2l": run_semdedup_2l,
-        "pq_encode_adc": run_pq_adc,
-        "ivf_assign": run_ivf_assign,
-        "ivf_assign_2l": run_ivf_assign_2l,
-        "rp_project_stage1": run_rp_stage1,
+    # ---- query set + exact ground truth ----
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "u")
+        .persist()
+    )
+    q.count()
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    sim = F.round(_dot(F.col("qu"), F.col("cu")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    brute = (
+        q.select("query_id", F.col("u").alias("qu"))
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+    )
+    brute_best = None
+    for _ in range(runs):
+        t = _timed(lambda: brute.count())
+        brute_best = t if brute_best is None or t < brute_best else brute_best
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute.collect()
     }
-    # --ops=a,b,c selects a subset: the O(N*K) exact forms (semdedup,
-    # ivf_assign) are deliberately skippable at N where K ∝ N makes
-    # them quadratic — the 500k row already measured that cliff
-    sel = next((a for a in sys.argv[1:] if a.startswith("--ops=")), None)
-    if sel:
-        keep = set(sel.split("=", 1)[1].split(","))
-        ops = {k: v for k, v in ops.items() if k in keep}
-    out = {}
-    for name, fn in ops.items():
-        fn()  # warmup (codegen JIT, one Lloyd train)
-        best = min(_timed(fn) for _ in range(runs))
-        out[name] = {"best_sec": round(best, 2), "vecs_per_sec": int(n / best)}
+
+    # ---- serve paths ----
+    out_serve = {}
+    for name, sq8 in (("ivf", False), ("ivf_sq8", True)):
+        # twolevel=True: the index was assigned through the two-level
+        # coarse quantizer, so serving walks the SAME quantizer — the
+        # symmetry recall depends on (see _probe_cells_twolevel)
+        serve = lambda: ivf_query_index(  # noqa: E731
+            spark, index_path, q, cents, sq8=sq8, k=RECALL_K, twolevel=True
+        )
+        serve().count()  # warmup (codegen JIT over the probe plan)
+        best = None
+        for _ in range(runs):
+            t = _timed(lambda: serve().count())
+            best = t if best is None or t < best else best
+        got = {
+            (r["query_id"], r["neighbor_id"]) for r in serve().collect()
+        }
+        out_serve[name] = {
+            "best_sec": round(best, 2),
+            "qps": round(N_QUERIES / best, 1),
+            "recall_at_10": round(len(got & truth) / len(truth), 4),
+        }
 
     print(
         json.dumps(
-            {"n_vecs": n, "dim": 64, "cores": cpus, "k_cells": k_cells, "ops": out}
+            {
+                "n_vectors": n,
+                "k_cells": k_cells,
+                "dim": DIM,
+                "cores": cpus,
+                "build": {
+                    "train_sec": round(train_sec, 2),
+                    "assign_write_sec": round(assign_write_sec, 2),
+                },
+                "serve": out_serve,
+                "brute": {
+                    "best_sec": round(brute_best, 2),
+                    "qps": round(N_QUERIES / brute_best, 1),
+                },
+            }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
