@@ -13,6 +13,22 @@ from .oracle_util import compare, duckdb_conn
 
 QUERIES = all_queries()
 
+# Always-on smoke subset: one representative per major family, so the
+# default (-m "not slow") gate still exercises the oracle harness
+# end-to-end; the FULL sweep is @slow (driver_sim --all / -m "" runs it,
+# and the driver's CORRECTNESS gate re-runs everything at sf0.01).
+SMOKE = [
+    "q1_pricing_summary",
+    "ocsf_normalize_100k",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_by_lang",
+    "events_daily_agg",
+    "graph_pagerank",
+]
+SMOKE = [q for q in SMOKE if q in QUERIES]
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -21,8 +37,7 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, sf_dir, con):
+def _check_query(name, spark, sf_dir, con):
     fn, sql = QUERIES[name]
     df = fn(spark, sf_dir)
     assert df is not None
@@ -31,6 +46,17 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         return
     problems = compare(df, con, sql)
     assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(SMOKE)))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    _check_query(name, spark, sf_dir, con)
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_query_matches_oracle_smoke(name, spark, sf_dir, con):
+    _check_query(name, spark, sf_dir, con)
 
 
 def test_quantiles_approx_vs_exact_yardstick(spark, sf_dir, con):

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import posixpath
 
+import pytest
+
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
     _manifest_path,
     compact_snapshot,
@@ -160,6 +162,7 @@ def test_snapshot_manifest_race_lost_to_marker(spark, tmp_path):
     assert _ids(read_snapshot(spark, path)) == [3, 4, 5]
 
 
+@pytest.mark.slow
 def test_snapshot_soak_stream_with_concurrent_reader(spark, tmp_path):
     """SOAK: 12 identical micro-batches through run_stream(snapshot=True)
     with inline compaction (every 3) and vacuum (every 4, age 0) while a

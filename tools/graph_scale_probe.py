@@ -6,7 +6,12 @@ exercised against real skew), through both graph operators:
 
 - triangle counting (degree orientation: wedge work bounded O(m^1.5)
   regardless of the hub's degree),
-- fixed-point PageRank (5 power iterations, integer micro-units).
+- fixed-point PageRank (5 power iterations, integer micro-units),
+- k-core decomposition (iterative peeling with fixpoint short-circuit),
+- large-star/small-star connected components — run on the shared graph
+  (throughput) AND on a dedicated length-N path graph (star_cc_chain),
+  the diameter adversary where min-label propagation would need N
+  rounds and the star rewrite needs O(log n).
 
 The sf0.1 near-dup graph is a few hundred edges — small enough that JVM
 fixed costs dominate; this probe runs at 100k+ edges and reports
@@ -84,7 +89,11 @@ def main() -> None:
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
 
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        connected_components_star,
+    )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        kcore_from,
         pagerank_from,
         triangle_count_from,
     )
@@ -93,11 +102,20 @@ def main() -> None:
         release_tracked_caches,
     )
 
+    from pyspark.sql import functions as F
+
     spark = get_spark()
     path = f"/tmp/graph_probe_edges_{n}"
     synthetic_pairs(spark, n).write.mode("overwrite").parquet(path)
     pairs = spark.read.parquet(path)
     m = pairs.count()
+    # dedicated diameter adversary: one path of n vertices (n-1 edges);
+    # min-label CC needs diameter rounds here, the star rewrite O(log n)
+    chain_path = f"/tmp/graph_probe_chain_{n}"
+    spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).write.mode("overwrite").parquet(chain_path)
+    chain_edges = spark.read.parquet(chain_path)
 
     def run_triangles():
         return triangle_count_from(pairs).count()
@@ -105,9 +123,30 @@ def main() -> None:
     def run_pagerank():
         return pagerank_from(pairs).count()
 
-    ops = {"triangle_count": run_triangles, "pagerank_5it": run_pagerank}
+    def run_kcore():
+        return kcore_from(pairs).count()
+
+    def run_star_cc():
+        return connected_components_star(
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        ).count()
+
+    def run_star_cc_chain():
+        # correctness built in: a single path is ONE component
+        out = connected_components_star(chain_edges)
+        n_comp = out.select("cluster_rep").distinct().count()
+        assert n_comp == 1, f"path graph must be 1 component, got {n_comp}"
+        return n_comp
+
+    ops = {
+        "triangle_count": (run_triangles, m),
+        "pagerank_5it": (run_pagerank, m),
+        "kcore": (run_kcore, m),
+        "star_cc": (run_star_cc, m),
+        "star_cc_chain": (run_star_cc_chain, n - 1),
+    }
     out = {}
-    for name, fn in ops.items():
+    for name, (fn, m_op) in ops.items():
         fn()  # warmup (codegen JIT)
         release_tracked_caches()
         best = None
@@ -115,7 +154,10 @@ def main() -> None:
             t = _timed(fn)
             release_tracked_caches()
             best = t if best is None or t < best else best
-        out[name] = {"best_sec": round(best, 2), "edges_per_sec": int(m / best)}
+        out[name] = {
+            "best_sec": round(best, 2),
+            "edges_per_sec": int(m_op / best),
+        }
     print(
         json.dumps(
             {"n_vertices": n, "n_edges": m, "cores": cpus, "ops": out}
