@@ -8,6 +8,8 @@ import json
 import os
 import time
 
+import pytest
+
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
     current_version,
     read_snapshot,
@@ -42,6 +44,7 @@ def _doc_ids(spark, out):
     )
 
 
+@pytest.mark.slow
 def test_curation_stream_exactly_once(spark, tmp_path):
     src = str(tmp_path / "incoming")
     out = str(tmp_path / "corpus")

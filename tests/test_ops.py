@@ -233,6 +233,7 @@ def test_ivf_persisted_index_partition_pruning(spark, sf_dir, tmp_path):
     assert set(got) == inline and len(got) == TOP_K
 
 
+@pytest.mark.slow
 def test_ivf_refresh_index_append_and_retrain(spark, sf_dir, tmp_path):
     """ivf_refresh_index: (a) the no-drift path assigns the increment to
     the EXISTING cells and appends — queries over the refreshed index
@@ -1094,6 +1095,7 @@ def test_bm25_planted_relevant_doc_ranks_first(spark, tmp_path):
     assert set(ids) == {0, 100}  # no-term docs filtered out
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     """The composed IVF-PQ (cell pruning + 2-byte ADC codes) keeps the
     flat-PQ recall level on worst-case unstructured vectors — the cell
@@ -1222,6 +1224,7 @@ def test_assign_cells_join_equals_literal_argmin(spark, sf_dir):
     assert joined == lit and len(joined) > 0
 
 
+@pytest.mark.slow
 def test_assign_cells_dispatch_large_k(spark, sf_dir):
     """At K >= ASSIGN_JOIN_MIN_CELLS the dispatcher must switch to the
     broadcast centroid-table join: the physical plan carries NO K-term
@@ -1666,6 +1669,7 @@ def test_lsh_candidates_bucket_cap_star(spark):
     assert got == star | small
 
 
+@pytest.mark.slow
 def test_assign_twolevel_agreement(spark):
     """Two-level (coarse-group) assignment must agree with the exact
     broadcast-join dispatcher on clustered data — its target regime
@@ -1710,6 +1714,7 @@ def test_assign_twolevel_agreement(spark):
     assert worst <= 0.05, f"worst cosine loss {worst:.4f}"
 
 
+@pytest.mark.slow
 def test_ivf_twolevel_symmetric_probe_recall(spark, tmp_path):
     """Serving a TWO-LEVEL-assigned index must probe through the SAME
     coarse quantizer.  Regime: many fine clusters with no coarse
@@ -1795,6 +1800,7 @@ def test_ivf_twolevel_symmetric_probe_recall(spark, tmp_path):
     assert r_sym >= 0.85, f"symmetric-probe recall {r_sym:.3f}"
 
 
+@pytest.mark.slow
 def test_cc_star_equals_minlabel_random(spark):
     """Alternating large-star/small-star must produce the identical
     (doc_id, cluster_rep) labeling as min-label propagation on shallow

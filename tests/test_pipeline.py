@@ -203,6 +203,7 @@ def test_txn_commit_replay_idempotent(spark, tmp_path):
     classified.unpersist()
 
 
+@pytest.mark.slow
 def test_stream_exactly_once_mode(spark, tmp_path):
     """run_stream(exactly_once=True): normal path lands the same counts
     as append mode, and a restart with no new input changes nothing."""
@@ -289,6 +290,7 @@ def test_exactly_once_commit_uri_base_path(spark, tmp_path):
         classified.unpersist()
 
 
+@pytest.mark.slow
 def test_stream_quarantines_ride_the_fenced_commit(spark, tmp_path):
     """exactly_once mode publishes quarantine side outputs INSIDE the
     manifest-fenced commit (not as post-marker appends that a replay

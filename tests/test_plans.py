@@ -8,6 +8,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.skew import (
@@ -538,6 +540,7 @@ def test_rp_projection_is_shuffle_free_single_projection(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_ann_stage1_windows_get_window_group_limit(spark, sf_dir):
     """The compressed-scan ANN variants rank stage-1 candidates with
     `row_number() <= CAND` windows; Spark 4.1's WindowGroupLimit rewrite

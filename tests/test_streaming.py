@@ -17,6 +17,7 @@ from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming 
 from .fdr_fixtures import EXPECTED_COUNTS, write_fixture_files
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("max_files", [1])
 def test_stream_availablenow(spark, tmp_path, max_files):
     src = write_fixture_files(str(tmp_path / "raw"))
@@ -42,6 +43,7 @@ def test_stream_availablenow(spark, tmp_path, max_files):
     assert n == EXPECTED_COUNTS["process_activity"]
 
 
+@pytest.mark.slow
 def test_stream_processing_time_cadence(spark, tmp_path):
     """The reference's continuous cadence (SQS 120 s buffering -> Firehose
     180 s; QOPCFDR_DataCollectionSupport_CFN.yaml:33-40) maps to a
@@ -81,6 +83,7 @@ def test_stream_processing_time_cadence(spark, tmp_path):
         assert spark.read.parquet(f"{out}/{key}").count() == exp, key
 
 
+@pytest.mark.slow
 def test_stream_inline_compaction(spark, tmp_path):
     """compact_every=N folds the small-file compactor into the stream:
     after the run, fragmented table partitions are rewritten, counts are
@@ -125,6 +128,7 @@ def test_stream_inline_compaction(spark, tmp_path):
     assert compacted, "no partition was rewritten by the inline compactor"
 
 
+@pytest.mark.slow
 def test_stream_snapshot_mode(spark, tmp_path):
     """run_stream(snapshot=True): every micro-batch commits each table as
     a manifest version — readers plan from snapshots (no directory
