@@ -1003,6 +1003,137 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): where ``dedup_substring`` only
+    FLAGS documents by duplicated-window coverage, this operator produces
+    the cleaned corpus — every token covered by a k-token window that
+    occurs in >= 2 distinct documents is removed from all but the
+    canonical first occurrence (min doc_id), and the surviving tokens are
+    reassembled in order.
+
+    Scale shape (everything hash-partitioned, nothing quadratic):
+    1. one corpus-scale posexplode of window md5s (stride 1, 32-byte
+       digests in flight, never window text);
+    2. ONE groupBy on the window hash -> (ndocs, owner=min doc_id),
+       map-side partial;
+    3. duplicated-window occurrences in non-owner docs join back on the
+       hash with a SHUFFLE_HASH hint (derived corpus-scale table — the
+       broadcast-estimate trap documented on dedup_substring);
+    4. covered token positions explode (x K amplification on REMOVED
+       occurrences only) -> distinct (doc, pos);
+    5. rebuild: corpus-token posexplode, anti-join removed positions on
+       (doc, pos) — both sides partition on doc_id — then one ordered
+       re-aggregation per doc.  Per-doc state never exceeds token count.
+
+    Within-document repeats are NOT removed (ndocs counts distinct docs);
+    that is ``text_repetition``'s job.  Output: (doc_id, n_tokens,
+    n_removed, cleaned_text) for every document, cleaned_text = '' when
+    everything was removed."""
+    return span_removal_from(token_docs(spark, sf_dir))
+
+
+def span_removal_from(tok_df: DataFrame) -> DataFrame:
+    """Composable core of ``dedup_span_removal`` over any (doc_id, toks)
+    frame (the ``_from`` contract shared with triangle_count_from etc.)."""
+    base = tracked_persist(
+        tok_df.select(
+            "doc_id",
+            "toks",
+            F.size("toks").cast("long").alias("n"),
+            _window_hashes(F.col("toks"), SUBSTRING_K).alias("wins"),
+        )
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("wins").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "w")
+    winners = (
+        occ.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("w", "owner")
+    )
+    removed = (
+        occ.join(winners.hint("shuffle_hash"), "w")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (SUBSTRING_K - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks_pos.join(removed.hint("shuffle_hash"), ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return base.select("doc_id", "n").join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+DEDUP_SPAN_REMOVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {SUBSTRING_K - 1}), ' ')) AS w
+  FROM base, LATERAL unnest(generate_series(1, n - {SUBSTRING_K - 1})) AS u(i)
+  WHERE n >= {SUBSTRING_K}
+),
+winners AS (
+  SELECT w, min(doc_id) AS owner
+  FROM occ GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+removed AS (
+  SELECT DISTINCT occ.doc_id, occ.s + o.off AS p
+  FROM occ JOIN winners USING (w),
+       LATERAL unnest(generate_series(0, {SUBSTRING_K - 1})) AS o(off)
+  WHERE occ.doc_id <> winners.owner
+),
+tok AS (
+  SELECT doc_id, i AS p, t[i] AS tok
+  FROM base, LATERAL unnest(generate_series(1, n)) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tok
+  FROM tok LEFT JOIN removed r ON tok.doc_id = r.doc_id AND tok.p = r.p
+  WHERE r.p IS NULL
+),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, b.n AS n_tokens,
+       b.n - coalesce(c.n_kept, 0) AS n_removed,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
 DEDUP_SUBSTRING_SQL = f"""
 WITH base AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t,
@@ -1034,6 +1165,7 @@ FROM base b LEFT JOIN dup d USING (doc_id)
 DEDUP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_substring": (dedup_substring, DEDUP_SUBSTRING_SQL),
+    "dedup_span_removal": (dedup_span_removal, DEDUP_SPAN_REMOVAL_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, JACCARD_CAPPED_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),

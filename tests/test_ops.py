@@ -2068,3 +2068,38 @@ def test_near_dup_pair_artifact_equals_live_derivation(spark, sf_dir):
     live = {tuple(r) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
     release_tracked_caches()
     assert art == live and len(art) > 0
+
+
+def test_span_removal_keeps_owner_strips_copies(spark):
+    """ExactSubstr semantics: a 15-token span shared by two documents
+    survives in the min-doc_id owner and is stripped from the copy;
+    tokens outside the shared span are untouched; unrelated and
+    shorter-than-K documents pass through whole."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        span_removal_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    span = " ".join(f"s{i}" for i in range(SUBSTRING_K))
+    docs = [
+        (0, f"alpha beta {span} gamma"),  # owner (min doc_id)
+        (1, "totally unrelated words only here"),
+        (2, f"intro words {span} outro tail"),  # copy: span stripped
+        (3, "tiny"),  # shorter than K: untouched
+    ]
+    tok = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    got = {r["doc_id"]: r for r in span_removal_from(tok).collect()}
+    release_tracked_caches()
+    assert got[0]["n_removed"] == 0
+    assert got[0]["cleaned_text"] == f"alpha beta {span} gamma"
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == SUBSTRING_K
+    assert got[2]["cleaned_text"] == "intro words outro tail"
+    assert got[3]["n_removed"] == 0 and got[3]["cleaned_text"] == "tiny"

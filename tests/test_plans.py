@@ -740,3 +740,24 @@ def test_kcore_plan_semi_joins_on_keys(spark, sf_dir):
     assert "LeftSemi" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_removal_plan_shape(spark, sf_dir):
+    """dedup_span_removal: the corpus-scale derived tables (dup winners,
+    removed positions) must ride ShuffledHashJoins — never a plan-time
+    broadcast (the derived-stats-estimate trap documented on
+    dedup_substring) — and nothing may go quadratic."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        dedup_span_removal,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(dedup_span_removal(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # the rebuild anti-join stays keyed, not broadcast
+    assert "BroadcastHashJoin LeftAnti" not in plan
