@@ -1615,6 +1615,65 @@ GROUP BY 1
 """
 
 
+# CCNet keeps the best-perplexity head+middle of each language bucket;
+# the fraction is integer-exact (rank*10 <= n*7, i.e. keep 70%) so no
+# float boundary can flip a row between engines.
+PPL_KEEP_NUM, PPL_KEEP_DEN = 7, 10
+
+
+def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020): score every
+    document under the self-trained bigram LM, then keep the
+    best-scoring 70% WITHIN EACH LANGUAGE (per-lang cut, so a
+    high-perplexity language isn't wiped out by a low-perplexity one).
+
+    The cut is an exact per-lang rank over (mean_nll, doc_id) — rounded
+    NLLs are driver-oracled byte-equal, and the doc_id tiebreak makes
+    the boundary deterministic.  Integer-exact threshold:
+    rank * 10 <= n_lang * 7 (no 0.7*n float edge).
+
+    Scale shape: scoring is the one-join-per-order LM shape; the cut
+    adds ONE per-lang sort (window).  At 100 TB you'd replace the exact
+    rank with a KLL-sketch quantile cutoff broadcast back (one pass, no
+    global sort — `events_sketch_rollup` holds the sketch machinery);
+    the exact form is the oracle-able semantic the sketch approximates."""
+    from pyspark.sql import Window
+
+    scored = text_lm_score(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_nll", "doc_id")
+    wn = Window.partitionBy("lang")
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_nll",
+        (
+            F.row_number().over(w) * PPL_KEEP_DEN
+            <= F.count(F.lit(1)).over(wn) * PPL_KEEP_NUM
+        ).alias("keep"),
+    )
+
+
+TEXT_PPL_FILTER_SQL = f"""
+WITH score AS ({TEXT_LM_SCORE_SQL}),
+j AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.mean_nll
+  FROM score s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, mean_nll,
+       rk * {PPL_KEEP_DEN} <= nl * {PPL_KEEP_NUM} AS keep
+FROM r
+"""
+
+
 # --------------------------------------------------------------------- #
 # Gopher quality rules (Rae et al. 2021, table A1) as ONE projection
 # --------------------------------------------------------------------- #
@@ -2913,6 +2972,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
+    "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),
     "text_lm_score_trigram": (text_lm_score_trigram, TEXT_LM3_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),

@@ -16,7 +16,7 @@ the scaling evidence BASELINE.md cites for the text family.  Generation
 happens in the executors (spark.range -> column expressions; the driver
 never sees a document).
 
-Usage: python tools/dedup_scale_probe.py [N] [runs]
+Usage: python tools/dedup_scale_probe.py [N] [runs] [only_op[,only_op...]]
 Prints one JSON line: {"n_docs": ..., "cores": ..., "ops": {name:
 {"best_sec": ..., "docs_per_sec": ...}}}
 """
@@ -121,6 +121,20 @@ def main() -> None:
             .count()
         )
 
+    def run_span_removal():
+        # the full ExactSubstr transform: winner detection + covered-
+        # position rebuild + ordered re-aggregation of the cleaned text
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+            span_removal_from,
+        )
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+            release_tracked_caches,
+        )
+
+        out = span_removal_from(toks).agg(F.sum("n_removed")).collect()[0][0]
+        release_tracked_caches()
+        return out
+
     def run_winnow():
         fp = fingerprints_of(toks)
         nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
@@ -172,11 +186,15 @@ def main() -> None:
     ops = {
         "minhash_lsh": run_minhash,
         "substring": run_substring,
+        "span_removal": run_span_removal,
         "winnow": run_winnow,
         "bigram_lm_score": run_lm_score,
         "cc_cluster": run_cluster,
         "bpe_train": run_bpe_train,
     }
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        ops = {k: v for k, v in ops.items() if k in only}
     out = {}
     for name, fn in ops.items():
         fn()  # warmup (codegen JIT)
