@@ -57,6 +57,10 @@ BENCH_EXCLUDE = {
     # query (3 micro-batches extending the edge snapshot), then CC +
     # k-core consumers, inside the builder
     "stream_graph_verify",
+    # runs incremental span removal as a Structured Streaming query (3
+    # micro-batches cleaning against the persisted window index) inside
+    # the builder
+    "stream_span_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

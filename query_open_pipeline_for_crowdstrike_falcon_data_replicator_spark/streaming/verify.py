@@ -639,6 +639,91 @@ FROM {prev} GROUP BY src
 """
 
 
+def stream_span_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of INCREMENTAL span removal
+    (``streaming/spanmaint.py``): the documents corpus arrives as three
+    ascending doc_id-range NDJSON drops streamed through
+    ``run_span_stream`` (availableNow, one file per micro-batch), each
+    batch cleaned against the window-hash index earlier batches
+    committed plus its own internal duplicate windows, then appending
+    its new windows to the index.  The accumulated cleaned snapshot is
+    read back verbatim.
+
+    The DuckDB oracle is the BATCH operator's SQL
+    (``DEDUP_SPAN_REMOVAL_SQL``) over the whole corpus plus doc_id-range
+    batch attribution — a hash-match therefore proves the module
+    docstring's equivalence claim end-to-end: streamed owner-keeps /
+    copy-strips across AND within micro-batches equals the one-shot
+    transform, under exactly-once snapshot commits.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text, batch_id).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (broadcast batch-side window probe against the persisted
+    index — see ``spanmaint.extend_span_clean``)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .spanmaint import CLEAN_TABLE, run_span_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_span_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_span_verify: span stream did not drain within "
+                "600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamspan_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "out", CLEAN_TABLE)).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "cleaned_text",
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
+def _stream_span_oracle_sql() -> str:
+    """The batch span-removal SQL over the union corpus, each row
+    attributed to its ascending doc_id-range micro-batch."""
+    from ..operators.dedup import DEDUP_SPAN_REMOVAL_SQL
+
+    return f"""
+WITH clean AS ({DEDUP_SPAN_REMOVAL_SQL}),
+m AS (SELECT max(doc_id) AS max_id FROM documents)
+SELECT c.doc_id, c.n_tokens, c.n_removed, c.cleaned_text,
+       CAST(CASE WHEN c.doc_id <= max_id // 3 THEN 0
+                 WHEN c.doc_id <= 2 * max_id // 3 THEN 1
+                 ELSE 2 END AS BIGINT) AS batch_id
+FROM clean c CROSS JOIN m
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -646,4 +731,5 @@ STREAMING_QUERIES: dict[
     "ocsf_stream_verify": (ocsf_stream_verify, _stream_verify_oracle_sql()),
     "stream_curate_verify": (stream_curate_verify, _stream_curate_oracle_sql()),
     "stream_graph_verify": (stream_graph_verify, _stream_graph_oracle_sql()),
+    "stream_span_verify": (stream_span_verify, _stream_span_oracle_sql()),
 }

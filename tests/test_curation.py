@@ -374,3 +374,81 @@ def test_packing_stream_restart_with_partition_resize(spark, tmp_path):
         for r in pack_assignments(union).collect()
     }
     assert got == golden and len(got) == 12
+
+
+def test_span_stream_incremental_and_exactly_once(spark, tmp_path):
+    """Incremental span removal (streaming/spanmaint.py): a shared
+    15-token span survives in its first-arrived owner and is stripped
+    from the later within-batch copy (winner rule) AND from a
+    later-batch copy (persisted window index); replays are fenced; and
+    the accumulated cleaned rows equal the one-shot batch transform
+    over the union corpus."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        span_removal_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.spanmaint import (
+        extend_span_clean,
+        run_span_stream,
+    )
+
+    span = " ".join(f"s{i}" for i in range(SUBSTRING_K))
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "span")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _rows():
+        return {
+            r.doc_id: (r.n_removed, r.cleaned_text, r.batch_id)
+            for r in read_snapshot(spark, f"{out}/cleaned").collect()
+        }
+
+    b1 = [
+        (1, f"alpha beta {span} gamma"),
+        (2, f"intro words {span} outro tail"),
+        (3, "totally unrelated words only here"),
+    ]
+    _write_batch(src, "b1.json", b1)
+    q = run_span_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = _rows()
+    assert got[1] == (0, f"alpha beta {span} gamma", 0)  # batch owner keeps
+    assert got[2] == (SUBSTRING_K, "intro words outro tail", 0)
+    assert got[3][0] == 0
+
+    # batch 2: the same span arrives again -> stripped via the PERSISTED
+    # window index (no batch-internal duplicate this time)
+    b2 = [(101, f"late copy {span} trailing bits")]
+    _write_batch(src, "b2.json", b2)
+    q2 = run_span_stream(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    got = _rows()
+    assert got[101] == (SUBSTRING_K, "late copy trailing bits", 1)
+
+    # replay of batch 0 (same writer identity, same batch_id): fenced —
+    # no duplicate rows, no new versions on either table
+    versions = {
+        t: current_version(spark, f"{out}/{t}")
+        for t in ("cleaned", "index/windows")
+    }
+    app = "spanmaint-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    replay = spark.createDataFrame(b1, ["doc_id", "text"])
+    extend_span_clean(spark, replay, out, 0, txn_app=app)
+    assert len(_rows()) == 4
+    for t, v in versions.items():
+        assert current_version(spark, f"{out}/{t}") == v, t
+
+    # accumulated cleaned rows == the one-shot batch transform over the
+    # union corpus
+    union = spark.createDataFrame(b1 + b2, ["doc_id", "text"]).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    batch = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in span_removal_from(union).collect()
+    }
+    assert {d: v[:2] for d, v in _rows().items()} == batch
