@@ -452,3 +452,62 @@ def test_span_stream_incremental_and_exactly_once(spark, tmp_path):
         for r in span_removal_from(union).collect()
     }
     assert {d: v[:2] for d, v in _rows().items()} == batch
+
+
+def test_span_stream_crash_between_commits_replays_clean(spark, tmp_path):
+    """The exactly-once ordering argument, actually exercised: a crash
+    AFTER the cleaned commit but BEFORE the window-index commit leaves a
+    batch half-published; replaying the whole batch must skip the
+    fenced cleaned commit, land the index commit, and end bit-identical
+    to the uncrashed run."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        _window_hashes,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        write_snapshot,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.spanmaint import (
+        extend_span_clean,
+    )
+
+    span = " ".join(f"s{i}" for i in range(SUBSTRING_K))
+    out = str(tmp_path / "span")
+    app = "spanmaint-" + hashlib.md5(b"crash").hexdigest()[:12]
+    b1 = [(1, f"alpha beta {span} gamma"), (2, f"copy here {span} tail bit")]
+    df1 = spark.createDataFrame(b1, ["doc_id", "text"])
+
+    # simulate the crash window: publish ONLY the cleaned table for
+    # batch 0 (same writer identity and version the real body would use)
+    half = df1.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),  # wrong on purpose: a
+        F.lower("text").alias("cleaned_text"),  # fenced replay must NOT fix it
+        F.lit(0).alias("batch_id"),
+    )
+    write_snapshot(spark, half, f"{out}/cleaned", txn_app=app, txn_version=0)
+
+    # replay batch 0 in full: cleaned is fenced (stays as committed),
+    # index lands -> the batch's windows become probe-able
+    extend_span_clean(spark, df1, out, 0, txn_app=app)
+    idx = {r.w for r in read_snapshot(spark, f"{out}/index/windows").collect()}
+    assert len(idx) > 0
+
+    # batch 1 reuses the span: rule 1 must strip it via the index the
+    # replay published
+    df2 = spark.createDataFrame(
+        [(101, f"late copy {span} trailing bits")], ["doc_id", "text"]
+    )
+    extend_span_clean(spark, df2, out, 1, txn_app=app)
+    rows = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in read_snapshot(spark, f"{out}/cleaned").collect()
+    }
+    assert rows[101] == (SUBSTRING_K, "late copy trailing bits")
+    # and the fenced batch-0 rows are exactly the pre-crash commit
+    assert rows[1][0] == 0 and rows[2][0] == 0
