@@ -107,6 +107,53 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+RANGE_TAU = 0.3  # calibrated to the synthetic corpus (near-orthogonal
+# background, planted structure) so the fixture yields a real result set
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the OTHER standard vector-store call:
+    every neighbor with cosine >= RANGE_TAU for each query, not a fixed
+    top-k.  Exact form: brute scan + rounded-threshold filter, no
+    window at all (ranks don't exist in a radius result), which makes
+    it cheaper than top-k at the same corpus size.
+
+    Scale path: the same persisted cell-partitioned IVF index serves
+    radius queries by probing exactly as ``ivf_query_index`` does and
+    filtering on tau instead of ranking — partition-pruned reads,
+    recall governed by cells probed (the serve-probe evidence in
+    BASELINE.md).  The exact form here is the oracle-able semantic the
+    probed form approximates; it is also the correct plan when the
+    query set is corpus-sized (a tau-join, not per-query serving)."""
+    emb = _embedded(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    return (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.v, c.v), 4) + 0.0 AS cosine
+FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+WHERE round(list_cosine_similarity(q.v, c.v), 4) >= {RANGE_TAU}
+"""
+
+
 def _bucket(v: Column) -> Column:
     """16-bit hyperplane-sign signature."""
     planes = _planes()
@@ -2519,6 +2566,7 @@ GROUP BY cell
 
 SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_BRUTEFORCE_SQL),
+    "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _lsh_oracle_sql()),
     "ann_topk_ivf": (ann_topk_ivf, _ivf_oracle_sql()),
     "ann_topk_sq8": (ann_topk_sq8, ANN_SQ8_SQL),
