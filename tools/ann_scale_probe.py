@@ -21,7 +21,7 @@ Prints one JSON line:
            "ivf_sq8": {...}},
  "brute": {"best_sec": ..., "qps": ...}}
 
-Usage: python tools/ann_scale_probe.py [N_vectors] [runs]
+Usage: python tools/ann_scale_probe.py [N_vectors] [runs] [n_queries]
 """
 
 from __future__ import annotations
@@ -71,6 +71,7 @@ def _timed(fn) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else N_QUERIES
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     k_cells = max(16, int(math.isqrt(n)))
 
@@ -129,7 +130,7 @@ def main() -> None:
 
     # ---- query set + exact ground truth ----
     q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), "u")
         .persist()
     )
@@ -172,7 +173,7 @@ def main() -> None:
         }
         out_serve[name] = {
             "best_sec": round(best, 2),
-            "qps": round(N_QUERIES / best, 1),
+            "qps": round(n_queries / best, 1),
             "recall_at_10": round(len(got & truth) / len(truth), 4),
         }
 
@@ -180,6 +181,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_vectors": n,
+                "n_queries": n_queries,
                 "k_cells": k_cells,
                 "dim": DIM,
                 "cores": cpus,
@@ -190,7 +192,7 @@ def main() -> None:
                 "serve": out_serve,
                 "brute": {
                     "best_sec": round(brute_best, 2),
-                    "qps": round(N_QUERIES / brute_best, 1),
+                    "qps": round(n_queries / brute_best, 1),
                 },
             }
         )
