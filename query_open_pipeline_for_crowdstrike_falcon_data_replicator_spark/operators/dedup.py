@@ -1056,6 +1056,9 @@ def span_removal_from(tok_df: DataFrame) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("w", "owner")
     )
+    # NOTE: no distinct() on the covered positions — left_anti ignores
+    # duplicate keys, and deduplicating here would cost a corpus x K
+    # scale exchange + aggregate for nothing
     removed = (
         occ.join(winners.hint("shuffle_hash"), "w")
         .filter(F.col("doc_id") != F.col("owner"))
@@ -1065,7 +1068,6 @@ def span_removal_from(tok_df: DataFrame) -> DataFrame:
                 F.sequence(F.col("s"), F.col("s") + (SUBSTRING_K - 1))
             ).alias("p"),
         )
-        .distinct()
     )
     toks_pos = base.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")

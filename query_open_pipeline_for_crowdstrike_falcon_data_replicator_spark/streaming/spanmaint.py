@@ -127,6 +127,8 @@ def extend_span_clean(
             .filter(F.col("doc_id") != F.col("bowner"))
             .select("doc_id", "s")
         )
+        # no distinct(): left_anti ignores duplicate keys (see the batch
+        # operator's note)
         removed = (
             rm1.select("doc_id", "s")
             .unionByName(rm2)
@@ -136,7 +138,6 @@ def extend_span_clean(
                     F.sequence(F.col("s"), F.col("s") + (SUBSTRING_K - 1))
                 ).alias("p"),
             )
-            .distinct()
         )
 
         toks_pos = base.select(
