@@ -138,3 +138,96 @@ def test_round4_matches_spark_property(spark):
         .collect()
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------- #
+# ExactSubstr span removal: the distributed operator equals a direct
+# per-corpus Python reference on adversarial corpora (heavy shared
+# phrases, whole-doc copies, sub-window docs).  Corpora are token-tagged
+# and unioned so each example costs ONE Spark job.
+# --------------------------------------------------------------------- #
+def _ref_span_removal(docs, k):
+    from collections import defaultdict
+
+    docs_by_w = defaultdict(set)
+    for d, t in docs:
+        for s in range(len(t) - k + 1):
+            docs_by_w[tuple(t[s : s + k])].add(d)
+    owners = {w: min(ds) for w, ds in docs_by_w.items() if len(ds) >= 2}
+    out = {}
+    for d, t in docs:
+        removed = set()
+        for s in range(len(t) - k + 1):
+            w = tuple(t[s : s + k])
+            if w in owners and owners[w] != d:
+                removed.update(range(s, s + k))
+        kept = [tok for i, tok in enumerate(t) if i not in removed]
+        out[d] = (len(t), len(removed), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_span_removal_matches_reference_property(data, spark):
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        span_removal_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    k = SUBSTRING_K
+    vocab = ["a", "b", "c"]
+    all_rows, expected = [], {}
+    for cid in range(4):  # 4 independent corpora per example, one job
+        phrases = [
+            data.draw(
+                st.lists(
+                    st.sampled_from(vocab), min_size=k, max_size=k + 8
+                )
+            )
+            for _ in range(2)
+        ]
+        docs = []
+        n_docs = data.draw(st.integers(min_value=2, max_value=5))
+        for d in range(n_docs):
+            kind = data.draw(st.integers(min_value=0, max_value=3))
+            if kind == 0 and docs:  # whole-doc copy
+                toks = list(docs[data.draw(st.integers(0, len(docs) - 1))][1])
+            elif kind == 1:  # shared phrase embedded in noise
+                pad = data.draw(
+                    st.lists(st.sampled_from(vocab), min_size=0, max_size=6)
+                )
+                toks = pad + phrases[data.draw(st.integers(0, 1))] + pad[::-1]
+            elif kind == 2:  # sub-window doc (shorter than k)
+                toks = data.draw(
+                    st.lists(st.sampled_from(vocab), min_size=1, max_size=k - 1)
+                )
+            else:  # random tokens
+                toks = data.draw(
+                    st.lists(st.sampled_from(vocab), min_size=1, max_size=2 * k)
+                )
+            docs.append((d, toks))
+        tagged = [
+            (cid * 10_000 + d, [f"c{cid}x{t}" for t in toks])
+            for d, toks in docs
+        ]
+        all_rows += tagged
+        expected.update(_ref_span_removal(tagged, k))
+
+    df = spark.createDataFrame(
+        all_rows, "doc_id long, toks array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in span_removal_from(df).collect()
+    }
+    release_tracked_caches()
+    assert got == expected
