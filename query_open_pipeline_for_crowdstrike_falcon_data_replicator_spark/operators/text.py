@@ -1615,6 +1615,95 @@ GROUP BY 1
 """
 
 
+# held-out perplexity: 20% of documents (by the same md5-content coin
+# the holdout splitter uses) are scored under a model trained ONLY on
+# the other 80% — true generalization perplexity, not self-scoring
+CV_HELDOUT_LT = 2000  # coin in [0, 2000) of HOLDOUT_COIN_MOD -> held out
+
+
+def text_ppl_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE held-out perplexity — the standard data-quality eval the
+    self-scoring ``text_lm_score`` approximates: deterministically hold
+    out 20% of documents by content coin, train the bigram LM on the
+    REMAINING 80% only (a separate ``_cv`` model artifact), and score
+    just the held-out docs.  OOV tokens (words the train split never
+    saw) take the add-one floor — this op is exactly where that path
+    earns its keep.
+
+    Scale shape: identical to ``text_lm_score`` (train once per corpus
+    fingerprint via ``build_once``; scoring is one join per n-gram
+    order); the split is a zero-shuffle projection."""
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(F.substring(F.md5(F.lower(F.col("text"))), 1, 15), 16, 10)
+        .cast("long")
+        % HOLDOUT_COIN_MOD
+    )
+    train = docs.filter(coin >= CV_HELDOUT_LT)
+    held = docs.filter(coin < CV_HELDOUT_LT)
+    model_path = build_once(
+        _lm_model_path(sf_dir, corpus_fingerprint(docs)) + "_cv",
+        os.path.join("scalars", "_SUCCESS"),
+        lambda p: train_lm_model(spark, train, p),
+    )
+    return score_lm(held, spark, model_path)
+
+
+TEXT_PPL_CROSSVAL_SQL = f"""
+WITH splitc AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)
+           % {HOLDOUT_COIN_MOD} AS coin
+  FROM documents
+),
+tr_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM splitc WHERE coin >= {CV_HELDOUT_LT})
+),
+tr_toks AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+  FROM tr_pos
+),
+uni AS (SELECT tok, count(*) AS c1 FROM tr_toks GROUP BY 1),
+big AS (SELECT prev, tok, count(*) AS c2 FROM tr_toks
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
+h_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM splitc WHERE coin < {CV_HELDOUT_LT})
+),
+h_toks AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+  FROM h_pos
+),
+scored AS (
+  SELECT tk.doc_id,
+         CASE
+           WHEN tk.prev IS NULL
+             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+           WHEN b.c2 IS NOT NULL
+             THEN -ln(b.c2 * 1.0 / up.c1)
+           ELSE -ln({LM_BACKOFF})
+                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+         END AS nll
+  FROM h_toks tk
+  LEFT JOIN uni u ON tk.tok = u.tok
+  LEFT JOIN uni up ON tk.prev = up.tok
+  LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
+  CROSS JOIN scal
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
+FROM scored
+GROUP BY 1
+"""
+
+
 # CCNet keeps the best-perplexity head+middle of each language bucket;
 # the fraction is integer-exact (rank*10 <= n*7, i.e. keep 70%) so no
 # float boundary can flip a row between engines.
@@ -2973,6 +3062,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),
+    "text_ppl_crossval": (text_ppl_crossval, TEXT_PPL_CROSSVAL_SQL),
     "text_lm_score_trigram": (text_lm_score_trigram, TEXT_LM3_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
