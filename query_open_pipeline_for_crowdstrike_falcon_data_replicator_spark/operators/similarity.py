@@ -310,6 +310,133 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_NEARDUP_THRESHOLD}
 """
 
 
+TRIPLET_POS_TAU = 0.35  # fixture-calibrated like RANGE_TAU: the corpus
+# is near-orthogonal background, so "positives" are the most-similar
+# same-label pairs; production corpora set this at their near-dup knee
+
+
+def embedding_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for contrastive training: one row
+    per positive pair (anchor, positive) — same-label pairs with cosine
+    >= TRIPLET_POS_TAU — with the anchor's HARD negative: its
+    highest-cosine neighbor that is NOT a known positive partner (and
+    not itself).  Random negatives are trivially easy; contrastive
+    setups mine the closest non-positive precisely because that is
+    where the gradient is.
+
+    Deterministic: candidate ranking is (rounded cosine desc,
+    neighbor_id asc); exclusions come from the same pair set both
+    engines compute.  The positive stage is EXACT label-blocked pairing
+    (the label is the blocking structure; at this tau hyperplane-LSH
+    banding recalls too little to stand in for all-pairs — the
+    high-threshold shortcut belongs to embedding_neardup_pairs).  Scale
+    path: blocks bound the pair work; the anchor-vs-corpus negative
+    scan swaps in the persisted IVF probe exactly as top-k serving
+    does — the exclusion anti-join and rank-1 pick are unchanged."""
+    from pyspark.sql import Window
+
+    emb = tracked_persist(_embedded(spark, sf_dir))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        "label",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pcos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = tracked_persist(
+        ea.join(eb, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", pcos.alias("cosine"))
+        .filter(F.col("cosine") >= TRIPLET_POS_TAU)
+    )
+    anchors = pairs.select(F.col("vec_a").alias("anchor")).distinct()
+    qa = anchors.join(
+        emb.select(
+            F.col("vec_id").alias("anchor"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+        ),
+        "anchor",
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(_dot(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn")), 4)
+    scored = (
+        qa.crossJoin(cand)
+        .filter(F.col("anchor") != F.col("neighbor_id"))
+        .select("anchor", "neighbor_id", cos.alias("cos_an"))
+    )
+    partners = pairs.select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("neighbor_id")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("anchor"), F.col("vec_a").alias("neighbor_id")
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("cos_an"), F.asc("neighbor_id")
+    )
+    negatives = (
+        scored.join(partners, ["anchor", "neighbor_id"], "left_anti")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor", F.col("neighbor_id").alias("negative"), "cos_an")
+    )
+    return pairs.select(
+        F.col("vec_a").alias("anchor"),
+        F.col("vec_b").alias("positive"),
+        F.col("cosine").alias("cos_ap"),
+    ).join(negatives, "anchor")
+
+
+EMBEDDING_TRIPLETS_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {TRIPLET_POS_TAU}
+),
+anchors AS (SELECT DISTINCT vec_a AS anchor FROM pairs),
+scored AS (
+  SELECT an.anchor, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) + 0.0 AS cos_an
+  FROM anchors an
+  JOIN e q ON q.vec_id = an.anchor
+  JOIN e c ON c.vec_id <> an.anchor
+),
+partners AS (
+  SELECT vec_a AS anchor, vec_b AS neighbor_id FROM pairs
+  UNION ALL
+  SELECT vec_b AS anchor, vec_a AS neighbor_id FROM pairs
+),
+negatives AS (
+  SELECT anchor, neighbor_id AS negative, cos_an
+  FROM (
+    SELECT s.*, row_number() OVER (
+             PARTITION BY s.anchor ORDER BY s.cos_an DESC, s.neighbor_id ASC
+           ) AS rk
+    FROM scored s
+    LEFT JOIN partners p
+      ON p.anchor = s.anchor AND p.neighbor_id = s.neighbor_id
+    WHERE p.anchor IS NULL
+  ) WHERE rk = 1
+)
+SELECT p.vec_a AS anchor, p.vec_b AS positive, p.cosine AS cos_ap,
+       n.negative, n.cos_an
+FROM pairs p JOIN negatives n ON n.anchor = p.vec_a
+"""
+
+
 def embedding_neardup_cluster(emb: DataFrame) -> DataFrame:
     """SEMANTIC dedup decision: embedding-cosine near-dup pairs closed
     into connected components, one canonical representative per cluster —
@@ -2576,6 +2703,7 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "dedup_semantic": (dedup_semantic, _semdedup_oracle_sql()),
     "corpus_prune_prototypes": (corpus_prune_prototypes, _proto_oracle_sql()),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL),
+    "embedding_triplets": (embedding_triplets, EMBEDDING_TRIPLETS_SQL),
     "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
     "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
     "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
