@@ -1615,6 +1615,68 @@ GROUP BY 1
 """
 
 
+SHARD_COUNT = 8
+
+
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding — the step before a distributed
+    export writes W equal-work files: rank documents by (token count
+    desc, doc_id), deal them to ``SHARD_COUNT`` shards in a SNAKE draft
+    (cycle 0 deals 0..W-1, cycle 1 deals W-1..0, ...), which bounds any
+    shard's token lead over another by one document per two cycles —
+    far tighter than hash placement on skewed document lengths.
+
+    Deterministic and integer-only; one global sort (the same cost
+    profile as the packing prefix sum, and at 100 TB the same
+    substitution applies: rank within length buckets computed from a
+    one-pass histogram instead of a total sort).  Output: one row per
+    shard with its document count, token total, and the max single
+    document it carries."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    r = F.row_number().over(w) - 1
+    cycle, pos = (r / SHARD_COUNT).cast("long"), r % SHARD_COUNT
+    shard = F.when(cycle % 2 == 0, pos).otherwise(SHARD_COUNT - 1 - pos)
+    return (
+        per_doc.select("doc_id", "n_tokens", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+    )
+
+
+CORPUS_SHARD_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS r
+  FROM per_doc
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN (r // {SHARD_COUNT}) % 2 = 0
+              THEN r % {SHARD_COUNT}
+              ELSE {SHARD_COUNT} - 1 - (r % {SHARD_COUNT}) END AS shard
+  FROM ranked
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       max(n_tokens) AS max_doc_tokens
+FROM assigned
+GROUP BY 1
+"""
+
+
 # held-out perplexity: 20% of documents (by the same md5-content coin
 # the holdout splitter uses) are scored under a model trained ONLY on
 # the other 80% — true generalization perplexity, not self-scoring
@@ -3063,6 +3125,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),
     "text_ppl_crossval": (text_ppl_crossval, TEXT_PPL_CROSSVAL_SQL),
+    "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),
     "text_lm_score_trigram": (text_lm_score_trigram, TEXT_LM3_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
