@@ -2103,3 +2103,85 @@ def test_span_removal_keeps_owner_strips_copies(spark):
     assert got[2]["n_removed"] == SUBSTRING_K
     assert got[2]["cleaned_text"] == "intro words outro tail"
     assert got[3]["n_removed"] == 0 and got[3]["cleaned_text"] == "tiny"
+
+
+def test_shard_balance_snake_bounds_spread(spark):
+    """Snake-draft sharding: adversarially skewed lengths (one giant doc,
+    geometric tail) still land within one max-document of perfect
+    balance across shards, and every document is placed exactly once."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        SHARD_COUNT,
+    )
+
+    # replicate the operator's assignment over a synthetic frame
+    docs = [(i, max(1, 2 ** (12 - i // 3))) for i in range(64)]  # skewed
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    r = F.row_number().over(w) - 1
+    cycle, pos = (r / SHARD_COUNT).cast("long"), r % SHARD_COUNT
+    shard = F.when(cycle % 2 == 0, pos).otherwise(SHARD_COUNT - 1 - pos)
+    out = (
+        df.select("doc_id", "n_tokens", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tokens"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == SHARD_COUNT
+    assert sum(r["n"] for r in out) == len(docs)
+    toks = sorted(r["tokens"] for r in out)
+    max_doc = max(n for _, n in docs)
+    assert toks[-1] - toks[0] <= max_doc  # snake bound
+
+
+def test_embedding_triplets_picks_hardest_non_partner(spark, sf_dir):
+    """The mined negative must be (a) not the anchor, (b) not any of the
+    anchor's positive partners, and (c) at least as close as every other
+    non-partner candidate — i.e. genuinely the hardest negative."""
+    from pyspark.sql import functions as F
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        _dot,
+        _embedded,
+        embedding_triplets,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        TRIPLET_POS_TAU,
+    )
+
+    rows = embedding_triplets(spark, sf_dir).collect()
+    assert rows, "fixture must yield triplets"
+    full = {
+        r["vec_id"]: (r["label"], r["v"], r["nrm"])
+        for r in _embedded(spark, sf_dir).collect()
+    }
+    release_tracked_caches()
+
+    def cos(a, b):
+        _, va, na = full[a]
+        _, vb, nb = full[b]
+        return round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 4)
+
+    # the op's pair set, BOTH orientations (an anchor may also be the
+    # vec_b of another pair — those are partners too)
+    ids = sorted(full)
+    partners = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j and full[i][0] == full[j][0] and cos(i, j) >= TRIPLET_POS_TAU:
+                partners[i].add(j)
+                partners[j].add(i)
+
+    for r in rows:
+        a, neg = r["anchor"], r["negative"]
+        assert neg != a and neg not in partners[a]
+        assert r["cos_an"] == cos(a, neg)
+        best = max(cos(a, c) for c in ids if c != a and c not in partners[a])
+        assert r["cos_an"] == best
