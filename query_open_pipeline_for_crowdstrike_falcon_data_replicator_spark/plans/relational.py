@@ -1284,12 +1284,129 @@ SELECT (SELECT count(*) FROM v) AS n_view_users,
 """
 
 
+SEASONAL_SLOT_SECONDS = 3_600
+SEASONAL_PERIOD_SLOTS = 24  # one season = a day of hourly slots
+SEASONAL_MIN_DEV = 4  # absolute slack in the flag rule (events/hour)
+
+
+def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly monitor per event type over hourly counts:
+    the forecast for hour t is the OBSERVED count at the same hour one
+    day earlier (the classic same-hour-yesterday baseline that beats
+    fancier models on strongly diurnal ops feeds), and an hour is
+    flagged when ``2*|count - baseline| > baseline + 2*MIN_DEV`` — i.e.
+    the residual exceeds half the baseline plus fixed slack, a purely
+    INTEGER rule (counts in, longs out), so the result hash-matches any
+    engine with no float folklore.
+
+    Scale shape: one fact aggregation to the (type, hour) grain (count
+    partial-aggregates map-side), then everything downstream runs on the
+    RESAMPLED grain.  The day-ago lookup is NOT a ``lag(24)`` window
+    partitioned by event_type — that caps parallelism at the number of
+    types — but an equi self-join of the dense grid against the counts
+    shifted by +24 slots, keyed on (type, slot), which shuffles on the
+    full composite key.  Missing hours count 0 on both sides of the
+    residual via the dense grid / coalesce, so a silent feed outage is
+    an anomaly rather than an absent row."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = (F.unix_timestamp("ts") / SEASONAL_SLOT_SECONDS).cast("long")
+    from ..session import tracked_persist
+
+    agg = tracked_persist(
+        ev.select("event_type", slot.alias("slot"))
+        .groupBy("event_type", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = agg.agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+    types = agg.select("event_type").distinct()
+    # dense grid over the scored range only (slots with a full season of
+    # history); the baseline slot slot-24 is always >= lo, so a missing
+    # shifted row below means "0 events that hour", never "out of range"
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo") + SEASONAL_PERIOD_SLOTS, F.col("hi"))
+        ).alias("slot"),
+    )
+    # both grain-table joins ride shuffle_hash: the (type, slot) grain is
+    # small next to the fact table but unbounded (types x hours), so a
+    # plan-time broadcast of the derived agg is the OOM-at-scale pattern
+    dense = grid.join(agg.hint("shuffle_hash"), ["event_type", "slot"], "left").select(
+        "event_type",
+        "slot",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+    )
+    base = agg.select(
+        "event_type",
+        (F.col("slot") + SEASONAL_PERIOD_SLOTS).alias("slot"),
+        F.col("n").alias("b"),
+    )
+    resid = F.col("n_events") - F.col("baseline_events")
+    return (
+        dense.join(base.hint("shuffle_hash"), ["event_type", "slot"], "left")
+        .select(
+            "event_type",
+            "slot",
+            "n_events",
+            F.coalesce("b", F.lit(0).cast("long")).alias("baseline_events"),
+        )
+        .select(
+            "event_type",
+            (F.col("slot") * SEASONAL_SLOT_SECONDS).alias("hour_start_epoch"),
+            "n_events",
+            "baseline_events",
+            resid.alias("residual"),
+            (
+                F.lit(2) * F.abs(resid)
+                > F.col("baseline_events") + F.lit(2 * SEASONAL_MIN_DEV)
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_SEASONAL_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         datediff('second', TIMESTAMP '1970-01-01', ts) // {SEASONAL_SLOT_SECONDS} AS slot,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(slot) AS lo, max(slot) AS hi FROM agg),
+grid AS (
+  SELECT t.event_type, s.slot
+  FROM (SELECT DISTINCT event_type FROM agg) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS slot FROM span) s
+),
+dense AS (
+  SELECT g.event_type, g.slot, coalesce(a.n, 0) AS n_events
+  FROM grid g LEFT JOIN agg a USING (event_type, slot)
+),
+scored AS (
+  SELECT event_type, slot, n_events,
+         lag(n_events, {SEASONAL_PERIOD_SLOTS}) OVER (
+           PARTITION BY event_type ORDER BY slot) AS baseline_events
+  FROM dense
+)
+SELECT event_type,
+       CAST(slot * {SEASONAL_SLOT_SECONDS} AS BIGINT) AS hour_start_epoch,
+       n_events,
+       baseline_events,
+       n_events - baseline_events AS residual,
+       CAST(2 * abs(n_events - baseline_events)
+            > baseline_events + {2 * SEASONAL_MIN_DEV} AS INT) AS is_anomaly
+FROM scored WHERE baseline_events IS NOT NULL
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_resample_locf": (events_resample_locf, EVENTS_RESAMPLE_SQL),
     "events_ewma_anomaly": (events_ewma_anomaly, EVENTS_EWMA_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
+    "events_seasonal_naive": (events_seasonal_naive, EVENTS_SEASONAL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),

@@ -761,3 +761,28 @@ def test_span_removal_plan_shape(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan[:1500]
     # the rebuild anti-join stays keyed, not broadcast
     assert "BroadcastHashJoin LeftAnti" not in plan
+
+
+def test_seasonal_naive_plan_keyed_joins_no_window(spark, sf_dir):
+    """events_seasonal_naive: the day-ago baseline is an equi self-join
+    on (type, slot) — NOT a lag() window partitioned by event_type,
+    whose parallelism is capped at the handful of types — and both
+    grain-table joins ride ShuffledHashJoin (the derived (type, slot)
+    grain is unbounded, so a plan-time broadcast of it is the
+    OOM-at-scale pattern).  The only nested-loop join is the broadcast
+    1-row (lo, hi) span attach."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        events_seasonal_naive,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(events_seasonal_naive(spark, sf_dir))
+    release_tracked_caches()
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    # ONE BNLJ node (the span attach): formatted output prints every
+    # node twice — once in the tree, once in the details section
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
