@@ -692,7 +692,8 @@ def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned value's rank is within 0.01% of the requested percentile;
     tests/test_relational.py pins the VALUE error against the exact
     DuckDB-verified yardstick.  Approximate by construction -> no exact
-    oracle (the sketches precedent, registry.py)."""
+    oracle (the sketches precedent, registry.py); the exact-oracled,
+    scalable twin is ``profile_percentiles_exact`` below."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice") * 100).cast("bigint")
     ps = F.approx_percentile(
@@ -709,6 +710,82 @@ def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of l_extendedprice per return flag — the
+    exact-oracled twin of ``profile_quantiles_approx`` (whose GK sketch
+    is approximate by construction and therefore rows-only for the
+    driver).  The percentile rule is explicit and integer: rank target
+    ``ceil(p*n)`` over cents, answer = the smallest cent value whose
+    cumulative count reaches the target (DuckDB replays the identical
+    rule, so the hash matches with no quantile-definition folklore).
+
+    Scale shape: one map-side-combining aggregation collapses the fact
+    table to the (flag, cents) HISTOGRAM GRAIN — bounded by the value
+    range (~10M cent values for any price column) independent of row
+    count — and the cumulative window + rank pick run entirely on that
+    grain.  This is how exact quantiles stay feasible at 100 TB: the
+    sort is over distinct values, never rows; a wider-than-cents domain
+    would sub-bucket the grain first (two-level histogram), same
+    substitution as the packing prefix sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    grain = (
+        li.select(F.col("l_returnflag").alias("flag"), cents.alias("c"))
+        .groupBy("flag", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grain.select("flag", "c", F.sum("cnt").over(w).alias("cum"))
+    totals = grain.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("c"))
+    )
+    return (
+        # totals is bounded by the flag domain (3 values) — a legitimate
+        # broadcast, unlike the unbounded derived-grain tables
+        cum.join(F.broadcast(totals), "flag")
+        .groupBy("flag", "n")
+        .agg(
+            pick(1, 2).alias("p50_cents"),
+            pick(9, 10).alias("p90_cents"),
+            pick(99, 100).alias("p99_cents"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+        )
+    )
+
+
+PROFILE_PCTL_SQL = """
+WITH grain AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, c,
+         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY c) AS BIGINT) AS cum
+  FROM grain
+),
+tot AS (SELECT flag, CAST(sum(cnt) AS BIGINT) AS n FROM grain GROUP BY 1)
+SELECT flag AS l_returnflag, n AS n_rows,
+       min(CASE WHEN cum >= (n*1 + 1) // 2 THEN c END) AS p50_cents,
+       min(CASE WHEN cum >= (n*9 + 9) // 10 THEN c END) AS p90_cents,
+       min(CASE WHEN cum >= (n*99 + 99) // 100 THEN c END) AS p99_cents
+FROM cum JOIN tot USING (flag)
+GROUP BY 1, 2
+"""
 
 
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,6 +1488,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "profile_orders": (profile_orders, PROFILE_SQL),
     "profile_quantiles_approx": (profile_quantiles_approx, None),
+    "profile_percentiles_exact": (profile_percentiles_exact, PROFILE_PCTL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),

@@ -786,3 +786,23 @@ def test_seasonal_naive_plan_keyed_joins_no_window(spark, sf_dir):
     # ONE BNLJ node (the span attach): formatted output prints every
     # node twice — once in the tree, once in the details section
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+
+
+def test_percentiles_exact_plan_sorts_grain_not_facts(spark, sf_dir):
+    """profile_percentiles_exact: the cumulative window's sort input is
+    the (flag, cents) HISTOGRAM GRAIN — the fact table must collapse
+    through a map-side partial count BEFORE any Sort/Window (exact
+    quantiles at 100 TB sort distinct values, never rows), and the only
+    broadcast is the flag-domain totals (bounded by construction)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        profile_percentiles_exact,
+    )
+
+    plan = _formatted(profile_percentiles_exact(spark, sf_dir))
+    # one Window node (tree + details = 2 mentions), fed by the grain agg
+    assert plan.count("Window") == 2, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the fact scan reaches a partial_count HashAggregate before the Sort
+    tree = plan.split("(1) ")[0]
+    assert tree.index("HashAggregate") < tree.index("Sort"), tree

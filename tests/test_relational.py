@@ -85,6 +85,33 @@ def test_quantiles_approx_vs_exact_yardstick(spark, sf_dir, con):
             assert rel <= 0.02, f"{flag}.{col}: exact={er[col]} approx={ar[col]} rel={rel:.4f}"
 
 
+def test_percentiles_exact_matches_quantile_disc(spark, sf_dir, con):
+    """The distributed histogram-grain exact percentiles (the scalable
+    exact form: rank pick over (flag, cents) counts) must equal DuckDB's
+    native quantile_disc EXACTLY — pinning that the ceil(p*n) rank rule
+    is the standard discrete-quantile definition, not a lookalike."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        profile_percentiles_exact,
+    )
+
+    mine = {r["l_returnflag"]: r for r in profile_percentiles_exact(spark, sf_dir).collect()}
+    ref = {
+        r[0]: r
+        for r in con.execute(
+            """
+        SELECT l_returnflag,
+               CAST(quantile_disc(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), 0.5) AS BIGINT),
+               CAST(quantile_disc(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), 0.9) AS BIGINT),
+               CAST(quantile_disc(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), 0.99) AS BIGINT)
+        FROM lineitem GROUP BY 1
+        """
+        ).fetchall()
+    }
+    assert set(mine) == set(ref)
+    for flag, r in mine.items():
+        assert (r["p50_cents"], r["p90_cents"], r["p99_cents"]) == tuple(ref[flag][1:]), flag
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
