@@ -724,24 +724,49 @@ def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combining aggregation collapses the fact
     table to the (flag, cents) HISTOGRAM GRAIN — bounded by the value
     range (~10M cent values for any price column) independent of row
-    count — and the cumulative window + rank pick run entirely on that
+    count — and the cumulative sum + rank pick run entirely on that
     grain.  This is how exact quantiles stay feasible at 100 TB: the
-    sort is over distinct values, never rows; a wider-than-cents domain
-    would sub-bucket the grain first (two-level histogram), same
-    substitution as the packing prefix sum."""
+    sort is over distinct values, never rows.
+
+    The cumulative sum itself is TWO-LEVEL so its parallelism is not
+    capped by the handful of flags: level 1 computes per-(flag, bucket)
+    exclusive prefix totals (a window over ~domain/2^16 bucket rows per
+    flag — tiny), level 2 runs the within-bucket running sum in a window
+    partitioned by (flag, bucket) — hundreds of independent partitions
+    instead of one sort per flag.  The bucket-prefix table is bounded by
+    the value domain, so attaching it by broadcast is safe by
+    construction."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bucket_w = 1 << 16  # cents per sub-bucket (~160 buckets over a price domain)
     grain = (
         li.select(F.col("l_returnflag").alias("flag"), cents.alias("c"))
         .groupBy("flag", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.expr(f"c div {bucket_w}"))
     )
-    w = (
+    wb = (
         Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprefix = (
+        grain.groupBy("flag", "bucket")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            "flag",
+            "bucket",
+            F.coalesce(F.sum("bc").over(wb), F.lit(0).cast("long")).alias("prefix"),
+        )
+    )
+    wi = (
+        Window.partitionBy("flag", "bucket")
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = grain.select("flag", "c", F.sum("cnt").over(w).alias("cum"))
+    cum = grain.join(F.broadcast(bprefix), ["flag", "bucket"]).select(
+        "flag", "c", (F.sum("cnt").over(wi) + F.col("prefix")).alias("cum")
+    )
     totals = grain.groupBy("flag").agg(F.sum("cnt").alias("n"))
     pick = lambda num, den: F.min(  # noqa: E731
         F.when(F.col("cum") >= F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("c"))

@@ -799,10 +799,14 @@ def test_percentiles_exact_plan_sorts_grain_not_facts(spark, sf_dir):
     )
 
     plan = _formatted(profile_percentiles_exact(spark, sf_dir))
-    # one Window node (tree + details = 2 mentions), fed by the grain agg
-    assert plan.count("Window") == 2, plan[:1500]
+    # two Window nodes (tree + details = 4 mentions): the tiny per-flag
+    # bucket-prefix window plus the parallel within-(flag, bucket) one
+    assert plan.count("Window") == 4, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the bulk running sum partitions by (flag, bucket), so its exchange
+    # is keyed on both — parallelism scales with buckets, not flags
+    assert "hashpartitioning(flag" in plan and "bucket" in plan, plan[:1500]
     # the fact scan reaches a partial_count HashAggregate before the Sort
     tree = plan.split("(1) ")[0]
     assert tree.index("HashAggregate") < tree.index("Sort"), tree
