@@ -307,20 +307,31 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+ANTI_JOIN_CUTOFF = "1999-01-01"
+
+
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS) — also the reference's 'unmapped events'
-    side-channel pattern (SURVEY.md §2.5-E2)."""
+    side-channel pattern (SURVEY.md §2.5-E2).  The anti-join is
+    date-bounded (customers with no RECENT orders): the data generator
+    gives every customer at least one order, so an unwindowed anti-join
+    is vacuously empty at every SF and its driver hash carries zero
+    signal (VERDICT r6 item #4) — the windowed form returns rows and the
+    date predicate pushes into the orders scan before the join."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(ANTI_JOIN_CUTOFF).cast("timestamp")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
-ANTI_SQL = """
+ANTI_SQL = f"""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{ANTI_JOIN_CUTOFF} 00:00:00')
 """
 
 
@@ -1424,10 +1435,18 @@ def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense grid over the scored range only (slots with a full season of
     # history); the baseline slot slot-24 is always >= lo, so a missing
     # shifted row below means "0 events that hour", never "out of range"
+    # guarded: on a sub-season corpus (hi < lo+period) F.sequence would
+    # silently default to step -1 and emit a DESCENDING bogus range —
+    # when() yields NULL instead and explode of NULL emits no rows, so a
+    # short corpus scores nothing in both engines (the oracle's
+    # baseline-IS-NOT-NULL filter is empty there too)
     grid = types.crossJoin(F.broadcast(span)).select(
         "event_type",
         F.explode(
-            F.sequence(F.col("lo") + SEASONAL_PERIOD_SLOTS, F.col("hi"))
+            F.when(
+                F.col("lo") + SEASONAL_PERIOD_SLOTS <= F.col("hi"),
+                F.sequence(F.col("lo") + SEASONAL_PERIOD_SLOTS, F.col("hi")),
+            )
         ).alias("slot"),
     )
     # both grain-table joins ride shuffle_hash: the (type, slot) grain is

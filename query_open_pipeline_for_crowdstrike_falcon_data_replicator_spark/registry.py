@@ -100,6 +100,21 @@ STRUCTURAL_EXCLUDE = {
     "events_sketch_range",
 }
 
+# Entries whose oracle returns ZERO ROWS at the driver's sf0.01 — the
+# hash match proves schema and emptiness only (VERDICT r6 item #4: q22 /
+# anti-join matched on 0-vs-0 rows).  Where emptiness was a query-shape
+# artifact the query was fixed instead (q22 and the anti-join now bound
+# the NOT EXISTS by date and return rows); what remains here is
+# DATA-empty: the synthetic embeddings corpus has max same-label cosine
+# ~0.47, far below the 0.9 near-dup threshold, so no honest threshold
+# produces pairs.  These sort LAST in slot allocation (they still run
+# their exact oracle every session via tests); real-signal coverage is
+# the synthetic near-dup-cluster tests in tests/test_similarity.py.
+# Membership is pinned by a test that runs the oracles at sf0.01.
+ZERO_SIGNAL_SF001 = {
+    "embedding_neardup_pairs",
+}
+
 # kept for external references; the historical per-entry rotation notes
 # now live as data in verification.DRIVER_HISTORY
 DRIVER_EXCLUDE = STRUCTURAL_EXCLUDE
@@ -164,7 +179,7 @@ def driver_queries() -> dict[str, tuple[QueryFn, str | None]]:
     }
     eligible = sorted(
         (n for n in full if n not in ordered and n not in STRUCTURAL_EXCLUDE),
-        key=lambda n: (last_green(n), n),
+        key=lambda n: (n in ZERO_SIGNAL_SF001, last_green(n), n),
     )
     for n in eligible:
         if len(ordered) >= DRIVER_SLOTS:

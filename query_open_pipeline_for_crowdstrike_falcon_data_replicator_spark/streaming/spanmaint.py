@@ -95,6 +95,8 @@ def extend_span_clean(
         )
         .persist()
     )
+    occ = None
+    seen = None
     try:
         occ = base.select(
             "doc_id", F.posexplode_outer("wins").alias("p0", "w")
@@ -107,9 +109,14 @@ def extend_span_clean(
         # rule 1: window known to the corpus -> remove this occurrence.
         # The batch side broadcasts into the corpus-sized index probe.
         if corpus_idx is not None:
+            # seen is batch-bounded (a semi-join cannot exceed the batch's
+            # distinct window count) but feeds TWO consumers below —
+            # persist+materialize so the corpus-sized index probe runs
+            # once per batch, not once per consumer
             seen = corpus_idx.select("w").join(
                 F.broadcast(occ.select("w").distinct()), "w", "left_semi"
-            )
+            ).persist()
+            seen.count()
             rm1 = occ.join(F.broadcast(seen), "w", "left_semi")
             fresh = occ.join(F.broadcast(seen), "w", "left_anti")
         else:
@@ -179,8 +186,14 @@ def extend_span_clean(
         write_snapshot(
             spark, new_windows, windows_path, txn_app=txn_app, txn_version=batch_id
         )
-        occ.unpersist()
     finally:
+        # all three caches release even when a commit throws mid-batch —
+        # a leaked cached RDD would otherwise survive into every later
+        # micro-batch of the stream
+        if occ is not None:
+            occ.unpersist()
+        if seen is not None:
+            seen.unpersist()
         base.unpersist()
 
 

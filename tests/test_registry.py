@@ -14,6 +14,7 @@ from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry i
     DRIVER_ANCHORS,
     DRIVER_SLOTS,
     STRUCTURAL_EXCLUDE,
+    ZERO_SIGNAL_SF001,
     all_queries,
     driver_queries,
 )
@@ -105,7 +106,9 @@ def test_driver_surface_is_oldest_green_first():
     dq = set(driver_queries())
     eligible = [
         n for n in all_queries()
-        if n not in STRUCTURAL_EXCLUDE and n not in DRIVER_ANCHORS
+        if n not in STRUCTURAL_EXCLUDE
+        and n not in DRIVER_ANCHORS
+        and n not in ZERO_SIGNAL_SF001  # sorts last regardless of age
     ]
     inside = max((last_green(n) for n in eligible if n in dq), default=-1)
     outside = min((last_green(n) for n in eligible if n not in dq), default=99)
@@ -117,3 +120,29 @@ def test_driver_surface_is_oldest_green_first():
     for n in eligible:
         if last_green(n) == -1:
             assert n in dq, f"never-verified {n} must hold a slot"
+
+
+def test_zero_signal_membership_matches_sf001_oracles():
+    """ZERO_SIGNAL_SF001 pins exactly the registry entries whose oracle
+    is empty at the driver's sf0.01 — a 0-rows-vs-0-rows hash match
+    proves schema only (VERDICT r6 item #4).  Two directions: every
+    member's oracle really is empty (no stale deprioritization once the
+    data changes), and the two queries FIXED for this (date-bounded q22
+    and anti-join) really return rows now."""
+    import pytest
+
+    from tests.oracle_util import duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    con = duckdb_conn(sf)
+    full = all_queries()
+    for name in ZERO_SIGNAL_SF001:
+        _, sql = full[name]
+        n = len(con.execute(sql).fetchall())
+        assert n == 0, f"{name} oracle now returns {n} rows - drop it from ZERO_SIGNAL_SF001"
+    for name in ("q22_idle_customers", "anti_join_customers_without_orders"):
+        _, sql = full[name]
+        n = len(con.execute(sql).fetchall())
+        assert n > 0, f"{name} oracle is empty at sf0.01 - zero driver signal"

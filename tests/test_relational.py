@@ -154,6 +154,32 @@ def test_ewma_planted_step_change(spark, tmp_path):
     assert abs(out[post[0]].ewma - 310.0) < abs(out[jump_epoch].ewma - 310.0)
 
 
+def test_seasonal_naive_sub_season_corpus_is_empty(spark, tmp_path):
+    """A corpus spanning less than one season (hi < lo + 24 slots) has no
+    hour with a full day of history, so the monitor must return ZERO
+    rows — unguarded, F.sequence(lo+24, hi) silently defaults to step -1
+    and emits a bogus DESCENDING slot range the DuckDB oracle (baseline
+    IS NOT NULL) never produces (ADVICE r6)."""
+    import datetime as dt
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        SEASONAL_PERIOD_SLOTS,
+        SEASONAL_SLOT_SECONDS,
+        events_seasonal_naive,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (s, base + dt.timedelta(seconds=s * SEASONAL_SLOT_SECONDS), 1, "m", 1.0, "{}")
+        for s in range(SEASONAL_PERIOD_SLOTS // 2)  # half a season
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    assert events_seasonal_naive(spark, str(tmp_path)).count() == 0
+
+
 def test_cusum_planted_sustained_shift(spark, tmp_path):
     """A small sustained level shift (each step far below the EWMA spike
     threshold) must accumulate into a CUSUM alarm a few slots after the
