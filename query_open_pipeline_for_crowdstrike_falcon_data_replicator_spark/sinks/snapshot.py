@@ -171,12 +171,27 @@ def read_snapshot(
 
 
 def _stage_files(
-    spark: SparkSession, fs, df: DataFrame, path: str
-) -> list[str]:
-    """Write ``df`` into a fresh data/<token>/ dir; return relative paths."""
+    spark: SparkSession, fs, df: DataFrame, path: str,
+    cluster_col: str | None = None,
+) -> tuple[list[str], dict]:
+    """Write ``df`` into a fresh data/<token>/ dir; return (relative
+    paths, per-file stats).
+
+    With ``cluster_col`` the staged files are range-partitioned and
+    sorted by that column (``sinks/layout.write_clustered``'s layout at
+    snapshot granularity) and each file's [min, max] on it is recorded —
+    the manifest-level pruning index ``read_snapshot_pruned`` plans
+    from."""
     token = uuid.uuid4().hex[:12]
     out_dir = posixpath.join(path, _DATA_DIR, token)
-    df.write.parquet(out_dir)
+    if cluster_col is not None:
+        (
+            df.repartitionByRange(cluster_col)
+            .sortWithinPartitions(cluster_col)
+            .write.parquet(out_dir)
+        )
+    else:
+        df.write.parquet(out_dir)
     prefix = _qualified(spark, fs, path).rstrip("/") + "/"
     rels = []
     for f in _list_files(spark, fs, out_dir):
@@ -185,7 +200,26 @@ def _stage_files(
         rel = f[len(prefix):]
         if not rel.rsplit("/", 1)[-1].startswith("_"):
             rels.append(rel)
-    return rels
+    stats: dict = {}
+    if cluster_col is not None and rels:
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(cluster_col).alias("_k"),
+            )
+            .groupBy("_f")
+            .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+            .collect()
+        )
+        by_suffix = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
+        for r in rows:
+            rel = by_suffix.get(r["_f"].rsplit("/", 1)[-1])
+            if rel is not None:
+                stats[rel] = [r["lo"], r["hi"]]
+    return rels, stats
 
 
 def last_txn_version(spark: SparkSession, path: str, txn_app: str) -> int:

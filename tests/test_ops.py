@@ -2185,3 +2185,144 @@ def test_embedding_triplets_picks_hardest_non_partner(spark, sf_dir):
         assert r["cos_an"] == cos(a, neg)
         best = max(cos(a, c) for c in ids if c != a and c not in partners[a])
         assert r["cos_an"] == best
+
+
+def test_triplets_ivf_matches_exact_below_cap(spark, sf_dir):
+    """The scale form's positive stage EQUALS the exact form below
+    TRIPLET_BLOCK_CAP (single shard -> all-pairs), and its IVF-probed
+    negative can never beat the exact full-scan negative (probing reads
+    a subset of the corpus); agreement at nprobe=3/16 on the
+    near-orthogonal fixture stays above the probe fraction."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        embedding_triplets,
+        embedding_triplets_ivf,
+    )
+
+    exact = {(r.anchor, r.positive): r for r in embedding_triplets(spark, sf_dir).collect()}
+    ivf = {(r.anchor, r.positive): r for r in embedding_triplets_ivf(spark, sf_dir).collect()}
+    assert exact, "fixture must yield triplets"
+    assert set(exact) == set(ivf), "positives must match exactly below the cap"
+    agree = 0
+    for k, r in ivf.items():
+        assert r.cos_ap == exact[k].cos_ap
+        assert r.cos_an <= exact[k].cos_an + 1e-9, (
+            "a probed negative cannot be harder than the full-scan one"
+        )
+        agree += r.negative == exact[k].negative
+    assert agree / len(ivf) >= 0.4, f"negative agreement collapsed: {agree}/{len(ivf)}"
+
+
+def test_triplets_ivf_recovers_hard_negative_on_clustered_data(spark, tmp_path):
+    """On data with real cluster structure — where hard-negative mining
+    matters — the IVF probe recovers the exact hardest negative: twin
+    trios share a direction, land in the same cell, and the anchor's
+    own probed cell carries its cross-label twin."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        embedding_triplets,
+        embedding_triplets_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, vid = [], 0
+    for g in range(4):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for lab in (2 * g, 2 * g + 1):  # twin trios: same direction, two labels
+            for _ in range(3):
+                v = base + rng.normal(scale=0.02, size=64)
+                rows.append((vid, [float(x) for x in v], lab))
+                vid += 1
+    for _ in range(40):  # background singletons
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v], 100 + vid % 2))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    exact = {(r.anchor, r.positive): r for r in embedding_triplets(spark, str(tmp_path)).collect()}
+    ivf = {(r.anchor, r.positive): r for r in embedding_triplets_ivf(spark, str(tmp_path)).collect()}
+    assert len(exact) >= 12, "each twin trio must yield positives"
+    assert set(exact) == set(ivf)
+    for k, r in ivf.items():
+        assert r.negative == exact[k].negative, (
+            f"anchor {k[0]}: probe missed the clustered hard negative "
+            f"({r.negative} vs {exact[k].negative})"
+        )
+        assert r.cos_an == exact[k].cos_an
+
+
+def test_triplet_block_candidates_subshard_bounds_hot_label(spark, monkeypatch):
+    """Above the cap a label sub-shards deterministically: pairs stay
+    within (label, vec_id % nshards) blocks — per-shard work bounded by
+    ~cap^2 — and every vector keeps pairing inside its shard."""
+    import query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "TRIPLET_BLOCK_CAP", 4)
+    rows = [(i, "hot", [float(i)] * 4) for i in range(10)] + [
+        (90 + i, "cold", [float(i + 1)] * 4) for i in range(3)
+    ]
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in sim._triplet_block_candidates(_emb_df(spark, rows)).collect()
+    }
+    # hot: n=10, cap=4 -> nsh=3 -> shards {0,3,6,9},{1,4,7},{2,5,8}
+    hot_expect = set()
+    for shard in ({0, 3, 6, 9}, {1, 4, 7}, {2, 5, 8}):
+        hot_expect |= {(a, b) for a in shard for b in shard if a < b}
+    # cold: n=3 <= cap -> single shard, all pairs
+    cold_expect = {(90, 91), (90, 92), (91, 92)}
+    assert cand == hot_expect | cold_expect
+
+
+def test_ann_range_ivf_recall_and_subset(spark, sf_dir):
+    """Probed radius search returns a SUBSET of the exact tau set (it
+    can only miss, never invent — cosines are exact on probed
+    candidates) with recall above the probe fraction."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ann_range_ivf,
+        ann_range_search,
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in ann_range_search(spark, sf_dir).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ann_range_ivf(spark, sf_dir).collect()}
+    assert exact, "fixture must yield range results"
+    assert got <= exact
+    assert len(got & exact) / len(exact) >= 0.3, (
+        f"range recall collapsed: {len(got & exact)}/{len(exact)}"
+    )
+
+
+def test_ivf_persisted_index_radius_serving(spark, sf_dir, tmp_path):
+    """ivf_query_index(radius=tau) over the persisted index returns
+    exactly the in-plan probed-radius rows (same quantizer, same probe
+    order) — and refuses the sq8 path."""
+    import pytest as _pytest
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        RANGE_TAU,
+        _embedded,
+        ann_range_ivf,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    cents = ivf_build_index(spark, sf_dir, idx)
+    emb = _embedded(spark, sf_dir).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "u"
+    )
+    served = ivf_query_index(spark, idx, q, cents, radius=RANGE_TAU)
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ann_range_ivf(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in served.collect()}
+    assert got == want
+    with _pytest.raises(ValueError):
+        ivf_query_index(spark, idx, q, cents, radius=RANGE_TAU, sq8=True)

@@ -810,3 +810,21 @@ def test_percentiles_exact_plan_sorts_grain_not_facts(spark, sf_dir):
     # the fact scan reaches a partial_count HashAggregate before the Sort
     tree = plan.split("(1) ")[0]
     assert tree.index("HashAggregate") < tree.index("Sort"), tree
+
+
+def test_triplets_ivf_plan_no_anchor_corpus_cartesian(spark, sf_dir):
+    """embedding_triplets_ivf: the negative stage joins anchors to the
+    cell-assigned corpus on the CELL key — the anchors x corpus
+    cartesian scan of the exact form (its one designed quadratic) must
+    not appear anywhere in the scale form's plan."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        embedding_triplets_ivf,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(embedding_triplets_ivf(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
