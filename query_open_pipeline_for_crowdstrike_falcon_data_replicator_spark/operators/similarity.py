@@ -1716,10 +1716,12 @@ _UPDATE_T = (
 )
 
 
-def _lloyd_chain(after_u: str = "") -> str:
-    """CTE prefix replaying ``_ivf_train`` exactly: unit vectors, the %5
-    training sample, first-IVF_CELLS-by-vec_id seeds, and IVF_ITERS=2
-    unrolled assign/mean/update rounds ending in centroid table ``c2``.
+def _lloyd_chain(after_u: str = "", train_where: str = "vec_id % 5 = 0") -> str:
+    """CTE prefix replaying ``_ivf_train`` exactly: unit vectors, the
+    training sample (``train_where``, default the %5 sample; the
+    streamed twin restricts it to batch 0's vec_id range),
+    first-IVF_CELLS-by-vec_id seeds, and IVF_ITERS=2 unrolled
+    assign/mean/update rounds ending in centroid table ``c2``.
     Deterministic across engines because unit vectors are sequential-fold
     arithmetic, each Lloyd mean is rounded to 6 decimals, and assignment
     breaks distance ties toward the lower cell."""
@@ -1727,7 +1729,7 @@ def _lloyd_chain(after_u: str = "") -> str:
 u AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
       FROM e),{after_u}
-train AS (SELECT vec_id, u FROM u WHERE vec_id % 5 = 0),
+train AS (SELECT vec_id, u FROM u WHERE {train_where}),
 seed AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
   FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}

@@ -61,6 +61,10 @@ BENCH_EXCLUDE = {
     # micro-batches cleaning against the persisted window index) inside
     # the builder
     "stream_span_verify",
+    # runs incremental triplet mining as a Structured Streaming query
+    # (3 micro-batches appending pairs/triplets/index snapshots) inside
+    # the builder
+    "stream_triplet_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

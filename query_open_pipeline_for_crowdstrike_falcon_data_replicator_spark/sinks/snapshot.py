@@ -173,6 +173,7 @@ def read_snapshot(
 def _stage_files(
     spark: SparkSession, fs, df: DataFrame, path: str,
     cluster_col: str | None = None,
+    n_files: int = 0,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into a fresh data/<token>/ dir; return (relative
     paths, per-file stats).
@@ -185,11 +186,12 @@ def _stage_files(
     token = uuid.uuid4().hex[:12]
     out_dir = posixpath.join(path, _DATA_DIR, token)
     if cluster_col is not None:
-        (
-            df.repartitionByRange(cluster_col)
-            .sortWithinPartitions(cluster_col)
-            .write.parquet(out_dir)
+        parted = (
+            df.repartitionByRange(n_files, cluster_col)
+            if n_files
+            else df.repartitionByRange(cluster_col)
         )
+        parted.sortWithinPartitions(cluster_col).write.parquet(out_dir)
     else:
         df.write.parquet(out_dir)
     prefix = _qualified(spark, fs, path).rstrip("/") + "/"
@@ -244,6 +246,8 @@ def _commit(
     meta: dict | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    stats: dict | None = None,
+    cluster_col: str | None = None,
 ) -> int | None:
     """Optimistically commit a new manifest; retry on version conflicts.
 
@@ -280,12 +284,34 @@ def _commit(
                 return None  # this writer already committed this version
             prev_txn[txn_app] = int(txn_version or 0)
         version = (prev or 0) + 1
+        # per-file [min, max] stats on the cluster column ride the
+        # manifest forward: appends merge, overwrites reset; stats for
+        # files no longer referenced are dropped with them
+        prev_stats = (
+            dict(prev_manifest.get("stats", {}))
+            if prev is not None and mode == "append"
+            else {}
+        )
+        prev_stats.update(stats or {})
+        all_files = base + new_files
+        merged_stats = {f: s for f, s in prev_stats.items() if f in set(all_files)}
+        prev_cluster = (
+            prev_manifest.get("cluster_col")
+            if prev is not None and mode == "append"
+            else None
+        )
         manifest = {
             "version": version,
             "mode": mode,
-            "files": base + new_files,
+            "files": all_files,
             "committed_at": time.time(),
             "txn": prev_txn,
+            **({"stats": merged_stats} if merged_stats else {}),
+            **(
+                {"cluster_col": cluster_col or prev_cluster}
+                if (cluster_col or prev_cluster)
+                else {}
+            ),
             **(meta or {}),
         }
         final = _manifest_path(path, version)
@@ -307,12 +333,18 @@ def write_snapshot(
     *,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    cluster_col: str | None = None,
 ) -> int | None:
     """Append or overwrite ``df`` as a new table version; returns it.
 
     ``txn_app``/``txn_version`` make the write idempotent per writer (see
     ``_commit``); an already-committed version returns None without
-    staging or committing anything."""
+    staging or committing anything.
+
+    ``cluster_col`` stages the files range-partitioned + sorted by that
+    column and records per-file [min, max] in the manifest — the layout
+    ``read_snapshot_pruned`` prunes against (the streaming dedup
+    indexes' probe path)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_app is not None and txn_version is None:
@@ -322,11 +354,55 @@ def write_snapshot(
         txn_version or 0
     ):
         return None  # cheap pre-check; _commit re-checks under the race
-    new_files = _stage_files(spark, fs, df, path)
+    new_files, stats = _stage_files(spark, fs, df, path, cluster_col)
     return _commit(
         spark, fs, path, new_files, mode=mode,
         txn_app=txn_app, txn_version=txn_version,
+        stats=stats, cluster_col=cluster_col,
     )
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    keys,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Plan a read over ONLY the snapshot files whose recorded
+    [min, max] range on the cluster column could contain one of
+    ``keys`` — manifest-level data skipping for point-membership probes
+    (the streaming window-hash / band index pattern: a micro-batch's
+    keys against a corpus-sized index).
+
+    Files without recorded stats are always read (older unclustered
+    appends stay correct).  Returns None when no file can match or the
+    table does not exist.  Pruning power is regime-dependent and honest:
+    with B distinct uniform keys against N file ranges the expected hit
+    count is N*(1-(1-1/N)^B) — a trickle batch (B << N) reads ~B files;
+    a bulk batch saturates the ranges and degrades to the full (column-
+    pruned, embarrassingly parallel) scan the module always paid."""
+    import bisect
+
+    fs, _ = _fs(spark, path)
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            return None
+    manifest = _load_manifest(spark, fs, path, version)
+    stats = manifest.get("stats", {})
+    ks = sorted(set(keys))
+    keep = []
+    for f in manifest["files"]:
+        rng = stats.get(f)
+        if rng is None:
+            keep.append(f)
+            continue
+        i = bisect.bisect_left(ks, rng[0])
+        if i < len(ks) and ks[i] <= rng[1]:
+            keep.append(f)
+    if not keep:
+        return None
+    return spark.read.parquet(*[posixpath.join(path, f) for f in keep])
 
 
 def compact_snapshot(
@@ -348,7 +424,9 @@ def compact_snapshot(
     version = current_version(spark, path)
     if version is None:
         raise FileNotFoundError(f"no snapshot at {path}")
-    files = _load_manifest(spark, fs, path, version)["files"]
+    manifest = _load_manifest(spark, fs, path, version)
+    files = manifest["files"]
+    cluster_col = manifest.get("cluster_col")
     if target_files <= 0:
         total = sum(
             fs.getFileStatus(_jpath(spark, posixpath.join(path, f))).getLen()
@@ -356,7 +434,15 @@ def compact_snapshot(
         )
         target_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(*[posixpath.join(path, f) for f in files])
-    new_files = _stage_files(spark, fs, df.repartition(target_files), path)
+    if cluster_col is not None:
+        # a clustered table compacts CLUSTERED: per-batch appends each
+        # cover the whole key range, so compaction is precisely when the
+        # ranges become disjoint again (and the pruning index tightens)
+        new_files, stats = _stage_files(
+            spark, fs, df, path, cluster_col, n_files=target_files
+        )
+    else:
+        new_files, stats = _stage_files(spark, fs, df.repartition(target_files), path)
     return _commit(
         spark,
         fs,
@@ -364,6 +450,8 @@ def compact_snapshot(
         new_files,
         mode="overwrite",
         meta={"compacted_from": version},
+        stats=stats,
+        cluster_col=cluster_col,
     )
 
 

@@ -28,9 +28,12 @@ mark: every table's commit is idempotent per (checkpoint, batch_id), so a
 replayed batch re-derives the same survivors (its own bands only land
 AFTER its docs commit, and self-pairs are filtered) and every commit
 skips.  At 100 TB the bands table is the pre-built index shape the
-batch probes by bucket; the manifest is the planning index, and
-clustering it by band (``sinks/layout.py``) keeps a probe's file set
-~bands/buckets of the corpus.
+batch probes by bucket: it is WRITTEN clustered by band key
+(``write_snapshot(cluster_col="key")``), the manifest carries per-file
+[min, max] on the key, and a trickle batch's probe is planned from
+those stats (``read_snapshot_pruned``) — reading ~B of the index's N
+files; bulk batches saturate the ranges and keep the full column-pruned
+scan.
 
 Reference parity: the reference has no curation stage at all — this is
 beyond-reference machinery for the training-data pipeline (SURVEY.md §6),
@@ -60,7 +63,12 @@ from ..operators.text import (
     _predicted_lang,
     _tokens,
 )
-from ..sinks.snapshot import current_version, read_snapshot, write_snapshot
+from ..sinks.snapshot import (
+    current_version,
+    read_snapshot,
+    read_snapshot_pruned,
+    write_snapshot,
+)
 
 DOC_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("text", StringType())]
@@ -69,6 +77,12 @@ DOC_SCHEMA = StructType(
 DOCS_TABLE = "docs"
 BANDS_TABLE = "index/bands"
 PROFILES_TABLE = "index/profiles"
+
+# Same trickle-regime gate as spanmaint.SPAN_PRUNE_MAX_KEYS: a batch's
+# distinct band keys (docs x BANDS) collect driver-side — they ship
+# there for the broadcast probe anyway — and the bands-index read plans
+# from the manifest's per-file [min, max].
+BAND_PRUNE_MAX_KEYS = 100_000
 
 
 def _snapshot_or_none(
@@ -170,7 +184,16 @@ def curate_batch(
         ).select(F.col("b_doc").alias("doc_id"))
 
         # 3b against the corpus: batch bands broadcast into the index join
-        corpus_bands = _snapshot_or_none(spark, bands_path)
+        # (planned from the manifest's per-file key stats when the batch
+        # is small enough to be worth the driver-side key collect)
+        batch_keys = bands.select("key").distinct()
+        n_keys = batch_keys.count()
+        if n_keys <= BAND_PRUNE_MAX_KEYS:
+            corpus_bands = read_snapshot_pruned(
+                spark, bands_path, [r["key"] for r in batch_keys.collect()]
+            )
+        else:
+            corpus_bands = _snapshot_or_none(spark, bands_path)
         if corpus_bands is not None and corpus_profiles is not None:
             cand_vs = (
                 corpus_bands.alias("c")
@@ -220,6 +243,9 @@ def curate_batch(
             bands_path,
             txn_app=txn_app,
             txn_version=batch_id,
+            # clustered by band key -> per-file [min, max] in the
+            # manifest feeds the pruned probe read above
+            cluster_col="key",
         )
         write_snapshot(
             spark,

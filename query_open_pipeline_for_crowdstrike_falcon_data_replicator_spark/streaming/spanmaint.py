@@ -36,13 +36,18 @@ the two commits replays the batch against an index WITHOUT its own
 windows, re-deriving identical removals (its windows only influence
 LATER batches), and every at-or-below-mark commit skips.
 
-Scale shape: the corpus-side index is only probed by an equi-join on
-the window hash with the batch side BROADCAST (a micro-batch's window
-set is batch-sized; the index is corpus-sized and never re-derived);
-batch-internal work is the batch-local winner groupBy; the rebuild is
-the batch operator's posexplode + keyed anti-join at batch grain.  At
-100 TB the index rides the same clustered-manifest layout as the
-curation and band indexes.
+Scale shape: the corpus-side index is probed ONCE per batch by an
+equi-join on the window hash with the batch side BROADCAST (a
+micro-batch's window set is batch-sized; the index is corpus-sized and
+never re-derived); batch-internal work is the batch-local winner
+groupBy; the rebuild is the batch operator's posexplode + keyed
+anti-join at batch grain.  The index is WRITTEN clustered by window
+hash (``write_snapshot(cluster_col="w")`` — per-file [min, max] in the
+manifest), and a trickle batch (<= SPAN_PRUNE_MAX_KEYS distinct
+windows) plans its probe from those stats via ``read_snapshot_pruned``,
+reading ~B of the index's N files instead of all of them; a bulk batch
+saturates the uniform-hash ranges and keeps the full column-pruned
+scan.
 
 Reference parity: the reference never compares two documents
 (``qopcfdr_stream_loader.py`` ships events one at a time) — this is
@@ -61,11 +66,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import SUBSTRING_K, _window_hashes
-from ..sinks.snapshot import write_snapshot
+from ..sinks.snapshot import read_snapshot_pruned, write_snapshot
 from .curation import DOC_SCHEMA, _snapshot_or_none
 
 CLEAN_TABLE = "cleaned"
 WINDOWS_TABLE = "index/windows"
+
+# Probe-pruning regime gate: with at most this many distinct batch
+# window hashes, the batch's keys are collected driver-side (they ship
+# there for the broadcast join anyway) and the index read is planned
+# from the manifest's per-file [min, max] — a trickle batch reads ~B of
+# the index's N files.  Above it the uniform keys saturate every file
+# range (expected hits N*(1-(1-1/N)^B)), so pruning buys nothing and
+# the full column-pruned scan is used without paying the collect.
+SPAN_PRUNE_MAX_KEYS = 100_000
 
 
 def extend_span_clean(
@@ -104,7 +118,14 @@ def extend_span_clean(
             "doc_id", (F.col("p0") + 1).alias("s"), "w"
         ).persist()
 
-        corpus_idx = _snapshot_or_none(spark, windows_path)
+        batch_keys = occ.select("w").distinct()
+        n_keys = batch_keys.count()
+        if n_keys <= SPAN_PRUNE_MAX_KEYS:
+            corpus_idx = read_snapshot_pruned(
+                spark, windows_path, [r["w"] for r in batch_keys.collect()]
+            )
+        else:
+            corpus_idx = _snapshot_or_none(spark, windows_path)
 
         # rule 1: window known to the corpus -> remove this occurrence.
         # The batch side broadcasts into the corpus-sized index probe.
@@ -114,7 +135,7 @@ def extend_span_clean(
             # persist+materialize so the corpus-sized index probe runs
             # once per batch, not once per consumer
             seen = corpus_idx.select("w").join(
-                F.broadcast(occ.select("w").distinct()), "w", "left_semi"
+                F.broadcast(batch_keys), "w", "left_semi"
             ).persist()
             seen.count()
             rm1 = occ.join(F.broadcast(seen), "w", "left_semi")
@@ -184,7 +205,15 @@ def extend_span_clean(
             spark, out_rows, clean_path, txn_app=txn_app, txn_version=batch_id
         )
         write_snapshot(
-            spark, new_windows, windows_path, txn_app=txn_app, txn_version=batch_id
+            spark,
+            new_windows,
+            windows_path,
+            txn_app=txn_app,
+            txn_version=batch_id,
+            # clustered by window hash: every appended file carries a
+            # narrow [min, max] in the manifest, which is what lets the
+            # trickle-regime probe above skip files
+            cluster_col="w",
         )
     finally:
         # all three caches release even when a commit throws mid-batch —

@@ -46,21 +46,26 @@ def _base_dir(sf_dir: str, fp: int) -> str:
     )
 
 
-def _write_ordered_batches(docs: DataFrame, src: str) -> None:
-    """Three contiguous doc_id ranges as NDJSON file drops with strictly
+def _write_ordered_batches(
+    docs: DataFrame,
+    src: str,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text"),
+) -> None:
+    """Three contiguous id ranges as NDJSON file drops with strictly
     increasing mtimes, so the file stream (maxFilesPerTrigger=1) replays
     them in corpus order."""
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    max_id = docs.agg(F.max(id_col)).collect()[0][0]
     cuts = (max_id // 3, 2 * max_id // 3)
     ranges = [
-        F.col("doc_id") <= cuts[0],
-        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1]),
-        F.col("doc_id") > cuts[1],
+        F.col(id_col) <= cuts[0],
+        (F.col(id_col) > cuts[0]) & (F.col(id_col) <= cuts[1]),
+        F.col(id_col) > cuts[1],
     ]
     t0 = 1_000_000_000  # fixed epoch base: mtime order, not wall clock
     for i, cond in enumerate(ranges):
         d = os.path.join(src, f"b{i}")
-        docs.filter(cond).select("doc_id", "text").repartition(1).write.mode(
+        docs.filter(cond).select(*cols).repartition(1).write.mode(
             "overwrite"
         ).json(d)
         for name in os.listdir(d):
@@ -724,6 +729,185 @@ FROM clean c CROSS JOIN m
 """
 
 
+def stream_triplet_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of INCREMENTAL triplet mining
+    (``streaming/tripletmaint.py``): the embeddings corpus arrives as
+    three ascending vec_id-range NDJSON drops streamed through
+    ``run_triplet_stream`` (availableNow, one file per micro-batch).
+    Each batch appends its new positive pairs (the pair's max member
+    arrived), mines hard negatives for its NEW anchors against the
+    corpus-so-far through the persisted IVF index (quantizer trained
+    once, on batch 0), and never re-mines an already-mined anchor.
+
+    The read-back joins pairs to their anchor's mined negative; the
+    DuckDB oracle replays the SEQUENTIAL definition exactly — per-batch
+    realization, first-pair mining batches, candidates and partner
+    exclusions frozen at the anchor's mining batch — so a hash-match
+    proves the no-re-mining protocol end-to-end under exactly-once
+    snapshot commits.
+
+    Output: (anchor, positive, cos_ap, negative, cos_an, pair_batch,
+    mined_batch).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (label-pruned pair join, nprobe/K negative probe — see
+    ``tripletmaint.extend_triplets``)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .tripletmaint import PAIRS_TABLE, TRIPLETS_TABLE, run_triplet_stream
+
+    ensure_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(emb, "vec_id")
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(
+            emb, src, id_col="vec_id", cols=("vec_id", "label", "embedding")
+        )
+        q = run_triplet_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_triplet_verify: triplet stream did not drain "
+                "within 600s; snapshot is partial, refusing to read it"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamtriplet_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    pairs = read_snapshot(spark, os.path.join(base, "out", PAIRS_TABLE))
+    trip = read_snapshot(spark, os.path.join(base, "out", TRIPLETS_TABLE))
+    return pairs.join(
+        trip, pairs.vec_a == trip.anchor
+    ).select(
+        "anchor",
+        F.col("vec_b").alias("positive"),
+        F.col("cosine").alias("cos_ap"),
+        "negative",
+        "cos_an",
+        F.col("batch_id").cast("long").alias("pair_batch"),
+        F.col("mined_batch").cast("long").alias("mined_batch"),
+    )
+
+
+def _stream_triplet_oracle_sql() -> str:
+    """Sequential replay of incremental triplet mining: batches are
+    vec_id thirds; the quantizer is the Lloyd chain restricted to batch
+    0's %5 sample; pairs realize at their max member's batch; an anchor
+    mines at its first pair's batch against candidates and partner
+    exclusions frozen there."""
+    from ..operators.similarity import (
+        _ASSIGN_T,
+        IVF_NPROBE,
+        TRIPLET_POS_TAU,
+        _lloyd_chain,
+    )
+
+    chain = _lloyd_chain(
+        train_where=(
+            "vec_id % 5 = 0 AND vec_id <= (SELECT max(vec_id) // 3 FROM u)"
+        )
+    )
+    return f"""
+WITH {chain},
+mx AS (SELECT max(vec_id) AS m FROM u),
+bidx AS (
+  SELECT u.vec_id,
+         CASE WHEN u.vec_id <= m // 3 THEN 0
+              WHEN u.vec_id <= 2 * m // 3 THEN 1
+              ELSE 2 END AS b
+  FROM u CROSS JOIN mx
+),
+bend(b, elim) AS (
+  SELECT 0, (SELECT m // 3 FROM mx)
+  UNION ALL SELECT 1, (SELECT 2 * m // 3 FROM mx)
+  UNION ALL SELECT 2, (SELECT m FROM mx)
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, u AS cu, cell
+  FROM ({_ASSIGN_T.format(src="u", cents="c2")})
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(ua.u, ub.u), 4) + 0.0 AS cosine,
+         bb.b AS pair_batch
+  FROM lab a JOIN lab b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN u ua ON ua.vec_id = a.vec_id
+  JOIN u ub ON ub.vec_id = b.vec_id
+  JOIN bidx bb ON bb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ua.u, ub.u), 4) >= {TRIPLET_POS_TAU}
+),
+anchors AS (
+  SELECT vec_a AS anchor, min(pair_batch) AS mined_batch
+  FROM pairs GROUP BY vec_a
+),
+aend AS (
+  SELECT anchor, mined_batch, elim
+  FROM anchors JOIN bend ON bend.b = anchors.mined_batch
+),
+aprobe AS (
+  SELECT anchor, qu, cell FROM (
+    SELECT t.vec_id AS anchor, t.u AS qu, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t JOIN anchors a ON t.vec_id = a.anchor CROSS JOIN c2 s)
+  WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT anchor, neighbor_id,
+         round(list_dot_product(qu, cu), 4) + 0.0 AS cos_an
+  FROM aprobe JOIN assigned USING (cell) JOIN aend USING (anchor)
+  WHERE neighbor_id <= elim AND neighbor_id <> anchor
+),
+partners AS (
+  -- a partner excludes only if its pair is REALIZED by the anchor's
+  -- mining batch: max member <= elim (anchor-as-lower case; the
+  -- anchor-as-higher case realizes at the anchor's own arrival, which
+  -- is always <= its mining batch)
+  SELECT p.vec_a AS anchor, p.vec_b AS nid, p.vec_b AS mx_member FROM pairs p
+  UNION ALL
+  SELECT p.vec_b AS anchor, p.vec_a AS nid, p.vec_b AS mx_member FROM pairs p
+),
+negatives AS (
+  SELECT anchor, neighbor_id AS negative, cos_an, mined_batch
+  FROM (
+    SELECT c.*, a.mined_batch, row_number() OVER (
+             PARTITION BY c.anchor ORDER BY c.cos_an DESC, c.neighbor_id ASC
+           ) AS rk
+    FROM cand c
+    JOIN aend a ON a.anchor = c.anchor
+    LEFT JOIN partners p
+      ON p.anchor = c.anchor AND p.nid = c.neighbor_id
+     AND p.mx_member <= a.elim
+    WHERE p.anchor IS NULL
+  ) WHERE rk = 1
+)
+SELECT p.vec_a AS anchor, p.vec_b AS positive, p.cosine AS cos_ap,
+       n.negative, n.cos_an,
+       CAST(p.pair_batch AS BIGINT) AS pair_batch,
+       CAST(n.mined_batch AS BIGINT) AS mined_batch
+FROM pairs p JOIN negatives n ON n.anchor = p.vec_a
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -732,4 +916,5 @@ STREAMING_QUERIES: dict[
     "stream_curate_verify": (stream_curate_verify, _stream_curate_oracle_sql()),
     "stream_graph_verify": (stream_graph_verify, _stream_graph_oracle_sql()),
     "stream_span_verify": (stream_span_verify, _stream_span_oracle_sql()),
+    "stream_triplet_verify": (stream_triplet_verify, _stream_triplet_oracle_sql()),
 }

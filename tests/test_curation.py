@@ -9,6 +9,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
     current_version,
@@ -511,3 +512,187 @@ def test_span_stream_crash_between_commits_replays_clean(spark, tmp_path):
     assert rows[101] == (SUBSTRING_K, "late copy trailing bits")
     # and the fenced batch-0 rows are exactly the pre-crash commit
     assert rows[1][0] == 0 and rows[2][0] == 0
+
+
+def test_spanmaint_trickle_probe_prunes_index_files(spark, tmp_path):
+    """After bulk batches build a clustered window index, a TRICKLE
+    batch's probe (read_snapshot_pruned over the batch's window hashes)
+    plans strictly fewer files than the snapshot holds — and the
+    trickle batch's cleaning output is identical to what the full-scan
+    probe derives."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        read_snapshot,
+        read_snapshot_pruned,
+        snapshot_files,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.spanmaint import (
+        CLEAN_TABLE,
+        WINDOWS_TABLE,
+        extend_span_clean,
+    )
+
+    out = str(tmp_path / "span")
+    boiler = " ".join(f"b{i}" for i in range(20))  # shared 20-token span
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # two bulk batches; each doc ends with unique filler
+        for b in range(2):
+            rows = [
+                (
+                    b * 100 + i,
+                    boiler + " " + " ".join(f"u{b}_{i}_{j}" for j in range(30)),
+                )
+                for i in range(40)
+            ]
+            extend_span_clean(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                out,
+                b,
+                txn_app="t",
+            )
+        windows_path = f"{out}/{WINDOWS_TABLE}"
+        n_files_total = len(snapshot_files(spark, windows_path))
+        assert n_files_total >= 8  # clustered files per batch
+
+        # the trickle batch: one doc that repeats the boilerplate plus
+        # one novel token -> 7 window hashes against 16+ file ranges
+        trickle = [(999, boiler + " tail1")]
+        tdf = spark.createDataFrame(trickle, "doc_id long, text string")
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+            SUBSTRING_K,
+            _window_hashes,
+        )
+
+        keys = [
+            r.w
+            for r in tdf.select(
+                F.explode(
+                    _window_hashes(F.split(F.lower("text"), " "), SUBSTRING_K)
+                ).alias("w")
+            ).collect()
+        ]
+        pruned = read_snapshot_pruned(spark, windows_path, keys)
+        n_files_pruned = (
+            pruned.select(F.input_file_name()).distinct().count()
+        )
+        assert n_files_pruned < n_files_total
+
+        # trickle cleaning (runs through the pruned-probe path) removes
+        # exactly the boilerplate span tokens
+        extend_span_clean(spark, tdf, out, 2, txn_app="t")
+        row = (
+            read_snapshot(spark, f"{out}/{CLEAN_TABLE}")
+            .filter(F.col("doc_id") == 999)
+            .collect()[0]
+        )
+        assert row.n_removed == 20
+        assert row.cleaned_text == "tail1"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def _write_emb_batch(src, name, rows):
+    """rows: (vec_id, label, embedding list[float]) as one NDJSON drop."""
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for vec_id, label, emb in rows:
+            f.write(
+                json.dumps(
+                    {"vec_id": vec_id, "label": label, "embedding": emb}
+                )
+                + "\n"
+            )
+    time.sleep(0.05)
+
+
+def test_triplet_stream_incremental_and_exactly_once(spark, tmp_path):
+    """Incremental triplet mining (streaming/tripletmaint.py): a new
+    anchor is mined in the batch its first pair appears, against the
+    corpus as of THAT batch; an already-mined anchor is never re-mined
+    even when later batches add positives for it; replays are fenced on
+    all three tables."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.tripletmaint import (
+        extend_triplets,
+        run_triplet_stream,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def vec(base=None, scale=0.02):
+        v = rng.normal(size=16) if base is None else base + rng.normal(scale=scale, size=16)
+        return [float(x) for x in v]
+
+    d = rng.normal(size=16)
+    d /= np.linalg.norm(d)
+    # batch 1: anchor 1 and positive 2 (same label, same direction);
+    # vectors 3..8 random background (various labels)
+    b1 = [(1, 7, vec(d)), (2, 7, vec(d))] + [
+        (i, 50 + i, vec()) for i in range(3, 9)
+    ]
+    # batch 2: vec 20 joins label 7 near d -> NEW pair (1,20) and
+    # (2,20) for already-mined anchors 1,2... and 20 itself is only a
+    # vec_b (never an anchor); 21 starts a fresh anchor pair with 22
+    e = rng.normal(size=16)
+    e /= np.linalg.norm(e)
+    b2 = [(20, 7, vec(d)), (21, 9, vec(e)), (22, 9, vec(e))]
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "trip")
+    ckpt = str(tmp_path / "ck")
+    _write_emb_batch(src, "b1.json", b1)
+    q = run_triplet_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    trip1 = {
+        r.anchor: (r.negative, r.mined_batch)
+        for r in read_snapshot(spark, f"{out}/triplets").collect()
+    }
+    assert set(trip1) == {1}, trip1  # pair (1,2): anchor=min id only
+    assert trip1[1][1] == 0
+    neg_b0 = trip1[1][0]
+    assert neg_b0 not in (1, 2)  # self and partner excluded
+    assert neg_b0 < 9  # mined against batch-0 corpus only
+
+    _write_emb_batch(src, "b2.json", b2)
+    q2 = run_triplet_stream(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    trips = {
+        r.anchor: (r.negative, r.mined_batch)
+        for r in read_snapshot(spark, f"{out}/triplets").collect()
+    }
+    # anchor 1 NOT re-mined (still its batch-0 negative); anchor 2's
+    # first pair (2,20) arrived in batch 1 -> mined now, with the full
+    # corpus (so vec 21/22 are candidates); anchor 21 mined now
+    assert trips[1] == (neg_b0, 0)
+    assert set(trips) == {1, 2, 21}
+    assert trips[2][1] == 1 and trips[21][1] == 1
+    # anchor 2's negative must not be its partners (1, 20) or itself
+    assert trips[2][0] not in (1, 2, 20)
+
+    pairs = {
+        (r.vec_a, r.vec_b): r.batch_id
+        for r in read_snapshot(spark, f"{out}/pairs").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 20)] == 1 and pairs[(2, 20)] == 1
+    assert pairs[(21, 22)] == 1
+
+    # replay of batch 0: fenced on all three tables
+    versions = {
+        t: current_version(spark, f"{out}/{t}")
+        for t in ("pairs", "triplets", "index/cells")
+    }
+    app = "triplet-" + _hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    replay = spark.createDataFrame(
+        b1, "vec_id long, label int, embedding array<float>"
+    )
+    extend_triplets(spark, replay, out, 0, txn_app=app)
+    for t, v in versions.items():
+        assert current_version(spark, f"{out}/{t}") == v, t

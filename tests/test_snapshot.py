@@ -7,6 +7,7 @@ from __future__ import annotations
 import posixpath
 
 import pytest
+from pyspark.sql import functions as F
 
 from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
     _manifest_path,
@@ -254,3 +255,88 @@ def test_snapshot_soak_stream_with_concurrent_reader(spark, tmp_path):
     # every kept (time-travelable) version stays a whole-batch state
     v = current_version(spark, probe)
     assert read_snapshot(spark, probe, version=v - 1).count() % per_batch == 0
+
+
+def test_snapshot_clustered_write_stats_and_pruned_read(spark, tmp_path):
+    """write_snapshot(cluster_col=...) records per-file [min, max] on
+    the key in the manifest; read_snapshot_pruned plans a probe read
+    over ONLY the files whose range can hold a probe key — the
+    streaming-index trickle-probe path — and returns the same rows the
+    full snapshot read would."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _fs,
+        _load_manifest,
+        current_version,
+        read_snapshot,
+        read_snapshot_pruned,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        df = spark.range(1000).selectExpr("id AS w", "id % 7 AS owner")
+        write_snapshot(spark, df, path, cluster_col="w")
+        df2 = spark.range(1000, 2000).selectExpr("id AS w", "id % 7 AS owner")
+        write_snapshot(spark, df2, path, cluster_col="w")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    fs, _ = _fs(spark, path)
+    v = current_version(spark, path)
+    manifest = _load_manifest(spark, fs, path, v)
+    files = snapshot_files(spark, path)
+    assert manifest.get("cluster_col") == "w"
+    stats = manifest["stats"]
+    assert set(stats) == set(files)  # every file carries a range
+    # disjoint-within-append, sorted ranges
+    for f, (lo, hi) in stats.items():
+        assert lo <= hi
+
+    # probe a key living in the first append's range only
+    pruned = read_snapshot_pruned(spark, path, [5])
+    full = read_snapshot(spark, path)
+    got = {r.w for r in pruned.filter(F.col("w") == 5).collect()}
+    want = {r.w for r in full.filter(F.col("w") == 5).collect()}
+    assert got == want == {5}
+    # and the pruned plan reads strictly fewer files than the snapshot
+    n_pruned_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_pruned_files < len(files)
+    # no candidate file -> None, never a wrong empty scan
+    assert read_snapshot_pruned(spark, path, [10_000_000]) is None
+
+
+def test_snapshot_clustered_compaction_tightens_ranges(spark, tmp_path):
+    """Appends to a clustered snapshot each span the whole key range;
+    compaction re-clusters (repartitionByRange over the union), so the
+    per-file ranges become disjoint again and the SAME probe key set
+    hits fewer files after compacting."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        compact_snapshot,
+        read_snapshot,
+        read_snapshot_pruned,
+        snapshot_files,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # 4 appends over the SAME key range: every append's 4 files all
+        # overlap the probe key's neighborhood range
+        for b in range(4):
+            df = spark.range(1000).selectExpr(
+                f"(id * 4 + {b}) AS w", "id % 7 AS owner"
+            )
+            write_snapshot(spark, df, path, cluster_col="w")
+        before = read_snapshot_pruned(spark, path, [17, 2000, 3999])
+        n_before = before.select(F.input_file_name()).distinct().count()
+        compact_snapshot(spark, path, target_files=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    after = read_snapshot_pruned(spark, path, [17, 2000, 3999])
+    n_after = after.select(F.input_file_name()).distinct().count()
+    assert n_after < n_before
+    assert n_after <= 3
+    # compaction preserved the rows
+    assert read_snapshot(spark, path).count() == 4000
