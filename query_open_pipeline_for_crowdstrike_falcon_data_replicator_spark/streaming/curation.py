@@ -120,6 +120,8 @@ def curate_batch(
     profiles_path = posixpath.join(out_path, PROFILES_TABLE)
 
     batch_df.persist()
+    pre = None
+    dup_fps = None
     try:
         t = _tokens()
         n_tokens = F.size(t)
@@ -139,22 +141,44 @@ def curate_batch(
         canonical = F.col("doc_id") == F.min("doc_id").over(
             Window.partitionBy("fingerprint")
         )
-        passed = per_doc.withColumn("is_canonical", canonical).filter(
+        pre = per_doc.withColumn("is_canonical", canonical).filter(
             F.col("is_canonical")
             & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
             & (F.col("distinct_ratio") >= CURATION_MIN_DISTINCT)
-        )
+        ).persist()
 
-        # gate 2b: exact dup of an already-accepted document (corpus
-        # fingerprints ride in the profiles table)
+        # gate 2b: exact dup of an already-accepted document.  The
+        # batch's fingerprints broadcast into a semi-join against the
+        # (fingerprint-clustered, manifest-pruned) corpus read, and only
+        # the batch-bounded intersection broadcasts into the anti-join —
+        # NEVER the corpus-sized fingerprint set (a plan-time broadcast
+        # of the corpus is the OOM-at-scale pattern; spanmaint's `seen`
+        # shape applied here)
         corpus_profiles = _snapshot_or_none(spark, profiles_path)
         if corpus_profiles is not None:
-            passed = passed.join(
-                F.broadcast(corpus_profiles.select("fingerprint")),
-                "fingerprint",
-                "left_anti",
-            )
-        passed = passed.persist()
+            batch_fps = pre.select("fingerprint").distinct()
+            if batch_fps.count() <= BAND_PRUNE_MAX_KEYS:
+                fps_src = read_snapshot_pruned(
+                    spark,
+                    profiles_path,
+                    [r["fingerprint"] for r in batch_fps.collect()],
+                )
+            else:
+                fps_src = corpus_profiles
+            if fps_src is not None:
+                dup_fps = (
+                    fps_src.select("fingerprint")
+                    .join(F.broadcast(batch_fps), "fingerprint", "left_semi")
+                    .persist()
+                )
+                dup_fps.count()
+                passed = pre.join(
+                    F.broadcast(dup_fps), "fingerprint", "left_anti"
+                ).persist()
+            else:
+                passed = pre
+        else:
+            passed = pre
 
         # gate 3: near-dup LSH.  One profile pass over the survivors.
         profiles = minhash_profiles(
@@ -255,11 +279,19 @@ def curate_batch(
             profiles_path,
             txn_app=txn_app,
             txn_version=batch_id,
+            # clustered by fingerprint -> gate 2b's probe read prunes
+            # via the manifest stats
+            cluster_col="fingerprint",
         )
         survivors.unpersist()
         profiles.unpersist()
-        passed.unpersist()
+        if passed is not pre:
+            passed.unpersist()
     finally:
+        if dup_fps is not None:
+            dup_fps.unpersist()
+        if pre is not None:
+            pre.unpersist()
         batch_df.unpersist()
 
 

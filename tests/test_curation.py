@@ -106,6 +106,7 @@ def test_curation_stream_exactly_once(spark, tmp_path):
     assert _doc_ids(spark, out) == [1, 3, 102]
 
 
+@pytest.mark.slow
 def test_graph_stream_incremental_and_exactly_once(spark, tmp_path):
     """Incremental pair-graph maintenance (streaming/graphmaint.py):
     each micro-batch appends exactly its new edges — within-batch pairs
@@ -514,6 +515,7 @@ def test_span_stream_crash_between_commits_replays_clean(spark, tmp_path):
     assert rows[1][0] == 0 and rows[2][0] == 0
 
 
+@pytest.mark.slow
 def test_spanmaint_trickle_probe_prunes_index_files(spark, tmp_path):
     """After bulk batches build a clustered window index, a TRICKLE
     batch's probe (read_snapshot_pruned over the batch's window hashes)
@@ -608,6 +610,7 @@ def _write_emb_batch(src, name, rows):
     time.sleep(0.05)
 
 
+@pytest.mark.slow
 def test_triplet_stream_incremental_and_exactly_once(spark, tmp_path):
     """Incremental triplet mining (streaming/tripletmaint.py): a new
     anchor is mined in the batch its first pair appears, against the

@@ -75,6 +75,7 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     assert len(sq8 & exact) / len(exact) >= 0.9
 
 
+@pytest.mark.slow
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ-ADC retrieval quality floor: with 2-byte codes (32x smaller
     than the SQ8 scan) on UNSTRUCTURED random vectors — the hardest case
@@ -1827,6 +1828,7 @@ def test_cc_star_equals_minlabel_random(spark):
         assert st == ml, f"trial {trial}: star != min-label"
 
 
+@pytest.mark.slow
 def test_cc_chain_falls_back_to_star(spark):
     """A chain longer than CC_MAX_ROUNDS (diameter > rounds) used to
     raise; it must now fall back to the star variant and still label
@@ -2187,6 +2189,7 @@ def test_embedding_triplets_picks_hardest_non_partner(spark, sf_dir):
         assert r["cos_an"] == best
 
 
+@pytest.mark.slow
 def test_triplets_ivf_matches_exact_below_cap(spark, sf_dir):
     """The scale form's positive stage EQUALS the exact form below
     TRIPLET_BLOCK_CAP (single shard -> all-pairs), and its IVF-probed
@@ -2212,6 +2215,7 @@ def test_triplets_ivf_matches_exact_below_cap(spark, sf_dir):
     assert agree / len(ivf) >= 0.4, f"negative agreement collapsed: {agree}/{len(ivf)}"
 
 
+@pytest.mark.slow
 def test_triplets_ivf_recovers_hard_negative_on_clustered_data(spark, tmp_path):
     """On data with real cluster structure — where hard-negative mining
     matters — the IVF probe recovers the exact hardest negative: twin
@@ -2295,6 +2299,7 @@ def test_ann_range_ivf_recall_and_subset(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_ivf_persisted_index_radius_serving(spark, sf_dir, tmp_path):
     """ivf_query_index(radius=tau) over the persisted index returns
     exactly the in-plan probed-radius rows (same quantizer, same probe

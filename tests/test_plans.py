@@ -196,6 +196,7 @@ def test_clustered_layout_skips_row_groups(spark, tmp_path):
     assert scanned_c * 4 <= total  # clustered: most row groups skipped
 
 
+@pytest.mark.slow
 def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     """write_zordered (interleaved-bit key over two columns) narrows every
     row group's min/max on BOTH columns: a pushed point predicate on
@@ -812,6 +813,7 @@ def test_percentiles_exact_plan_sorts_grain_not_facts(spark, sf_dir):
     assert tree.index("HashAggregate") < tree.index("Sort"), tree
 
 
+@pytest.mark.slow
 def test_triplets_ivf_plan_no_anchor_corpus_cartesian(spark, sf_dir):
     """embedding_triplets_ivf: the negative stage joins anchors to the
     cell-assigned corpus on the CELL key — the anchors x corpus
