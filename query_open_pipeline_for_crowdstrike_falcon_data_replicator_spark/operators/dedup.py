@@ -656,13 +656,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     labels = connected_components(edges)
-    sizes = labels.groupBy("cluster_rep").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+    # cluster_size via a window count, not a broadcast-join of the
+    # per-cluster table: cluster COUNT scales with the corpus, so a
+    # plan-time broadcast of the derived sizes table is the
+    # OOM-at-scale pattern; the window is one shuffle on cluster_rep
+    from pyspark.sql import Window
+
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    return labels.select(
         "doc_id",
         "cluster_rep",
-        "cluster_size",
+        size_w.alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
     )
 
@@ -721,13 +725,15 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     labels = connected_components_star(edges)
-    sizes = labels.groupBy("cluster_rep").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+    # window count, not a broadcast of the corpus-scale sizes table
+    # (see dedup_cluster)
+    from pyspark.sql import Window
+
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    return labels.select(
         "doc_id",
         "cluster_rep",
-        "cluster_size",
+        size_w.alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
     )
 

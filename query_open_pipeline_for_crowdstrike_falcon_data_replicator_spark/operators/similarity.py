@@ -759,11 +759,15 @@ def embedding_neardup_cluster(emb: DataFrame) -> DataFrame:
         pairs.selectExpr("vec_b AS src", "vec_a AS dst")
     )
     labels = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
-    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "cluster_rep").select(
+    # window count, not a broadcast of the corpus-scale sizes table
+    # (see dedup.dedup_cluster)
+    from pyspark.sql import Window
+
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    return labels.select(
         "vec_id",
         "cluster_rep",
-        "cluster_size",
+        size_w.alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_rep")).alias("is_rep"),
     )
 
