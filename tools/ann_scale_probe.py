@@ -154,6 +154,43 @@ def main() -> None:
         (r["query_id"], r["neighbor_id"]) for r in brute.collect()
     }
 
+    # ---- radius (range) serving: probed tau filter vs exact tau join.
+    # tau=0.9 keeps a query's latent cluster (intra-cluster cosine
+    # ~0.95+) and excludes the near-orthogonal background — the regime
+    # radius search exists for.
+    RADIUS_TAU = 0.9
+    exact_radius = (
+        q.select("query_id", F.col("u").alias("qu"))
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine") >= RADIUS_TAU)
+    )
+    radius_truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact_radius.collect()
+    }
+    serve_radius = lambda: ivf_query_index(  # noqa: E731
+        spark, index_path, q, cents, twolevel=True, radius=RADIUS_TAU
+    )
+    serve_radius().count()  # warmup
+    radius_best = None
+    for _ in range(runs):
+        t = _timed(lambda: serve_radius().count())
+        radius_best = t if radius_best is None or t < radius_best else radius_best
+    radius_got = {
+        (r["query_id"], r["neighbor_id"]) for r in serve_radius().collect()
+    }
+    radius_out = {
+        "tau": RADIUS_TAU,
+        "best_sec": round(radius_best, 2),
+        "qps": round(n_queries / radius_best, 1),
+        "truth_pairs": len(radius_truth),
+        "recall": round(
+            len(radius_got & radius_truth) / max(1, len(radius_truth)), 4
+        ),
+        "precision_exact": len(radius_got - radius_truth) == 0,
+    }
+
     # ---- serve paths ----
     out_serve = {}
     for name, sq8 in (("ivf", False), ("ivf_sq8", True)):
@@ -190,6 +227,7 @@ def main() -> None:
                     "assign_write_sec": round(assign_write_sec, 2),
                 },
                 "serve": out_serve,
+                "radius": radius_out,
                 "brute": {
                     "best_sec": round(brute_best, 2),
                     "qps": round(n_queries / brute_best, 1),
