@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     FloatType,
     LongType,
@@ -681,8 +682,149 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- #
+# Audio: real RIFF/WAV container round-trip through the binary column
+# --------------------------------------------------------------------- #
+# The audio twin of the PNG/JPEG path: payloads are REAL WAV files
+# (RIFF header + 16-bit little-endian mono PCM) built with the stdlib
+# ``wave`` writer in one Arrow pass and parsed back with the stdlib
+# ``wave`` reader in another — container parsing, sample decode, and the
+# 1-row->1-row Arrow plumbing are all genuinely exercised.  The PCM
+# content is a deterministic integer waveform of the doc_id, so the
+# DuckDB oracle replays the feature arithmetic exactly WITHOUT blob
+# support (the same synth-then-verify trick as the fake image decoder).
+AUDIO_RATE = 8000
+AUDIO_BASE_SAMPLES = 64
+AUDIO_MOD_SAMPLES = 64  # n_samples = 64 + doc_id % 64
+
+
+def _wav_samples(doc_id: int, n: int) -> list[int]:
+    """The deterministic 16-bit PCM waveform: pure integer arithmetic,
+    replayed verbatim by the oracle."""
+    return [((doc_id * 31 + i * 7919) % 2048) - 1024 for i in range(n)]
+
+
+AUDIO_PAYLOAD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("peak", LongType()),
+    StructField("sum_sq", LongType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def synth_wav_batch(ids: Iterator) -> Iterator:
+    """mapInPandas body: doc_id -> a complete WAV file as bytes."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    for pdf in ids:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            n = AUDIO_BASE_SAMPLES + int(doc_id) % AUDIO_MOD_SAMPLES
+            samples = _wav_samples(int(doc_id), n)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(AUDIO_RATE)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_audio_batch(batches: Iterator) -> Iterator:
+    """mapInPandas body: WAV bytes -> integer sample features.  The
+    parse is the real stdlib ``wave`` reader over the RIFF container;
+    features stay integers so the oracle hash is arithmetic, not float
+    folklore."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                raw = w.readframes(n)
+            samples = struct.unpack(f"<{n}h", raw)
+            zc = sum(
+                1 for a, b in zip(samples, samples[1:]) if a * b < 0
+            )
+            rows.append(
+                (
+                    int(doc_id),
+                    rate,
+                    n,
+                    max(abs(s) for s in samples),
+                    sum(s * s for s in samples),
+                    zc,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "n_samples",
+                "peak", "sum_sq", "zero_crossings",
+            ],
+        )
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + feature extraction over the binary column: synth a
+    real WAV per doc (Arrow pass 1), then parse it back and extract
+    integer PCM features (Arrow pass 2) — the full opaque-binary-column
+    story for the audio modality, exact-oracled because the waveform is
+    deterministic integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(synth_wav_batch, AUDIO_PAYLOAD_SCHEMA)
+    return wav.mapInPandas(decode_audio_batch, AUDIO_FEATURE_SCHEMA)
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {AUDIO_BASE_SAMPLES} + doc_id % {AUDIO_MOD_SAMPLES} AS n
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, i.i AS i,
+         ((d.doc_id * 31 + i.i * 7919) % 2048) - 1024 AS v
+  FROM d, (SELECT unnest(range({AUDIO_BASE_SAMPLES + AUDIO_MOD_SAMPLES})) AS i) i
+  WHERE i.i < d.n
+),
+s2 AS (
+  SELECT doc_id, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       {AUDIO_RATE} AS sample_rate,
+       count(*) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM s2
+GROUP BY doc_id
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
 }

@@ -2628,6 +2628,74 @@ def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", *proj)
 
 
+STANDARDIZE_MICRO = 10_000  # z-scores in 1e-4 units: integer payloads
+# cross-engine-exact (floor(z*1e4 + 0.5) — the _sq8_code convention),
+# no float-array hashing folklore
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) of the embedding
+    column — the standard preprocessing stage before k-means / PCA /
+    cosine families when dimensions carry different scales: one
+    aggregation pass computes per-dim (mean, stddev_pop) rounded to 6
+    decimals (the Lloyd-mean determinism rule), the 2 x DIM stats
+    collect as driver-side model state (centroid-class, bounded by
+    construction), and the transform is a pure codegen ``zip_with``
+    over array literals — no shuffle, no join, no UDF in the row path.
+    Output is one row per (vec_id, pos) with the z-score in integer
+    micro-units; a zero-variance dimension standardizes to 0."""
+    emb = tracked_persist(
+        spread(spark, load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", _vec().alias("v")
+        )
+    )
+    stats = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_pop("x"), 6).alias("sigma"),
+        )
+        .collect()
+    )
+    mu = [0.0] * DIM
+    sigma = [0.0] * DIM
+    for r in stats:
+        mu[r["pos"]] = r["mu"]
+        sigma[r["pos"]] = r["sigma"]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    sig_lit = F.array(*[F.lit(s) for s in sigma])
+    centered = F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m)
+    zm = F.zip_with(
+        centered,
+        sig_lit,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(d / s * STANDARDIZE_MICRO + F.lit(0.5)).cast("long")
+        ),
+    )
+    return emb.select(
+        "vec_id", "label", F.posexplode(zm).alias("pos", "z_micro")
+    )
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, label, i.i AS pos, v[i.i + 1] AS x
+  FROM e, (SELECT unnest(range({DIM})) AS i) i
+),
+stats AS (
+  SELECT pos, round(avg(x), 6) AS mu, round(stddev_pop(x), 6) AS sigma
+  FROM x GROUP BY pos
+)
+SELECT x.vec_id, x.label, x.pos,
+       CASE WHEN s.sigma = 0 THEN 0
+            ELSE CAST(floor((x.x - s.mu) / s.sigma * {STANDARDIZE_MICRO} + 0.5)
+                      AS BIGINT) END AS z_micro
+FROM x JOIN stats s USING (pos)
+"""
+
+
 def _rp_oracle_sql() -> str:
     signs = _rp_signs()
     cols = ",\n       ".join(
@@ -3042,6 +3110,7 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "embedding_triplets": (embedding_triplets, EMBEDDING_TRIPLETS_SQL),
     "embedding_triplets_ivf": (embedding_triplets_ivf, _triplets_ivf_oracle_sql()),
     "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
+    "embedding_standardize": (embedding_standardize, EMBEDDING_STANDARDIZE_SQL),
     "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
     "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
     "ann_hybrid_rrf": (ann_hybrid_rrf, _hybrid_oracle_sql()),

@@ -2331,3 +2331,67 @@ def test_ivf_persisted_index_radius_serving(spark, sf_dir, tmp_path):
     assert got == want
     with _pytest.raises(ValueError):
         ivf_query_index(spark, idx, q, cents, radius=RANGE_TAU, sq8=True)
+
+
+def test_multimodal_audio_wav_roundtrip(spark):
+    """The audio path writes REAL RIFF/WAV containers and parses them
+    back with the stdlib reader: payloads carry the RIFF magic and the
+    decoded features equal the direct computation over the
+    deterministic waveform."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        AUDIO_BASE_SAMPLES,
+        AUDIO_FEATURE_SCHEMA,
+        AUDIO_MOD_SAMPLES,
+        AUDIO_PAYLOAD_SCHEMA,
+        AUDIO_RATE,
+        _wav_samples,
+        decode_audio_batch,
+        synth_wav_batch,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 63, 64, 1000)], "doc_id long")
+    wav = ids.mapInPandas(synth_wav_batch, AUDIO_PAYLOAD_SCHEMA)
+    payloads = {r.doc_id: bytes(r.payload) for r in wav.collect()}
+    for doc_id, p in payloads.items():
+        assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+        n = AUDIO_BASE_SAMPLES + doc_id % AUDIO_MOD_SAMPLES
+        assert len(p) == 44 + 2 * n  # canonical header + 16-bit mono PCM
+
+    feats = {
+        r.doc_id: r
+        for r in wav.mapInPandas(decode_audio_batch, AUDIO_FEATURE_SCHEMA).collect()
+    }
+    for doc_id in payloads:
+        s = _wav_samples(doc_id, AUDIO_BASE_SAMPLES + doc_id % AUDIO_MOD_SAMPLES)
+        r = feats[doc_id]
+        assert r.sample_rate == AUDIO_RATE
+        assert r.n_samples == len(s)
+        assert r.peak == max(abs(x) for x in s)
+        assert r.sum_sq == sum(x * x for x in s)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        )
+
+
+def test_embedding_standardize_semantics(spark, sf_dir):
+    """Standardized dimensions have ~zero mean and unit variance (in
+    micro-units), and the transform stage is shuffle-free codegen (the
+    stats are driver-side model state, never a 64-key shuffle join)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        STANDARDIZE_MICRO,
+        embedding_standardize,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    z = embedding_standardize(spark, sf_dir)
+    per_dim = z.groupBy("pos").agg(
+        F.avg("z_micro").alias("m"),
+        F.stddev_pop(F.col("z_micro").cast("double")).alias("s"),
+    ).collect()
+    release_tracked_caches()
+    assert len(per_dim) == 64
+    for r in per_dim:
+        assert abs(r.m) < 0.02 * STANDARDIZE_MICRO  # mean ~ 0
+        assert abs(r.s - STANDARDIZE_MICRO) < 0.02 * STANDARDIZE_MICRO
