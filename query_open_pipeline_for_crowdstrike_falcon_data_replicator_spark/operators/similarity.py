@@ -2696,6 +2696,105 @@ FROM x JOIN stats s USING (pos)
 """
 
 
+PCA_ITERS = 8
+PCA_MICRO = 10_000
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-
+    moment matrix via POWER ITERATION, and each vector's projection on
+    it — the PCA stage of an embedding pipeline (dominant-direction
+    removal, dim-reduction sanity checks), kept deterministic the Lloyd
+    way so DuckDB replays it exactly:
+
+    - the DIM x DIM gram matrix G[i][j] = avg(u_i * u_j) comes from ONE
+      map-side-combining aggregation (explode to (i, x_i) rows keeping
+      the vector array, then 64 avg aggregates per row-group — the
+      shuffle carries 64 groups, never the corpus), each entry rounded
+      to 6 decimals;
+    - PCA_ITERS power steps run DRIVER-SIDE on the 64x64 model state
+      (centroid-class, bounded by construction), normalizing and
+      rounding to 6 decimals each step from the deterministic
+      v0 = 1/sqrt(DIM) start;
+    - the projection is a pure codegen dot with the literal component,
+      emitted in integer micro-units (the _sq8_code floor convention).
+
+    On data with a dominant direction the component aligns with it
+    (pinned in tests); on the near-orthogonal fixture the value is the
+    deterministic replayability, not the spectrum."""
+    import math
+
+    emb = tracked_persist(
+        spread(spark, load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", _vec().alias("v")
+        ).withColumn("u", F.transform(F.col("v"), lambda x: x / _norm(F.col("v"))))
+    )
+    exploded = emb.select("u", F.posexplode("u").alias("i", "xi"))
+    grows = (
+        exploded.groupBy("i")
+        .agg(*[
+            F.round(F.avg(F.col("u")[j] * F.col("xi")), 6).alias(f"g{j}")
+            for j in range(DIM)
+        ])
+        .collect()
+    )
+    G = [[0.0] * DIM for _ in range(DIM)]
+    for r in grows:
+        for j in range(DIM):
+            G[r["i"]][j] = r[f"g{j}"]
+    v = [round(1.0 / math.sqrt(DIM), 6)] * DIM
+    for _ in range(PCA_ITERS):
+        raw = [sum(G[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        v = [round(x / nrm, 6) for x in raw]
+    pc = F.array(*[F.lit(x) for x in v])
+    proj = F.floor(_dot(F.col("u"), pc) * PCA_MICRO + F.lit(0.5)).cast("long")
+    return emb.select("vec_id", "label", proj.alias("pc1_micro"))
+
+
+def _pca_oracle_sql() -> str:
+    """Exact replay of the power-iteration chain: the gram entries, the
+    deterministic start, and every normalize-and-round step.  Each
+    iteration's raw vector is referenced twice (norm + division), so
+    the CTEs are MATERIALIZED — the k-core 2^n-inline lesson."""
+    steps = []
+    prev = "v0"
+    for t in range(PCA_ITERS):
+        steps.append(
+            f"r{t} AS MATERIALIZED (\n"
+            f"  SELECT g.i, sum(g.g * {prev}.val) AS raw\n"
+            f"  FROM g JOIN {prev} ON {prev}.i = g.j GROUP BY g.i\n"
+            f"),\n"
+            f"v{t + 1} AS MATERIALIZED (\n"
+            f"  SELECT i, round(raw / sqrt((SELECT sum(raw * raw) FROM r{t})), 6) AS val\n"
+            f"  FROM r{t}\n"
+            f")"
+        )
+        prev = f"v{t + 1}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (SELECT vec_id, label,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+x AS (
+  SELECT vec_id, i.i AS pos, u[i.i + 1] AS x
+  FROM u, (SELECT unnest(range({DIM})) AS i) i
+),
+g AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, round(avg(a.x * b.x), 6) AS g
+  FROM x a JOIN x b USING (vec_id) GROUP BY a.pos, b.pos
+),
+v0 AS (SELECT unnest(range({DIM})) AS i, round(1.0 / sqrt({DIM}), 6) AS val),
+{chain},
+pc AS (SELECT list(val ORDER BY i) AS c FROM {prev})
+SELECT u.vec_id, u.label,
+       CAST(floor(list_dot_product(u.u, pc.c) * {PCA_MICRO} + 0.5) AS BIGINT)
+         AS pc1_micro
+FROM u CROSS JOIN pc
+"""
+
+
 def _rp_oracle_sql() -> str:
     signs = _rp_signs()
     cols = ",\n       ".join(
@@ -3111,6 +3210,7 @@ SIMILARITY_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "embedding_triplets_ivf": (embedding_triplets_ivf, _triplets_ivf_oracle_sql()),
     "embedding_project_rp": (embedding_project_rp, _rp_oracle_sql()),
     "embedding_standardize": (embedding_standardize, EMBEDDING_STANDARDIZE_SQL),
+    "embedding_pca_power": (embedding_pca_power, _pca_oracle_sql()),
     "ann_topk_rp": (ann_topk_rp, _rp_ann_oracle_sql()),
     "ann_topk_filtered": (ann_topk_filtered, _ivf_filtered_oracle_sql()),
     "ann_hybrid_rrf": (ann_hybrid_rrf, _hybrid_oracle_sql()),

@@ -2395,3 +2395,37 @@ def test_embedding_standardize_semantics(spark, sf_dir):
     for r in per_dim:
         assert abs(r.m) < 0.02 * STANDARDIZE_MICRO  # mean ~ 0
         assert abs(r.s - STANDARDIZE_MICRO) < 0.02 * STANDARDIZE_MICRO
+
+
+def test_pca_power_finds_dominant_direction(spark, tmp_path):
+    """On data with a planted dominant direction, the power-iteration
+    component aligns with it: projections of on-direction vectors sit
+    near +-1 (micro-units) and background projections near 0."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        PCA_MICRO,
+        embedding_pca_power,
+    )
+
+    rng = np.random.default_rng(5)
+    d = rng.normal(size=64)
+    d /= np.linalg.norm(d)
+    rows = []
+    for i in range(60):  # dominant cluster
+        v = 3.0 * d + rng.normal(scale=0.05, size=64)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(60, 100):  # isotropic background
+        rows.append((i, [float(x) for x in rng.normal(size=64)], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r.vec_id: r.pc1_micro for r in embedding_pca_power(spark, str(tmp_path)).collect()}
+    on_dir = [abs(got[i]) for i in range(60)]
+    background = [abs(got[i]) for i in range(60, 100)]
+    assert min(on_dir) > 0.95 * PCA_MICRO  # unit vectors along the PC
+    assert sum(background) / len(background) < 0.5 * PCA_MICRO
+    # all on-direction projections share one sign (same side of the PC)
+    signs = {1 if got[i] > 0 else -1 for i in range(60)}
+    assert len(signs) == 1
