@@ -65,6 +65,10 @@ BENCH_EXCLUDE = {
     # (3 micro-batches appending pairs/triplets/index snapshots) inside
     # the builder
     "stream_triplet_verify",
+    # runs incremental ANN index maintenance as a Structured Streaming
+    # query (3 micro-batches appending serves/index snapshots) inside
+    # the builder
+    "stream_ann_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

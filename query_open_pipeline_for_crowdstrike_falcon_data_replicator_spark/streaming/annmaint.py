@@ -1,0 +1,247 @@
+"""Incremental ANN index maintenance + between-batch serving — the
+streaming twin of ``similarity.ivf_build_index``/``ivf_query_index``
+(the ``graphmaint``/``tripletmaint`` precedent).
+
+A retrieval corpus is never closed: embedding batches keep arriving,
+and the index must answer top-k queries BETWEEN ingests without a
+rebuild.  This module maintains exactly that over two persisted
+snapshot tables under the output root:
+
+- ``index/cells`` — the growing IVF assignment (neighbor_id, cu,
+  cell): each batch is assigned to the FIXED quantizer (centroids
+  trained once, on the FIRST batch's deterministic %5 sample, stored
+  with the frozen query set in ``_ann_meta.json``) and appended
+  clustered by cell — a batch costs one pass over the increment, never
+  a corpus re-assignment (``ivf_refresh_index`` owns drift-triggered
+  retraining; the streamed twin keeps the fixed-model regime its
+  sequential oracle can replay);
+- ``serves`` — the serving evidence: after each ingest the FIXED query
+  set (the corpus members with vec_id < N_QUERIES, all in batch 0) is
+  answered top-TOP_K against the index as of that batch, so the table
+  records the full recall trajectory (batch_id, query_id, rank,
+  neighbor_id, cosine) as the corpus grows.
+
+Exactly-once: both tables commit through ``sinks/snapshot.py``'s
+per-writer txn marks, ordered serves -> index.  Every batch output is
+a deterministic function of (pre-batch snapshots, batch), so a crash
+between the two commits replays to identical rows and at-or-below-mark
+commits skip — the ``spanmaint`` argument, table count two.
+
+Scale shape: the query set's probe cells are computed driver-side from
+the stored model (``ivf_probe_cells`` — n_queries x IVF_NPROBE dot
+products, no job), and the corpus read prunes to those cells through
+the clustered index's manifest stats (``read_snapshot_pruned``) — a
+serve touches ~nprobe/K of the corpus by construction, the same
+partition-pruned probe ``ivf_query_index`` runs against a batch-built
+index.  The batch side broadcasts into the probe join (micro-batch
+sized), and assignment is one narrow pass over the increment.
+
+Reference parity: the reference never serves vector queries (SURVEY.md
+§6) — beyond-reference machinery composed from driver-verified parts
+(``ann_topk_ivf``, ``stream_span_verify``'s sequential protocol).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.similarity import (
+    ASSIGN_JOIN_MIN_CELLS,
+    IVF_CELLS,
+    N_QUERIES,
+    TOP_K,
+    _ivf_probe_scored,
+    _ivf_train,
+    _nearest_cell,
+    _norm,
+    _probe_cells,
+    assign_cells,
+    ivf_probe_cells,
+)
+from ..sinks.snapshot import read_snapshot_pruned, write_snapshot
+from ..sinks.txn import _fs, _read_text, _write_text
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+SERVES_TABLE = "serves"
+INDEX_TABLE = "index/cells"
+_META = "_ann_meta.json"
+
+
+def _meta_io(spark: SparkSession, out_path: str):
+    fs, _ = _fs(spark, out_path)
+    meta_path = posixpath.join(out_path, _META)
+
+    def read() -> dict | None:
+        try:
+            return json.loads(_read_text(spark, fs, meta_path))
+        except Exception:
+            return None
+
+    def write(meta: dict) -> None:
+        _write_text(spark, fs, meta_path, json.dumps(meta))
+
+    return read, write
+
+
+def extend_ann_index(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    out_path: str,
+    batch_id: int,
+    *,
+    txn_app: str,
+    n_cells: int = IVF_CELLS,
+) -> None:
+    """The foreachBatch body; factored out so tests can drive it
+    directly.  Appends the batch's cell assignment and the fixed query
+    set's top-k serve against the index as of this batch.  ``n_cells``
+    sizes the quantizer trained on the FIRST batch (later batches read
+    the stored model, so the knob is ignored once meta exists)."""
+    serves_path = posixpath.join(out_path, SERVES_TABLE)
+    index_path = posixpath.join(out_path, INDEX_TABLE)
+
+    batch = (
+        batch_df.select("vec_id", F.col("embedding").alias("v"))
+        .withColumn(
+            "nrm", _norm(F.transform(F.col("v"), lambda x: x.cast("double")))
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("nrm")
+            ).alias("u"),
+        )
+        .persist()
+    )
+    try:
+        read_meta, write_meta = _meta_io(spark, out_path)
+        meta = read_meta()
+        if meta is None:
+            # quantizer trains ONCE, on the first batch's %5 sample; the
+            # query set freezes with it (vec_id < N_QUERIES — batch 0
+            # members under ascending arrival, bounded driver state)
+            cents = _ivf_train(
+                batch.filter(F.col("vec_id") % 5 == 0), spark, k=n_cells
+            )
+            qrows = [
+                (int(r["vec_id"]), [float(x) for x in r["u"]])
+                for r in batch.filter(F.col("vec_id") < N_QUERIES).collect()
+            ]
+        else:
+            cents = meta["centroids"]
+            qrows = [(int(i), [float(x) for x in u]) for i, u in meta["queries"]]
+
+        # assignment dispatcher semantics (assign_cells): literal argmin
+        # below ASSIGN_JOIN_MIN_CELLS, broadcast centroid-table join above
+        # (codegen size stays flat as K grows to thousands of cells)
+        if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+            assigned = batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("u").alias("cu"),
+                _nearest_cell(F.col("u"), cents).alias("cell"),
+            )
+        else:
+            assigned = batch.join(
+                assign_cells(batch, cents).select("vec_id", "cell"), "vec_id"
+            ).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("u").alias("cu"),
+                "cell",
+            )
+
+        # probe cells from the stored model, driver-side (no job); the
+        # corpus read prunes to them via the clustered manifest stats
+        cells = sorted({c for _, qu in qrows for c in ivf_probe_cells(qu, cents)})
+        qdf = spark.createDataFrame(qrows, "query_id long, u array<double>")
+        probe = _probe_cells(spark, qdf, cents)
+        prior = read_snapshot_pruned(spark, index_path, cells)
+        full = (
+            assigned
+            if prior is None
+            else prior.select("neighbor_id", "cu", "cell").unionByName(assigned)
+        )
+        scored = _ivf_probe_scored(F.broadcast(probe), full)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        serves = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "query_id",
+                "rank",
+                "neighbor_id",
+                "cosine",
+            )
+        )
+
+        # exactly-once publication: serves -> index (module docstring:
+        # replay re-derives identical rows; at-or-below-mark commits skip)
+        write_snapshot(
+            spark, serves, serves_path, txn_app=txn_app, txn_version=batch_id
+        )
+        write_snapshot(
+            spark,
+            assigned,
+            index_path,
+            txn_app=txn_app,
+            txn_version=batch_id,
+            cluster_col="cell",
+        )
+        if meta is None:
+            write_meta(
+                {"centroids": cents, "queries": [[i, u] for i, u in qrows]}
+            )
+    finally:
+        batch.unpersist()
+
+
+def run_ann_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    n_cells: int = IVF_CELLS,
+):
+    """Stream NDJSON embedding files (vec_id, embedding) through
+    incremental ANN index maintenance: exactly-once serves / index
+    snapshots, the fixed query set answered after every ingest."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(input_path)
+
+    app = "annmaint-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        extend_ann_index(
+            spark, batch_df, out_path, batch_id, txn_app=app, n_cells=n_cells
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

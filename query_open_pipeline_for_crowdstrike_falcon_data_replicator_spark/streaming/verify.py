@@ -908,6 +908,135 @@ FROM pairs p JOIN negatives n ON n.anchor = p.vec_a
 """
 
 
+def stream_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of INCREMENTAL ANN index maintenance
+    (``streaming/annmaint.py``): the embeddings corpus arrives as three
+    ascending vec_id-range NDJSON drops streamed through
+    ``run_ann_stream`` (availableNow, one file per micro-batch).  Each
+    batch is assigned to the fixed quantizer (trained once, on batch
+    0's %5 sample) and appended to the cell-clustered index, then the
+    FIXED query set (vec_id < N_QUERIES, batch-0 members) is served
+    top-TOP_K against the index as of that batch.
+
+    The read-back is the serves snapshot; the DuckDB oracle replays the
+    SEQUENTIAL definition exactly — per-batch corpus cutoffs against
+    the batch-0-trained Lloyd chain — so a hash-match proves the
+    maintain-then-serve protocol end-to-end under exactly-once snapshot
+    commits: every between-batch answer equals a fresh batch-built IVF
+    serve over the corpus-so-far.
+
+    Output: (batch_id, query_id, rank, neighbor_id, cosine).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (driver-side probe-cell selection, manifest-stat-pruned
+    corpus read — see ``annmaint.extend_ann_index``)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .annmaint import SERVES_TABLE, run_ann_stream
+
+    ensure_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(emb, "vec_id")
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(
+            emb, src, id_col="vec_id", cols=("vec_id", "embedding")
+        )
+        q = run_ann_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_ann_verify: ann stream did not drain within "
+                "600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamann_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "out", SERVES_TABLE)).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+    )
+
+
+def _stream_ann_oracle_sql() -> str:
+    """Sequential replay of incremental ANN maintain-then-serve: batches
+    are vec_id thirds; the quantizer is the Lloyd chain restricted to
+    batch 0's %5 sample; each batch's serve ranks the fixed query set's
+    probed candidates over the corpus cutoff as of that batch."""
+    from ..operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _ASSIGN_T,
+        _lloyd_chain,
+    )
+
+    chain = _lloyd_chain(
+        train_where=(
+            "vec_id % 5 = 0 AND vec_id <= (SELECT max(vec_id) // 3 FROM u)"
+        )
+    )
+    return f"""
+WITH {chain},
+mx AS (SELECT max(vec_id) AS m FROM u),
+bend(b, elim) AS (
+  SELECT 0, (SELECT m // 3 FROM mx)
+  UNION ALL SELECT 1, (SELECT 2 * m // 3 FROM mx)
+  UNION ALL SELECT 2, (SELECT m FROM mx)
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, u AS cu, cell
+  FROM ({_ASSIGN_T.format(src="u", cents="c2")})
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM (
+    SELECT t.vec_id, t.u, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN c2 s
+    WHERE t.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT e.b, p.query_id, a.neighbor_id,
+         round(list_dot_product(p.qu, a.cu), 4) + 0.0 AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  JOIN bend e ON a.neighbor_id <= e.elim
+  WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT b, query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY b, query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT CAST(b AS BIGINT) AS batch_id, query_id,
+       CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -917,4 +1046,5 @@ STREAMING_QUERIES: dict[
     "stream_graph_verify": (stream_graph_verify, _stream_graph_oracle_sql()),
     "stream_span_verify": (stream_span_verify, _stream_span_oracle_sql()),
     "stream_triplet_verify": (stream_triplet_verify, _stream_triplet_oracle_sql()),
+    "stream_ann_verify": (stream_ann_verify, _stream_ann_oracle_sql()),
 }

@@ -699,3 +699,165 @@ def test_triplet_stream_incremental_and_exactly_once(spark, tmp_path):
     extend_triplets(spark, replay, out, 0, txn_app=app)
     for t, v in versions.items():
         assert current_version(spark, f"{out}/{t}") == v, t
+
+
+def _write_ann_batch(src, name, rows):
+    """rows: (vec_id, embedding list[float]) as one NDJSON drop."""
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for vec_id, emb in rows:
+            f.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+    time.sleep(0.05)
+
+
+@pytest.mark.slow
+def test_ann_stream_maintain_then_serve(spark, tmp_path):
+    """Incremental ANN maintenance (streaming/annmaint.py): each batch
+    appends its cell assignment and re-serves the FIXED query set
+    against the index-so-far; earlier batches' serve rows are immutable
+    trajectory evidence; replays are fenced on both tables."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        TOP_K,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.annmaint import (
+        extend_ann_index,
+        run_ann_stream,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def vec(base=None, scale=0.02):
+        v = rng.normal(size=16) if base is None else base + rng.normal(scale=scale, size=16)
+        return [float(x) for x in v]
+
+    d = rng.normal(size=16)
+    d /= np.linalg.norm(d)
+    # batch 1: query 0 points along d; 1..9 random background
+    b1 = [(0, vec(d))] + [(i, vec()) for i in range(1, 10)]
+    # batch 2: vec 20 lands almost exactly on d -> must become query
+    # 0's rank-1 neighbor in the batch-1 serve
+    b2 = [(20, vec(d, scale=0.001)), (21, vec()), (22, vec())]
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ck")
+    _write_ann_batch(src, "b1.json", b1)
+    q = run_ann_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    s0 = read_snapshot(spark, f"{out}/serves").collect()
+    assert {r.batch_id for r in s0} == {0}
+    assert {r.query_id for r in s0} == set(range(10))  # ids < N_QUERIES present
+    by_q = {}
+    for r in s0:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) <= TOP_K
+        assert all(r.neighbor_id < 10 for r in rows)  # batch-0 corpus only
+        assert all(r.neighbor_id != qid for r in rows)  # self excluded
+
+    _write_ann_batch(src, "b2.json", b2)
+    q2 = run_ann_stream(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    serves = read_snapshot(spark, f"{out}/serves").collect()
+    s0_after = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in serves
+        if r.batch_id == 0
+    )
+    assert s0_after == sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in s0
+    )  # trajectory immutable
+    s1 = [r for r in serves if r.batch_id == 1]
+    q0_rank1 = [r for r in s1 if r.query_id == 0 and r.rank == 1]
+    assert q0_rank1 and q0_rank1[0].neighbor_id == 20  # new arrival served
+
+    # replay of batch 0: fenced on both tables
+    versions = {
+        t: current_version(spark, f"{out}/{t}")
+        for t in ("serves", "index/cells")
+    }
+    app = "annmaint-" + _hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    replay = spark.createDataFrame(b1, "vec_id long, embedding array<float>")
+    extend_ann_index(spark, replay, out, 0, txn_app=app)
+    for t, v in versions.items():
+        assert current_version(spark, f"{out}/{t}") == v, t
+
+
+@pytest.mark.slow
+def test_annmaint_serve_read_prunes_index_files(spark, tmp_path):
+    """The serve's corpus read plans strictly fewer files than the
+    cell-clustered index snapshot holds: the fixed query set's probe
+    cells (computed driver-side from the stored model, exactly as
+    ``extend_ann_index`` does) hit only their own cell ranges in the
+    manifest stats."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.similarity import (
+        ivf_probe_cells,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        read_snapshot_pruned,
+        snapshot_files,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.annmaint import (
+        INDEX_TABLE,
+        _meta_io,
+        extend_ann_index,
+    )
+
+    rng = np.random.default_rng(7)
+    latents = rng.normal(size=(16, 16))
+    latents /= np.linalg.norm(latents, axis=1, keepdims=True)
+
+    def rows(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            c = 0 if i < 20 else i % 16  # queries all in latent cluster 0
+            v = latents[c] + rng.normal(scale=0.02, size=16)
+            out.append((i, [float(x) for x in v]))
+        return out
+
+    out = str(tmp_path / "ann")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for b in range(3):
+            batch = spark.createDataFrame(
+                rows(b * 1000, (b + 1) * 1000),
+                "vec_id long, embedding array<float>",
+            )
+            extend_ann_index(
+                spark, batch, out, b, txn_app="t", n_cells=64
+            )
+        index_path = f"{out}/{INDEX_TABLE}"
+        n_total = len(snapshot_files(spark, index_path))
+        assert n_total >= 12  # clustered files per batch accumulated
+
+        read_meta, _ = _meta_io(spark, out)
+        meta = read_meta()
+        cells = sorted(
+            {
+                c
+                for _, qu in meta["queries"]
+                for c in ivf_probe_cells(qu, meta["centroids"])
+            }
+        )
+        assert len(cells) < 32  # clustered queries probe few of 64 cells
+        pruned = read_snapshot_pruned(spark, index_path, cells)
+        n_pruned = len(pruned.inputFiles())
+        assert n_pruned < n_total, (n_pruned, n_total)
+        # the pruned plan still covers every probed cell's rows
+        full = read_snapshot(spark, index_path).filter(
+            F.col("cell").isin([int(c) for c in cells])
+        )
+        assert pruned.filter(
+            F.col("cell").isin([int(c) for c in cells])
+        ).count() == full.count()
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
