@@ -3106,6 +3106,124 @@ WHERE rank <= {TFIDF_TOPK}
 """
 
 
+def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank aggregation over three integer-exact quality signals
+    — the robust-ensemble pattern for combining heterogeneous quality
+    scores whose SCALES don't compare (stopword density, lexical
+    diversity, length): convert each to a GLOBAL competition rank
+    (1 + #strictly-better), sum the ranks.  Signals are integer
+    micro-units (``x * 1e6 DIV n_tokens``), so both engines agree
+    bit-for-bit with no float rounding folklore.
+
+    Scale shape: global ranks WITHOUT a single-partition sort — the
+    ``profile_percentiles_exact`` mechanism applied to ranking.  Each
+    signal collapses to its value HISTOGRAM (bounded by the micro-unit
+    domain, independent of corpus size), the cumulative count runs as a
+    two-level prefix sum (per-bucket exclusive prefix over ~domain/2^12
+    bucket rows, then a within-bucket window partitioned by bucket), and
+    ``rank = 1 + n - cum`` joins back onto the doc grain by value.  The
+    rank tables are derived corpus-dependent tables, so they ride
+    ``shuffle_hash`` joins, never plan-time broadcasts (the
+    dedup_span_removal precedent).  Output: (doc_id, stop_micro,
+    distinct_micro, n_tokens, r_stop, r_distinct, r_len, borda)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    n_dist = F.size(F.array_distinct(t))
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            (n_stop.cast("long") * 1_000_000).alias("_s"),
+            (n_dist.cast("long") * 1_000_000).alias("_d"),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .withColumn("stop_micro", F.expr("_s div n_tokens"))
+        .withColumn("distinct_micro", F.expr("_d div n_tokens"))
+        .select("doc_id", "stop_micro", "distinct_micro", "n_tokens")
+    )
+    n_total = per_doc.count()  # materializes the persist for the 3 consumers
+
+    def rank_table(col: str) -> DataFrame:
+        """(value -> competition rank), higher value = better = lower
+        rank, via the histogram-grain two-level cumulative count."""
+        grain = (
+            per_doc.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("bucket", F.expr("v div 4096"))
+        )
+        wb = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bprefix = (
+            grain.groupBy("bucket")
+            .agg(F.sum("cnt").alias("bc"))
+            # bucket grain: <= domain/4096 rows — bounded by construction
+            .select(
+                "bucket",
+                F.coalesce(F.sum("bc").over(wb), F.lit(0).cast("long")).alias(
+                    "prefix"
+                ),
+            )
+        )
+        wi = (
+            Window.partitionBy("bucket")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            grain.join(F.broadcast(bprefix), "bucket")
+            .select(
+                F.col("v").alias(col),
+                (
+                    F.lit(n_total + 1) - (F.sum("cnt").over(wi) + F.col("prefix"))
+                ).alias(f"r_{col}"),
+            )
+        )
+
+    out = per_doc
+    for col, rname in (
+        ("stop_micro", "r_stop"),
+        ("distinct_micro", "r_distinct"),
+        ("n_tokens", "r_len"),
+    ):
+        rt = rank_table(col).withColumnRenamed(f"r_{col}", rname)
+        out = out.join(rt.hint("shuffle_hash"), col)
+    return out.select(
+        "doc_id",
+        "stop_micro",
+        "distinct_micro",
+        "n_tokens",
+        "r_stop",
+        "r_distinct",
+        "r_len",
+        (F.col("r_stop") + F.col("r_distinct") + F.col("r_len")).alias("borda"),
+    )
+
+
+TEXT_QUALITY_ENSEMBLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (CAST(len(list_filter(toks, x -> x IN ({_GOPHER_STOP_IN}))) AS BIGINT)
+          * 1000000) // len(toks) AS stop_micro,
+         (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks)
+           AS distinct_micro
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+)
+SELECT doc_id, stop_micro, distinct_micro, n_tokens,
+       CAST(rank() OVER (ORDER BY stop_micro DESC) AS BIGINT) AS r_stop,
+       CAST(rank() OVER (ORDER BY distinct_micro DESC) AS BIGINT) AS r_distinct,
+       CAST(rank() OVER (ORDER BY n_tokens DESC) AS BIGINT) AS r_len,
+       CAST(rank() OVER (ORDER BY stop_micro DESC)
+          + rank() OVER (ORDER BY distinct_micro DESC)
+          + rank() OVER (ORDER BY n_tokens DESC) AS BIGINT) AS borda
+FROM s
+"""
+
+
 TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
@@ -3133,6 +3251,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_export_verify": (corpus_export_verify, CORPUS_EXPORT_SQL),
     "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
     "corpus_chunk_overlap": (corpus_chunk_overlap, CORPUS_CHUNK_SQL),
+    "text_quality_ensemble": (text_quality_ensemble, TEXT_QUALITY_ENSEMBLE_SQL),
     "corpus_dedup_chunks": (corpus_dedup_chunks, CORPUS_DEDUP_CHUNKS_SQL),
     "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
     "text_tfidf_keywords": (text_tfidf_keywords, TEXT_TFIDF_SQL),

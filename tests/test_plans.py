@@ -830,3 +830,33 @@ def test_triplets_ivf_plan_no_anchor_corpus_cartesian(spark, sf_dir):
     release_tracked_caches()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_ensemble_plan_ranks_grain_not_docs(spark, sf_dir):
+    """text_quality_ensemble: each signal's global rank comes from the
+    value-HISTOGRAM grain — the doc scan must collapse through a
+    map-side partial count before any Sort/Window, the within-bucket
+    running count partitions by bucket (parallelism scales with the
+    value domain, not 1), and the rank tables join back shuffle_hash,
+    never as plan-time broadcasts of derived tables."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_quality_ensemble,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(text_quality_ensemble(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bulk running count is keyed on the sub-bucket
+    assert "hashpartitioning(bucket" in plan, plan[:1500]
+    # rank tables (derived, corpus-dependent) attach via shuffle_hash
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # every Window consumes a HashAggregate-collapsed histogram grain:
+    # each rank branch is Window <- Sort <- (Exchange) <- HashAggregate,
+    # so the plan carries 2 windows and a partial_count per signal —
+    # ranks never compute over raw doc rows
+    assert plan.count("Window") >= 12  # (tree + details) x 2 windows x 3
+    assert plan.count("partial_count") >= 3, plan[:1500]
