@@ -3203,6 +3203,134 @@ def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SELECT_BUDGET_NUM, SELECT_BUDGET_DEN = 3, 10  # keep best 30% of tokens
+
+
+def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted greedy selection: per source, keep the highest-quality
+    documents (quality = lexical diversity in integer micro-units,
+    ties by doc_id) until the kept tokens reach 30% of the source's
+    tokens — the DataComp/fineweb-style "best docs under a token
+    budget" curation step.  The keep set is the maximal prefix of the
+    (quality desc, doc_id) order whose running token sum fits.
+
+    Scale shape: NO corpus-wide sort.  The prefix rule resolves on the
+    (source, quality) HISTOGRAM: a per-source window over distinct
+    quality values (bounded by the micro-unit domain) finds each
+    value's exclusive token prefix, classifying values as fully-kept /
+    fully-dropped / the single BOUNDARY value per source; only the
+    boundary value's docs — one quality tie-group, not the corpus —
+    pay a doc-grain running sum.  The per-source budget table is
+    bounded by the source domain (a curated list at 100 TB), so its
+    broadcast is safe by construction; the histogram status rides a
+    ``shuffle_hash`` join back to the doc grain (derived-table rule).
+    Output: (doc_id, source, q_micro, n_tokens, keep)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_tok = F.size(t)
+    n_dist = F.size(F.array_distinct(t))
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            (n_dist.cast("long") * 1_000_000).alias("_d"),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .withColumn("q_micro", F.expr("_d div n_tokens"))
+        .select("doc_id", "source", "q_micro", "n_tokens")
+    )
+    per_doc.count()  # materialize: histogram + two keep branches below
+
+    budgets = per_doc.groupBy("source").agg(
+        F.expr(
+            f"sum(n_tokens) * {SELECT_BUDGET_NUM} div {SELECT_BUDGET_DEN}"
+        ).alias("budget")
+    )
+    hist = per_doc.groupBy("source", "q_micro").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    wq = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_micro"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    status = (
+        hist.withColumn(
+            "cum_excl", F.coalesce(F.sum("tok").over(wq), F.lit(0).cast("long"))
+        )
+        # source domain is a curated list — bounded broadcast
+        .join(F.broadcast(budgets), "source")
+        .select(
+            "source",
+            "q_micro",
+            "cum_excl",
+            F.when(F.col("cum_excl") + F.col("tok") <= F.col("budget"), 2)
+            .when(F.col("cum_excl") <= F.col("budget"), 1)  # boundary
+            .otherwise(0)
+            .alias("st"),
+            "budget",
+        )
+    )
+    tagged = per_doc.join(
+        status.hint("shuffle_hash"), ["source", "q_micro"]
+    )
+    clear = tagged.filter(F.col("st") != 1).select(
+        "doc_id",
+        "source",
+        "q_micro",
+        "n_tokens",
+        (F.col("st") == 2).cast("int").alias("keep"),
+    )
+    wd = (
+        Window.partitionBy("source", "q_micro")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        tagged.filter(F.col("st") == 1)
+        .withColumn("run", F.sum("n_tokens").over(wd))
+        .select(
+            "doc_id",
+            "source",
+            "q_micro",
+            "n_tokens",
+            (F.col("cum_excl") + F.col("run") <= F.col("budget"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return clear.unionByName(boundary)
+
+
+CORPUS_SELECT_BUDGET_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks)
+           AS q_micro,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        FROM documents)
+),
+b AS (
+  SELECT source,
+         (sum(n_tokens) * {SELECT_BUDGET_NUM}) // {SELECT_BUDGET_DEN}
+           AS budget
+  FROM s GROUP BY source
+),
+r AS (
+  SELECT s.*, sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY q_micro DESC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, source, q_micro, n_tokens,
+       CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS INT) AS keep
+FROM r JOIN b USING (source)
+"""
+
+
 TEXT_QUALITY_ENSEMBLE_SQL = f"""
 WITH s AS (
   SELECT doc_id,
@@ -3252,6 +3380,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_phrase_mining": (text_phrase_mining, PHRASE_MINING_SQL),
     "corpus_chunk_overlap": (corpus_chunk_overlap, CORPUS_CHUNK_SQL),
     "text_quality_ensemble": (text_quality_ensemble, TEXT_QUALITY_ENSEMBLE_SQL),
+    "corpus_select_budget": (corpus_select_budget, CORPUS_SELECT_BUDGET_SQL),
     "corpus_dedup_chunks": (corpus_dedup_chunks, CORPUS_DEDUP_CHUNKS_SQL),
     "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
     "text_tfidf_keywords": (text_tfidf_keywords, TEXT_TFIDF_SQL),

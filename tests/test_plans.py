@@ -860,3 +860,28 @@ def test_quality_ensemble_plan_ranks_grain_not_docs(spark, sf_dir):
     # ranks never compute over raw doc rows
     assert plan.count("Window") >= 12  # (tree + details) x 2 windows x 3
     assert plan.count("partial_count") >= 3, plan[:1500]
+
+
+def test_select_budget_plan_no_corpus_sort(spark, sf_dir):
+    """corpus_select_budget: the prefix rule resolves on the (source,
+    quality) histogram — the only doc-grain window is the boundary
+    tie-group's running sum (partitioned by source AND q_micro), the
+    histogram collapses through a partial aggregate, and the status
+    table joins back shuffle_hash."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_select_budget,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_select_budget(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # the boundary window is keyed on BOTH source and q_micro — its
+    # partition is one quality tie-group, never a whole source
+    assert "hashpartitioning(source" in plan and "q_micro" in plan
+    # the histogram grain comes from a map-side partial sum
+    assert "partial_sum" in plan, plan[:1500]
