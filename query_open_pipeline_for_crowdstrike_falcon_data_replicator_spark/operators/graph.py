@@ -149,6 +149,91 @@ def pagerank_from(pairs: DataFrame) -> DataFrame:
     return pr.select(F.col("src").alias("doc_id"), F.col("pr").alias("pr_micro"))
 
 
+LPA_ROUNDS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    et al. 2007) over the near-dup graph, ``LPA_ROUNDS`` unrolled
+    rounds: every vertex starts labeled with its own id and each round
+    adopts the most frequent label among its NEIGHBORS (ties to the
+    smallest label).  LPA finds locally-dense communities where
+    connected components find reachability — a long chain of borderline
+    pairs is one component but many communities, a different dedup
+    grouping than ``dedup_cluster``.
+
+    Deterministic by construction: synchronous updates (round k reads
+    only round k-1's labels), integer counts, min-label ties — so the
+    fixed-round result is well-defined even on structures where free
+    LPA oscillates, and the DuckDB oracle replays it exactly.  Scale
+    shape: per round one shuffle join of the persisted src-partitioned
+    edge table against the label table plus two map-side-combining
+    aggregates; label picking is ``min(struct(-cnt, label))`` — no
+    windows, nothing quadratic, survivor tables ride shuffle_hash.
+    Output: (doc_id, label)."""
+    return lpa_from(_near_dup_edges(spark, sf_dir))
+
+
+def lpa_from(pairs: DataFrame) -> DataFrame:
+    """Core synchronous LPA over canonical (doc_a < doc_b) pairs — the
+    composable form (same contract as ``pagerank_from``)."""
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    cedges = tracked_persist(edges.repartition("src"))
+    labels = cedges.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            cedges.join(labels.hint("shuffle_hash"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("src"), F.col("m.label").alias("label"))
+        )
+    return labels.select(F.col("src").alias("doc_id"), "label")
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous rounds: neighbor-label counts, then the
+    (cnt desc, label asc) pick per vertex.  Label CTEs are MATERIALIZED
+    — each round's labels feed the next round's count join, and DuckDB
+    would otherwise inline the chain (the k-core 2^n lesson)."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"c{t} AS MATERIALIZED (\n"
+            f"  SELECT e.dst, p.label, count(*) AS cnt\n"
+            f"  FROM e JOIN {prev} p ON p.node = e.src\n"
+            f"  GROUP BY e.dst, p.label),\n"
+            f"l{t} AS MATERIALIZED (\n"
+            f"  SELECT dst AS node, label FROM (\n"
+            f"    SELECT dst, label, row_number() OVER (\n"
+            f"      PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn\n"
+            f"    FROM c{t}) WHERE rn = 1)"
+        )
+        prev = f"l{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_PAIRS_CTE.strip()},
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+{chain}
+SELECT node AS doc_id, label FROM {prev}
+"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 5
 
@@ -323,4 +408,5 @@ GRAPH_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),
     "graph_pagerank": (graph_pagerank, _pagerank_oracle_sql()),
     "graph_kcore": (graph_kcore, _kcore_oracle_sql()),
+    "graph_label_propagation": (graph_label_propagation, _lpa_oracle_sql()),
 }

@@ -2429,3 +2429,28 @@ def test_pca_power_finds_dominant_direction(spark, tmp_path):
     # all on-direction projections share one sign (same side of the PC)
     signs = {1 if got[i] > 0 else -1 for i in range(60)}
     assert len(signs) == 1
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Synchronous LPA: two 4-cliques joined by one bridge edge resolve
+    to two communities labeled by each clique's min id — the bridge is
+    outvoted by intra-clique neighbors every round, which is exactly
+    the density-over-reachability property that distinguishes LPA from
+    connected components (one component here, two communities)."""
+    import itertools
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        lpa_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    cl1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    cl2 = list(itertools.combinations([5, 6, 7, 8], 2))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in cl1 + cl2 + [(4, 5)]], "doc_a long, doc_b long"
+    )
+    res = {r.doc_id: r.label for r in lpa_from(pairs).collect()}
+    release_tracked_caches()
+    assert res == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
