@@ -1201,6 +1201,7 @@ def test_chunk_overlap_invariants(spark, tmp_path):
     assert len(tiny) == 1 and tiny[0].n_tokens == 3
 
 
+@pytest.mark.slow
 def test_assign_cells_join_equals_literal_argmin(spark, sf_dir):
     """The broadcast centroid-table assignment (large-K form) must agree
     with the plan-literal argmin on every vector, ties included."""
@@ -1269,6 +1270,7 @@ def test_assign_cells_dispatch_large_k(spark, sf_dir):
     assert "array_min" in small_plan
 
 
+@pytest.mark.slow
 def test_probe_cells_dispatch_large_k(spark, sf_dir):
     """The query-side probe dispatcher (`_probe_cells`): at
     K >= PROBE_JOIN_MIN_CELLS the probe set must come from the broadcast

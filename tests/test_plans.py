@@ -401,6 +401,7 @@ def test_resample_window_runs_on_grid_not_facts(spark, sf_dir):
     assert "partial_count" in plan  # the fact agg partial-aggregates
 
 
+@pytest.mark.slow
 def test_pq_stage1_broadcasts_query_lut(spark, sf_dir):
     """PQ's ADC scan joins the 20-row (query, LUT) side to the code
     table via a broadcast nested-loop — the big side carries only ids +

@@ -492,6 +492,7 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     assert sum(1 for v in got.values() if v[2] == 1) == 1  # the planted spike
 
 
+@pytest.mark.slow
 def test_streaming_ewma_restart_resumes_state(spark, tmp_path):
     """Two sequential availableNow runs over one checkpoint: the second
     run sees ONLY the files added after the first, restores the
