@@ -131,6 +131,7 @@ def extend_ann_index(
         )
         .persist()
     )
+    assigned = None
     try:
         read_meta, write_meta = _meta_io(spark, out_path)
         meta = read_meta()
@@ -151,7 +152,13 @@ def extend_ann_index(
 
         # assignment dispatcher semantics (assign_cells): literal argmin
         # below ASSIGN_JOIN_MIN_CELLS, broadcast centroid-table join above
-        # (codegen size stays flat as K grows to thousands of cells)
+        # (codegen size stays flat as K grows to thousands of cells).
+        # Persisted + materialized: the serve's candidate union and the
+        # index commit both consume it, and the K dot products per row
+        # are the batch's dominant cost — recomputing them per consumer
+        # doubled the per-batch wall at K=256 (the embedding_triplets
+        # multi-consumer lesson; the count() forces the fill since the
+        # consumers run in separate actions)
         if len(cents) < ASSIGN_JOIN_MIN_CELLS:
             assigned = batch.select(
                 F.col("vec_id").alias("neighbor_id"),
@@ -166,6 +173,8 @@ def extend_ann_index(
                 F.col("u").alias("cu"),
                 "cell",
             )
+        assigned = assigned.persist()
+        assigned.count()
 
         # probe cells from the stored model, driver-side (no job); the
         # corpus read prunes to them via the clustered manifest stats
@@ -212,6 +221,10 @@ def extend_ann_index(
                 {"centroids": cents, "queries": [[i, u] for i, u in qrows]}
             )
     finally:
+        # in finally alongside batch: a failure between persist and the
+        # commits must not leak the cached batch into later micro-batches
+        if assigned is not None:
+            assigned.unpersist()
         batch.unpersist()
 
 
