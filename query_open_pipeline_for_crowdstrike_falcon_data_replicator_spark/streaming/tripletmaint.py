@@ -143,6 +143,7 @@ def extend_triplets(
         .persist()
     )
     new_pairs = None
+    assigned = None
     try:
         read_meta, write_meta = _meta_io(spark, out_path)
         meta = read_meta()
@@ -153,12 +154,17 @@ def extend_triplets(
         else:
             cents = meta["centroids"]
 
+        # persisted + materialized: four consumers (the pair join's lower
+        # side, the probe's index union, the clustered write's sampler,
+        # the write itself) would otherwise each recompute the
+        # normalize + argmin per row (the annmaint multi-consumer lesson)
         assigned = batch.select(
             F.col("vec_id").alias("neighbor_id"),
             "label",
             F.col("u").alias("cu"),
             _nearest_cell(F.col("u"), cents).alias("cell"),
-        )
+        ).persist()
+        assigned.count()
 
         # new positive pairs: batch members as the HIGHER (new) side vs
         # the label-pruned corpus read ∪ the batch itself as lower side
@@ -286,6 +292,8 @@ def extend_triplets(
     finally:
         if new_pairs is not None:
             new_pairs.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
         batch.unpersist()
 
 
