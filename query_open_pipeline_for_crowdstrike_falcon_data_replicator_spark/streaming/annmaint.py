@@ -12,9 +12,11 @@ snapshot tables under the output root:
   trained once, on the FIRST batch's deterministic %5 sample, stored
   with the frozen query set in ``_ann_meta.json``) and appended
   clustered by cell — a batch costs one pass over the increment, never
-  a corpus re-assignment (``ivf_refresh_index`` owns drift-triggered
-  retraining; the streamed twin keeps the fixed-model regime its
-  sequential oracle can replay);
+  a corpus re-assignment.  ``retrain_drift`` arms drift monitoring
+  (``ivf_refresh_index``'s rule, streamed): a drifted batch triggers a
+  retrain + full reassignment + one overwrite commit (see
+  ``extend_ann_index``); the default fixed-model regime is what the
+  sequential driver oracle replays;
 - ``serves`` — the serving evidence: after each ingest the FIXED query
   set (the corpus members with vec_id < N_QUERIES, all in batch 0) is
   answered top-TOP_K against the index as of that batch, so the table
@@ -72,6 +74,7 @@ from ..operators.similarity import (
 )
 from ..sinks.snapshot import read_snapshot_pruned, write_snapshot
 from ..sinks.txn import _fs, _read_text, _write_text
+from .curation import _snapshot_or_none
 
 EMB_SCHEMA = StructType(
     [
@@ -101,6 +104,43 @@ def _meta_io(spark: SparkSession, out_path: str):
     return read, write
 
 
+def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, u) -> (neighbor_id, cu, cell) under the assignment
+    dispatcher semantics (assign_cells): literal argmin below
+    ASSIGN_JOIN_MIN_CELLS, broadcast centroid-table join above (codegen
+    size stays flat as K grows to thousands of cells)."""
+    if len(cents) < ASSIGN_JOIN_MIN_CELLS:
+        return vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("u").alias("cu"),
+            _nearest_cell(F.col("u"), cents).alias("cell"),
+        )
+    return vecs.join(
+        assign_cells(vecs, cents).select("vec_id", "cell"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("u").alias("cu"),
+        "cell",
+    )
+
+
+def _mean_sim(spark: SparkSession, assigned: DataFrame, cents) -> float:
+    """Mean cosine of each assigned vector to its centroid — the
+    quantizer-quality scalar the drift check compares — from the
+    already-persisted assignment (one cheap pass, no re-argmin)."""
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, c array<double>",
+    )
+    from ..operators.similarity import _dot
+
+    return float(
+        assigned.join(F.broadcast(cdf), "cell")
+        .agg(F.avg(_dot(F.col("cu"), F.col("c"))).alias("m"))
+        .collect()[0]["m"]
+    )
+
+
 def extend_ann_index(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -109,12 +149,27 @@ def extend_ann_index(
     *,
     txn_app: str,
     n_cells: int = IVF_CELLS,
+    retrain_drift: float | None = None,
 ) -> None:
     """The foreachBatch body; factored out so tests can drive it
     directly.  Appends the batch's cell assignment and the fixed query
     set's top-k serve against the index as of this batch.  ``n_cells``
     sizes the quantizer trained on the FIRST batch (later batches read
-    the stored model, so the knob is ignored once meta exists)."""
+    the stored model, so the knob is ignored once meta exists).
+
+    ``retrain_drift`` arms quantizer-drift monitoring
+    (``ivf_refresh_index``'s rule, streamed): when the batch's mean
+    assignment similarity falls more than the threshold below the
+    stored batch-0 baseline, the quantizer no longer represents the
+    data — the index is REBUILT on corpus ∪ batch (retrain + reassign +
+    one overwrite commit) and the serve runs against the rebuilt index.
+    Replay-deterministic without extra fencing: the drift decision
+    reads only (stored baseline, batch); the retrain's input is the
+    (vec_id, unit-vector) SET, which the overwrite preserves exactly
+    (cells are derived data), and Lloyd means are rounded — so a crash
+    between the commits replays to identical rows and at-or-below-mark
+    commits skip, exactly as on the append path.  ``None`` (default)
+    keeps the fixed-model regime the sequential driver oracle replays."""
     serves_path = posixpath.join(out_path, SERVES_TABLE)
     index_path = posixpath.join(out_path, INDEX_TABLE)
 
@@ -132,6 +187,7 @@ def extend_ann_index(
         .persist()
     )
     assigned = None
+    union = None
     try:
         read_meta, write_meta = _meta_io(spark, out_path)
         meta = read_meta()
@@ -150,43 +206,63 @@ def extend_ann_index(
             cents = meta["centroids"]
             qrows = [(int(i), [float(x) for x in u]) for i, u in meta["queries"]]
 
-        # assignment dispatcher semantics (assign_cells): literal argmin
-        # below ASSIGN_JOIN_MIN_CELLS, broadcast centroid-table join above
-        # (codegen size stays flat as K grows to thousands of cells).
-        # Persisted + materialized: the serve's candidate union and the
-        # index commit both consume it, and the K dot products per row
-        # are the batch's dominant cost — recomputing them per consumer
-        # doubled the per-batch wall at K=256 (the embedding_triplets
-        # multi-consumer lesson; the count() forces the fill since the
-        # consumers run in separate actions)
-        if len(cents) < ASSIGN_JOIN_MIN_CELLS:
-            assigned = batch.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("u").alias("cu"),
-                _nearest_cell(F.col("u"), cents).alias("cell"),
-            )
-        else:
-            assigned = batch.join(
-                assign_cells(batch, cents).select("vec_id", "cell"), "vec_id"
-            ).select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("u").alias("cu"),
-                "cell",
-            )
-        assigned = assigned.persist()
+        # Persisted + materialized: the serve's candidate union, the
+        # drift scalar, and the index commit all consume the assignment,
+        # and the K dot products per row are the batch's dominant cost —
+        # recomputing them per consumer doubled the per-batch wall at
+        # K=256 (the embedding_triplets multi-consumer lesson; the
+        # count() forces the fill since the consumers run in separate
+        # actions)
+        assigned = _assign(batch, cents).persist()
         assigned.count()
+
+        drifted = False
+        new_baseline = None
+        if meta is not None and retrain_drift is not None:
+            baseline = meta.get("mean_sim")
+            inc_sim = _mean_sim(spark, assigned, cents)
+            if baseline is not None and baseline - inc_sim > retrain_drift:
+                # rebuild on corpus ∪ batch: unit vectors come from the
+                # index itself (cells are derived data, the (vec_id, u)
+                # set is overwrite-invariant — the replay argument in
+                # the docstring)
+                drifted = True
+                prior_full = _snapshot_or_none(spark, index_path)
+                union = batch.select("vec_id", "u")
+                if prior_full is not None:
+                    union = prior_full.select(
+                        F.col("neighbor_id").alias("vec_id"),
+                        F.col("cu").alias("u"),
+                    ).unionByName(union)
+                union = union.persist()
+                union.count()
+                cents = _ivf_train(
+                    union.filter(F.col("vec_id") % 5 == 0),
+                    spark,
+                    k=len(cents),
+                )
+                assigned.unpersist()
+                assigned = _assign(union, cents).persist()
+                assigned.count()
+                new_baseline = _mean_sim(spark, assigned, cents)
 
         # probe cells from the stored model, driver-side (no job); the
         # corpus read prunes to them via the clustered manifest stats
         cells = sorted({c for _, qu in qrows for c in ivf_probe_cells(qu, cents)})
         qdf = spark.createDataFrame(qrows, "query_id long, u array<double>")
         probe = _probe_cells(spark, qdf, cents)
-        prior = read_snapshot_pruned(spark, index_path, cells)
-        full = (
-            assigned
-            if prior is None
-            else prior.select("neighbor_id", "cu", "cell").unionByName(assigned)
-        )
+        if drifted:
+            # the rebuilt assignment IS the whole corpus
+            full = assigned
+        else:
+            prior = read_snapshot_pruned(spark, index_path, cells)
+            full = (
+                assigned
+                if prior is None
+                else prior.select("neighbor_id", "cu", "cell").unionByName(
+                    assigned
+                )
+            )
         scored = _ivf_probe_scored(F.broadcast(probe), full)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
@@ -212,19 +288,34 @@ def extend_ann_index(
             spark,
             assigned,
             index_path,
+            mode="overwrite" if drifted else "append",
             txn_app=txn_app,
             txn_version=batch_id,
             cluster_col="cell",
         )
         if meta is None:
+            first_meta = {
+                "centroids": cents,
+                "queries": [[i, u] for i, u in qrows],
+            }
+            if retrain_drift is not None:
+                first_meta["mean_sim"] = _mean_sim(spark, assigned, cents)
+            write_meta(first_meta)
+        elif drifted:
             write_meta(
-                {"centroids": cents, "queries": [[i, u] for i, u in qrows]}
+                {
+                    "centroids": cents,
+                    "queries": meta["queries"],
+                    "mean_sim": new_baseline,
+                }
             )
     finally:
         # in finally alongside batch: a failure between persist and the
         # commits must not leak the cached batch into later micro-batches
         if assigned is not None:
             assigned.unpersist()
+        if union is not None:
+            union.unpersist()
         batch.unpersist()
 
 
@@ -236,10 +327,13 @@ def run_ann_stream(
     *,
     max_files_per_trigger: int | None = None,
     n_cells: int = IVF_CELLS,
+    retrain_drift: float | None = None,
 ):
     """Stream NDJSON embedding files (vec_id, embedding) through
     incremental ANN index maintenance: exactly-once serves / index
-    snapshots, the fixed query set answered after every ingest."""
+    snapshots, the fixed query set answered after every ingest;
+    ``retrain_drift`` arms the drift-triggered rebuild (see
+    ``extend_ann_index``)."""
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -249,7 +343,13 @@ def run_ann_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_ann_index(
-            spark, batch_df, out_path, batch_id, txn_app=app, n_cells=n_cells
+            spark,
+            batch_df,
+            out_path,
+            batch_id,
+            txn_app=app,
+            n_cells=n_cells,
+            retrain_drift=retrain_drift,
         )
 
     return (

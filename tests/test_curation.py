@@ -861,3 +861,117 @@ def test_annmaint_serve_read_prunes_index_files(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.shuffle.partitions")
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+
+@pytest.mark.slow
+def test_annmaint_drift_triggers_rebuild(spark, tmp_path):
+    """Armed with retrain_drift, a batch whose mean assignment
+    similarity falls below the stored baseline rebuilds the index on
+    corpus ∪ batch (retrain + reassign + one overwrite commit) and
+    updates the model state; a non-drifted batch takes the plain append
+    path; replays stay fenced on both tables after a rebuild."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.annmaint import (
+        INDEX_TABLE,
+        _meta_io,
+        extend_ann_index,
+    )
+
+    rng = np.random.default_rng(23)
+    dirs_a = rng.normal(size=(4, 16))
+    dirs_a /= np.linalg.norm(dirs_a, axis=1, keepdims=True)
+
+    def rows(lo, hi, dirs, scale=0.05):
+        return [
+            (
+                i,
+                [
+                    float(x)
+                    for x in dirs[i % len(dirs)]
+                    + rng.normal(scale=scale, size=16)
+                ],
+            )
+            for i in range(lo, hi)
+        ]
+
+    out = str(tmp_path / "ann")
+    app = "annmaint-test"
+    # batch 0: tight clusters around dirs_a -> high baseline mean_sim
+    extend_ann_index(
+        spark,
+        spark.createDataFrame(
+            rows(0, 400, dirs_a), "vec_id long, embedding array<float>"
+        ),
+        out,
+        0,
+        txn_app=app,
+        n_cells=8,
+        retrain_drift=0.05,
+    )
+    read_meta, _ = _meta_io(spark, out)
+    m0 = read_meta()
+    assert m0.get("mean_sim") is not None
+    v_idx0 = current_version(spark, f"{out}/{INDEX_TABLE}")
+
+    # batch 1: same distribution -> append path (model unchanged)
+    extend_ann_index(
+        spark,
+        spark.createDataFrame(
+            rows(400, 600, dirs_a), "vec_id long, embedding array<float>"
+        ),
+        out,
+        1,
+        txn_app=app,
+        n_cells=8,
+        retrain_drift=0.05,
+    )
+    m1 = read_meta()
+    assert m1["centroids"] == m0["centroids"]
+
+    # batch 2: a NEW distribution (fresh directions) -> drift -> rebuild
+    dirs_b = rng.normal(size=(4, 16))
+    dirs_b /= np.linalg.norm(dirs_b, axis=1, keepdims=True)
+    extend_ann_index(
+        spark,
+        spark.createDataFrame(
+            rows(600, 1000, dirs_b), "vec_id long, embedding array<float>"
+        ),
+        out,
+        2,
+        txn_app=app,
+        n_cells=8,
+        retrain_drift=0.05,
+    )
+    m2 = read_meta()
+    assert m2["centroids"] != m0["centroids"]  # retrained
+    assert m2["queries"] == m0["queries"]  # query set stays frozen
+    idx = read_snapshot(spark, f"{out}/{INDEX_TABLE}")
+    assert idx.count() == 1000  # overwrite holds corpus ∪ batch exactly once
+    # serves exist for every batch incl. the rebuild one
+    batches = {
+        r.batch_id
+        for r in read_snapshot(spark, f"{out}/serves").select("batch_id").collect()
+    }
+    assert batches == {0, 1, 2}
+
+    # replay of the rebuild batch: fenced (no new versions, meta stable)
+    v_serves = current_version(spark, f"{out}/serves")
+    v_idx = current_version(spark, f"{out}/{INDEX_TABLE}")
+    assert v_idx > v_idx0
+    extend_ann_index(
+        spark,
+        spark.createDataFrame(
+            rows(600, 1000, dirs_b), "vec_id long, embedding array<float>"
+        ),
+        out,
+        2,
+        txn_app=app,
+        n_cells=8,
+        retrain_drift=0.05,
+    )
+    assert current_version(spark, f"{out}/serves") == v_serves
+    assert current_version(spark, f"{out}/{INDEX_TABLE}") == v_idx
+    assert read_meta()["centroids"] == m2["centroids"]
