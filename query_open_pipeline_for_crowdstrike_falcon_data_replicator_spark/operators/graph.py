@@ -200,11 +200,12 @@ def lpa_from(pairs: DataFrame) -> DataFrame:
     return labels.select(F.col("src").alias("doc_id"), "label")
 
 
-def _lpa_oracle_sql() -> str:
-    """Unrolled synchronous rounds: neighbor-label counts, then the
-    (cnt desc, label asc) pick per vertex.  Label CTEs are MATERIALIZED
-    — each round's labels feed the next round's count join, and DuckDB
-    would otherwise inline the chain (the k-core 2^n lesson)."""
+def _lpa_chain_sql() -> tuple[str, str]:
+    """(WITH-body, final-label-CTE-name) replaying ``lpa_from`` exactly
+    — shared by the LPA and modularity oracles.  Label CTEs are
+    MATERIALIZED: each round's labels feed the next round's count join,
+    and DuckDB would otherwise inline the chain (the k-core 2^n
+    lesson)."""
     rounds = []
     prev = "l0"
     for t in range(1, LPA_ROUNDS + 1):
@@ -221,16 +222,119 @@ def _lpa_oracle_sql() -> str:
         )
         prev = f"l{t}"
     chain = ",\n".join(rounds)
-    return f"""
-WITH {_PAIRS_CTE.strip()},
+    body = f"""{_PAIRS_CTE.strip()},
 e AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-{chain}
-SELECT node AS doc_id, label FROM {prev}
+{chain}"""
+    return body, prev
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous rounds: neighbor-label counts, then the
+    (cnt desc, label asc) pick per vertex."""
+    body, final = _lpa_chain_sql()
+    return f"""
+WITH {body}
+SELECT node AS doc_id, label FROM {final}
+"""
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities, EXACT integer
+    arithmetic: per community c, the contribution to
+    Q = Σ_c [e_c/m − (d_c/2m)²] is emitted as the numerator over the
+    common denominator 4m² — ``q_num = 4·m·e_c − d_c²`` — with the raw
+    intra-edge count ``e_c`` and degree mass ``d_c`` alongside, so
+    Q = Σ q_num / (4m²) reconstructs exactly and both engines agree
+    bit-for-bit (no fraction ever becomes a float).  The community
+    quality yardstick for the dedup grouping: Q near 0 means the LPA
+    labels carve nothing denser than chance.
+
+    Scale shape: two label attachments (shuffle_hash equi-joins of the
+    persisted LPA labels onto the pair set and onto the degree table),
+    two map-side-combining per-label aggregates — nothing quadratic,
+    no windows.  Int64 envelope: q_num needs d_c² < 2^63, i.e. degree
+    mass up to ~3.0e9 per community — far beyond any honest community
+    (the LSH bucket cap bounds degrees upstream); a corpus exceeding it
+    moves q_num to decimal.  Output: (label, e_c, d_c, q_num)."""
+    return modularity_from(_near_dup_edges(spark, sf_dir))
+
+
+def modularity_from(pairs: DataFrame) -> DataFrame:
+    """Exact modularity numerators over any canonical (doc_a < doc_b)
+    pair set, communities from ``lpa_from`` (same composable contract
+    as ``pagerank_from``)."""
+    labels = tracked_persist(lpa_from(pairs))
+    labels.count()  # materialize: three attachments below
+    m = pairs.count()
+    intra = (
+        pairs.join(
+            labels.selectExpr("doc_id AS doc_a", "label AS la").hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            labels.selectExpr("doc_id AS doc_b", "label AS lb").hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    ends = pairs.selectExpr("doc_a AS src").union(
+        pairs.selectExpr("doc_b AS src")
+    )
+    deg = ends.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dc = (
+        deg.join(
+            labels.selectExpr("doc_id AS src", "label").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    e_c = F.coalesce(F.col("e_c"), F.lit(0)).cast("long")
+    return dc.join(intra.hint("shuffle_hash"), "label", "left").select(
+        "label",
+        e_c.alias("e_c"),
+        F.col("d_c").cast("long").alias("d_c"),
+        (F.lit(4 * m) * e_c - F.col("d_c") * F.col("d_c"))
+        .cast("long")
+        .alias("q_num"),
+    )
+
+
+def _modularity_oracle_sql() -> str:
+    """The LPA chain, then the same integer recurrence: intra-edge
+    counts per label, degree mass per label, q_num = 4·m·e_c − d_c²
+    (DuckDB HUGEINT intermediates cast back to BIGINT)."""
+    body, final = _lpa_chain_sql()
+    return f"""
+WITH {body},
+lab AS (SELECT node, label FROM {final}),
+mm AS (SELECT count(*) AS m FROM pairs),
+intra AS (
+  SELECT la.label, count(*) AS e_c
+  FROM pairs p
+  JOIN lab la ON la.node = p.doc_a
+  JOIN lab lb ON lb.node = p.doc_b AND lb.label = la.label
+  GROUP BY la.label),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+dc AS (
+  SELECT label, sum(deg) AS d_c
+  FROM deg JOIN lab ON lab.node = deg.src GROUP BY 1)
+SELECT dc.label,
+       CAST(coalesce(e_c, 0) AS BIGINT) AS e_c,
+       CAST(d_c AS BIGINT) AS d_c,
+       CAST(4 * m * coalesce(e_c, 0) - d_c * d_c AS BIGINT) AS q_num
+FROM dc LEFT JOIN intra USING (label) CROSS JOIN mm
 """
 
 
@@ -409,4 +513,5 @@ GRAPH_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "graph_pagerank": (graph_pagerank, _pagerank_oracle_sql()),
     "graph_kcore": (graph_kcore, _kcore_oracle_sql()),
     "graph_label_propagation": (graph_label_propagation, _lpa_oracle_sql()),
+    "graph_modularity": (graph_modularity, _modularity_oracle_sql()),
 }

@@ -2456,3 +2456,29 @@ def test_lpa_separates_bridged_cliques(spark):
     res = {r.doc_id: r.label for r in lpa_from(pairs).collect()}
     release_tracked_caches()
     assert res == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_modularity_exact_on_bridged_cliques(spark):
+    """Exact integer modularity on the barbell graph (two 4-cliques +
+    bridge, m=13): each clique community has e_c=6 intra edges and
+    degree mass d_c=13, so q_num = 4*13*6 - 13^2 = 143 per community
+    and Q = 286/676 ~ 0.423 — hand-checked against Newman's formula."""
+    import itertools
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.graph import (
+        modularity_from,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    cl1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    cl2 = list(itertools.combinations([5, 6, 7, 8], 2))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in cl1 + cl2 + [(4, 5)]], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.label, r.e_c, r.d_c, r.q_num) for r in modularity_from(pairs).collect()
+    }
+    release_tracked_caches()
+    assert rows == {(1, 6, 13, 143), (5, 6, 13, 143)}
