@@ -390,11 +390,17 @@ def read_snapshot_pruned(
             return None
     manifest = _load_manifest(spark, fs, path, version)
     stats = manifest.get("stats", {})
-    ks = sorted(set(keys))
+    # NULL keys match only NULL-keyed rows, which live in files whose
+    # recorded range is None-bounded (min/max skip NULLs, so an
+    # all-NULL file records [null, null]) — those files are always
+    # read below, so dropping the None key here loses nothing
+    ks = sorted(k for k in set(keys) if k is not None)
     keep = []
     for f in manifest["files"]:
         rng = stats.get(f)
-        if rng is None:
+        if rng is None or rng[0] is None or rng[1] is None:
+            # no stats, or an all-NULL cluster column (bisect cannot
+            # order None against real keys): never prune
             keep.append(f)
             continue
         i = bisect.bisect_left(ks, rng[0])

@@ -84,6 +84,29 @@ def _read_text(spark: SparkSession, fs, path: str) -> str:
         stream.close()
 
 
+def json_meta_io(spark: SparkSession, root: str, filename: str):
+    """(read, write) closures for a JSON model-state file next to a
+    table root — the shared helper behind the streaming maintainers'
+    ``_meta_io`` (annmaint/tripletmaint).  ``read`` returns None when
+    the file is missing or unreadable (callers treat that as
+    first-batch: retrain deterministic model state)."""
+    import json
+
+    fs, _ = _fs(spark, root)
+    meta_path = posixpath.join(root, filename)
+
+    def read() -> dict | None:
+        try:
+            return json.loads(_read_text(spark, fs, meta_path))
+        except Exception:
+            return None
+
+    def write(meta: dict) -> None:
+        _write_text(spark, fs, meta_path, json.dumps(meta))
+
+    return read, write
+
+
 def append_batch_exactly_once(
     df: DataFrame, output_path: str, batch_id: int
 ) -> bool:

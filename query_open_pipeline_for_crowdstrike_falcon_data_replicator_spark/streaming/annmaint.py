@@ -46,7 +46,6 @@ Reference parity: the reference never serves vector queries (SURVEY.md
 from __future__ import annotations
 
 import hashlib
-import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -73,7 +72,7 @@ from ..operators.similarity import (
     ivf_probe_cells,
 )
 from ..sinks.snapshot import read_snapshot_pruned, write_snapshot
-from ..sinks.txn import _fs, _read_text, _write_text
+from ..sinks.txn import json_meta_io
 from .curation import _snapshot_or_none
 
 EMB_SCHEMA = StructType(
@@ -89,19 +88,7 @@ _META = "_ann_meta.json"
 
 
 def _meta_io(spark: SparkSession, out_path: str):
-    fs, _ = _fs(spark, out_path)
-    meta_path = posixpath.join(out_path, _META)
-
-    def read() -> dict | None:
-        try:
-            return json.loads(_read_text(spark, fs, meta_path))
-        except Exception:
-            return None
-
-    def write(meta: dict) -> None:
-        _write_text(spark, fs, meta_path, json.dumps(meta))
-
-    return read, write
+    return json_meta_io(spark, out_path, _META)
 
 
 def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -127,17 +114,24 @@ def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
 def _mean_sim(spark: SparkSession, assigned: DataFrame, cents) -> float:
     """Mean cosine of each assigned vector to its centroid — the
     quantizer-quality scalar the drift check compares — from the
-    already-persisted assignment (one cheap pass, no re-argmin)."""
+    already-persisted assignment (one cheap pass, no re-argmin).
+    Rounded to 6 decimals (the Lloyd-mean convention): a distributed
+    float average is partition-order dependent at ~1e-15, and the
+    drift decision must land on the same side of the threshold on
+    every replay for the no-fencing replay argument to hold."""
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, c array<double>",
     )
     from ..operators.similarity import _dot
 
-    return float(
-        assigned.join(F.broadcast(cdf), "cell")
-        .agg(F.avg(_dot(F.col("cu"), F.col("c"))).alias("m"))
-        .collect()[0]["m"]
+    return round(
+        float(
+            assigned.join(F.broadcast(cdf), "cell")
+            .agg(F.avg(_dot(F.col("cu"), F.col("c"))).alias("m"))
+            .collect()[0]["m"]
+        ),
+        6,
     )
 
 

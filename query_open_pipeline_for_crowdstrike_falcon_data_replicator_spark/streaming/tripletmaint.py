@@ -56,7 +56,6 @@ protocol).
 from __future__ import annotations
 
 import hashlib
-import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,7 +81,7 @@ from ..operators.similarity import (
     _rank1_negatives,
 )
 from ..sinks.snapshot import read_snapshot_pruned, write_snapshot
-from ..sinks.txn import _fs, _read_text, _write_text
+from ..sinks.txn import json_meta_io
 from .curation import _snapshot_or_none
 
 EMB_SCHEMA = StructType(
@@ -100,19 +99,7 @@ _META = "_triplet_meta.json"
 
 
 def _meta_io(spark: SparkSession, out_path: str):
-    fs, _ = _fs(spark, out_path)
-    meta_path = posixpath.join(out_path, _META)
-
-    def read() -> dict | None:
-        try:
-            return json.loads(_read_text(spark, fs, meta_path))
-        except Exception:
-            return None
-
-    def write(meta: dict) -> None:
-        _write_text(spark, fs, meta_path, json.dumps(meta))
-
-    return read, write
+    return json_meta_io(spark, out_path, _META)
 
 
 def extend_triplets(
@@ -200,13 +187,20 @@ def extend_triplets(
         )
         new_pairs.count()  # materialize: three consumers below
 
-        # anchors whose FIRST pair is in this batch (not already mined)
-        prior_triplets = _snapshot_or_none(spark, triplets_path)
+        # anchors whose FIRST pair is in this batch.  "Already mined"
+        # is keyed on the PAIRS table, not the triplets table: mining
+        # happens at the anchor's first pair's batch even when it finds
+        # no admissible negative (probed cells all partners/self), and
+        # such an anchor must never be re-mined against a later, larger
+        # corpus — the sequential oracle freezes mining at
+        # min(pair_batch), and a triplets-presence key would silently
+        # re-mine exactly the no-negative anchors
+        prior_pairs = _snapshot_or_none(spark, pairs_path)
         anchors = new_pairs.select(F.col("vec_a").alias("query_id")).distinct()
-        if prior_triplets is not None:
+        if prior_pairs is not None:
             anchors = anchors.join(
-                prior_triplets.select(
-                    F.col("anchor").alias("query_id")
+                prior_pairs.select(
+                    F.col("vec_a").alias("query_id")
                 ).distinct(),
                 "query_id",
                 "left_anti",
@@ -240,7 +234,6 @@ def extend_triplets(
             "neighbor_id",
             F.col("cosine").alias("cos_an"),
         )
-        prior_pairs = _snapshot_or_none(spark, pairs_path)
         realized = (
             prior_pairs.select("vec_a", "vec_b").unionByName(
                 new_pairs.select("vec_a", "vec_b")

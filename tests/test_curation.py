@@ -592,7 +592,7 @@ def test_spanmaint_trickle_probe_prunes_index_files(spark, tmp_path):
         assert row.n_removed == 20
         assert row.cleaned_text == "tail1"
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.unset("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
@@ -975,3 +975,56 @@ def test_annmaint_drift_triggers_rebuild(spark, tmp_path):
     assert current_version(spark, f"{out}/serves") == v_serves
     assert current_version(spark, f"{out}/{INDEX_TABLE}") == v_idx
     assert read_meta()["centroids"] == m2["centroids"]
+
+
+@pytest.mark.slow
+def test_triplet_anchor_with_no_negative_is_never_remined(spark, tmp_path):
+    """An anchor whose first-pair batch offers NO admissible negative
+    (probed corpus = self + partner only) yields no triplet row — and
+    must NOT be re-mined when a later batch adds candidates: mining is
+    frozen at the first pair's batch, exactly as the sequential oracle
+    replays it (mined-once is keyed on the pairs table, not on triplet
+    presence)."""
+    import numpy as np
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.tripletmaint import (
+        extend_triplets,
+    )
+
+    rng = np.random.default_rng(31)
+    d = rng.normal(size=16)
+    d /= np.linalg.norm(d)
+
+    def vec(base, scale=0.01):
+        return [float(x) for x in base + rng.normal(scale=scale, size=16)]
+
+    out = str(tmp_path / "trip")
+    # batch 0: ONLY the pair (5, 10) — anchor 5 mines against {5, 10},
+    # excludes self + partner, finds nothing
+    b0 = [(5, 7, vec(d)), (10, 7, vec(d))]
+    extend_triplets(
+        spark,
+        spark.createDataFrame(b0, "vec_id long, label int, embedding array<float>"),
+        out, 0, txn_app="t",
+    )
+    assert current_version(spark, f"{out}/pairs") is not None
+    trips0 = read_snapshot(spark, f"{out}/triplets").collect()
+    assert trips0 == []  # mined, empty result
+
+    # batch 1: 20 joins label 7 (new pairs for anchors 5 and 10) and 23
+    # is background — a candidate that did NOT exist at batch 0
+    e = rng.normal(size=16)
+    e /= np.linalg.norm(e)
+    b1 = [(20, 7, vec(d)), (23, 9, vec(e))]
+    extend_triplets(
+        spark,
+        spark.createDataFrame(b1, "vec_id long, label int, embedding array<float>"),
+        out, 1, txn_app="t",
+    )
+    trips = {r.anchor: (r.negative, r.mined_batch) for r in read_snapshot(
+        spark, f"{out}/triplets").collect()}
+    # anchor 5 stays unmined (its batch was 0, despite candidate 23 now
+    # existing); anchor 10's first pair (10, 20) realizes in batch 1 ->
+    # mined now, negative is the background vector
+    assert 5 not in trips, trips
+    assert trips == {10: (23, 1)}, trips

@@ -281,7 +281,7 @@ def test_snapshot_clustered_write_stats_and_pruned_read(spark, tmp_path):
         df2 = spark.range(1000, 2000).selectExpr("id AS w", "id % 7 AS owner")
         write_snapshot(spark, df2, path, cluster_col="w")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.unset("spark.sql.shuffle.partitions")
     fs, _ = _fs(spark, path)
     v = current_version(spark, path)
     manifest = _load_manifest(spark, fs, path, v)
@@ -333,10 +333,43 @@ def test_snapshot_clustered_compaction_tightens_ranges(spark, tmp_path):
         n_before = before.select(F.input_file_name()).distinct().count()
         compact_snapshot(spark, path, target_files=4)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.unset("spark.sql.shuffle.partitions")
     after = read_snapshot_pruned(spark, path, [17, 2000, 3999])
     n_after = after.select(F.input_file_name()).distinct().count()
     assert n_after < n_before
     assert n_after <= 3
     # compaction preserved the rows
     assert read_snapshot(spark, path).count() == 4000
+
+
+@pytest.mark.slow
+def test_pruned_read_survives_all_null_cluster_file(spark, tmp_path):
+    """A staged file whose cluster column is entirely NULL records
+    [null, null] stats (min/max skip NULLs); the pruned read must not
+    crash ordering None against real keys and must always read such
+    files (their NULL-keyed rows can never be proven absent)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark,
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
+        path,
+        cluster_col="k",
+    )
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(None, 3), (None, 4)], "k string, v int"),
+        path,
+        cluster_col="k",
+    )
+    got = read_snapshot_pruned(spark, path, ["a"])
+    vals = {r.v for r in got.collect()}
+    assert 1 in vals  # the probed key's file is read
+    assert {3, 4} <= vals  # the all-NULL file is never pruned
+    # NULL keys themselves are droppable (match only NULL-range files)
+    got2 = read_snapshot_pruned(spark, path, ["a", None])
+    assert {r.v for r in got2.collect()} == vals
