@@ -390,10 +390,12 @@ def read_snapshot_pruned(
             return None
     manifest = _load_manifest(spark, fs, path, version)
     stats = manifest.get("stats", {})
-    # NULL keys match only NULL-keyed rows, which live in files whose
-    # recorded range is None-bounded (min/max skip NULLs, so an
-    # all-NULL file records [null, null]) — those files are always
-    # read below, so dropping the None key here loses nothing
+    # None keys are dropped because every consumer probes with SQL
+    # equality, where NULL never matches any row — NOT because
+    # NULL-keyed rows only live in None-bounded files (a mixed file
+    # holding NULL and non-NULL keys records a non-null [min,max],
+    # since min/max skip NULLs).  A future null-safe (<=>) consumer
+    # must NOT rely on pruning to surface NULL-keyed rows.
     ks = sorted(k for k in set(keys) if k is not None)
     keep = []
     for f in manifest["files"]:

@@ -159,10 +159,12 @@ def extend_ann_index(
     one overwrite commit) and the serve runs against the rebuilt index.
     Replay-deterministic without extra fencing: the drift decision
     reads only (stored baseline, batch); the retrain's input is the
-    (vec_id, unit-vector) SET, which the overwrite preserves exactly
-    (cells are derived data), and Lloyd means are rounded — so a crash
-    between the commits replays to identical rows and at-or-below-mark
-    commits skip, exactly as on the append path.  ``None`` (default)
+    (vec_id, unit-vector) SET — deduped by ``vec_id``, so even when a
+    crash lands after the index overwrite committed but before
+    ``write_meta`` (the replayed corpus already holds the batch), the
+    retrain sees exactly corpus ∪ batch — and Lloyd means are rounded,
+    so a crash between the commits replays to identical rows and
+    at-or-below-mark commits skip, exactly as on the append path.  ``None`` (default)
     keeps the fixed-model regime the sequential driver oracle replays."""
     serves_path = posixpath.join(out_path, SERVES_TABLE)
     index_path = posixpath.join(out_path, INDEX_TABLE)
@@ -228,7 +230,14 @@ def extend_ann_index(
                         F.col("neighbor_id").alias("vec_id"),
                         F.col("cu").alias("u"),
                     ).unionByName(union)
-                union = union.persist()
+                # SET, not multiset: a crash between the index overwrite
+                # and write_meta replays this branch with prior_full
+                # already containing the batch — without the dedup the
+                # retrain would see every batch row twice and Lloyd
+                # would converge to different centroids than the crashed
+                # run committed, silently desyncing meta from the
+                # index's cell assignment
+                union = union.dropDuplicates(["vec_id"]).persist()
                 union.count()
                 cents = _ivf_train(
                     union.filter(F.col("vec_id") % 5 == 0),

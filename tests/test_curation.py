@@ -61,7 +61,7 @@ def test_curation_stream_exactly_once(spark, tmp_path):
         (5, _neardup("beta")),
     ])
     q = run_curation_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     assert not q.isActive
     assert _doc_ids(spark, out) == [1, 3]
 
@@ -72,7 +72,7 @@ def test_curation_stream_exactly_once(spark, tmp_path):
         (102, _text("gamma")),
     ])
     q2 = run_curation_stream(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
     assert _doc_ids(spark, out) == [1, 3, 102]
 
     # the index advanced with the survivors only
@@ -102,7 +102,7 @@ def test_curation_stream_exactly_once(spark, tmp_path):
 
     # restart with no new files: nothing reprocessed
     q3 = run_curation_stream(spark, src, out, ckpt)
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(120), "stream did not drain in 120s"
     assert _doc_ids(spark, out) == [1, 3, 102]
 
 
@@ -138,7 +138,7 @@ def test_graph_stream_incremental_and_exactly_once(spark, tmp_path):
         (3, _text("beta")),
     ])
     q = run_graph_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     assert not q.isActive
     assert _pairs() == [(1, 2, 0)]
 
@@ -149,7 +149,7 @@ def test_graph_stream_incremental_and_exactly_once(spark, tmp_path):
         (102, _text("gamma")),
     ])
     q2 = run_graph_stream(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
     assert _pairs() == [(1, 2, 0), (3, 101, 1)]
 
     # the index holds ALL docs (the graph keeps every vertex — no
@@ -249,7 +249,7 @@ def test_packing_stream_continuous_and_exactly_once(spark, tmp_path):
     _write_batch(src, "f1.json", batch2)
 
     q = run_packing_stream(spark, src, out, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     packed = read_snapshot(spark, f"{out}/packed")
     got = {
@@ -352,7 +352,7 @@ def test_packing_stream_restart_with_partition_resize(spark, tmp_path):
     _write_batch(src, "f0.json", batch1)
 
     q1 = run_packing_stream(spark, src, out, ckpt, num_partitions=2)
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(120), "stream did not drain in 120s"
     q1.stop()
 
     import time as _time
@@ -360,7 +360,7 @@ def test_packing_stream_restart_with_partition_resize(spark, tmp_path):
     _time.sleep(0.05)
     _write_batch(src, "f1.json", batch2)
     q2 = run_packing_stream(spark, src, out, ckpt, num_partitions=7)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain in 120s"
     q2.stop()
 
     got = {
@@ -416,7 +416,7 @@ def test_span_stream_incremental_and_exactly_once(spark, tmp_path):
     ]
     _write_batch(src, "b1.json", b1)
     q = run_span_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     got = _rows()
     assert got[1] == (0, f"alpha beta {span} gamma", 0)  # batch owner keeps
     assert got[2] == (SUBSTRING_K, "intro words outro tail", 0)
@@ -427,7 +427,7 @@ def test_span_stream_incremental_and_exactly_once(spark, tmp_path):
     b2 = [(101, f"late copy {span} trailing bits")]
     _write_batch(src, "b2.json", b2)
     q2 = run_span_stream(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
     got = _rows()
     assert got[101] == (SUBSTRING_K, "late copy trailing bits", 1)
 
@@ -651,7 +651,7 @@ def test_triplet_stream_incremental_and_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ck")
     _write_emb_batch(src, "b1.json", b1)
     q = run_triplet_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
 
     trip1 = {
         r.anchor: (r.negative, r.mined_batch)
@@ -665,7 +665,7 @@ def test_triplet_stream_incremental_and_exactly_once(spark, tmp_path):
 
     _write_emb_batch(src, "b2.json", b2)
     q2 = run_triplet_stream(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
     trips = {
         r.anchor: (r.negative, r.mined_batch)
         for r in read_snapshot(spark, f"{out}/triplets").collect()
@@ -747,7 +747,7 @@ def test_ann_stream_maintain_then_serve(spark, tmp_path):
     ckpt = str(tmp_path / "ck")
     _write_ann_batch(src, "b1.json", b1)
     q = run_ann_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
 
     s0 = read_snapshot(spark, f"{out}/serves").collect()
     assert {r.batch_id for r in s0} == {0}
@@ -762,7 +762,7 @@ def test_ann_stream_maintain_then_serve(spark, tmp_path):
 
     _write_ann_batch(src, "b2.json", b2)
     q2 = run_ann_stream(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
     serves = read_snapshot(spark, f"{out}/serves").collect()
     s0_after = sorted(
         (r.query_id, r.rank, r.neighbor_id, r.cosine)
@@ -931,13 +931,16 @@ def test_annmaint_drift_triggers_rebuild(spark, tmp_path):
     m1 = read_meta()
     assert m1["centroids"] == m0["centroids"]
 
-    # batch 2: a NEW distribution (fresh directions) -> drift -> rebuild
+    # batch 2: a NEW distribution (fresh directions) -> drift -> rebuild.
+    # Materialized ONCE: the crash-window replay below must feed the
+    # byte-identical batch (rows() consumes the rng).
     dirs_b = rng.normal(size=(4, 16))
     dirs_b /= np.linalg.norm(dirs_b, axis=1, keepdims=True)
+    b2 = rows(600, 1000, dirs_b)
     extend_ann_index(
         spark,
         spark.createDataFrame(
-            rows(600, 1000, dirs_b), "vec_id long, embedding array<float>"
+            b2, "vec_id long, embedding array<float>"
         ),
         out,
         2,
@@ -964,7 +967,7 @@ def test_annmaint_drift_triggers_rebuild(spark, tmp_path):
     extend_ann_index(
         spark,
         spark.createDataFrame(
-            rows(600, 1000, dirs_b), "vec_id long, embedding array<float>"
+            b2, "vec_id long, embedding array<float>"
         ),
         out,
         2,
@@ -975,6 +978,34 @@ def test_annmaint_drift_triggers_rebuild(spark, tmp_path):
     assert current_version(spark, f"{out}/serves") == v_serves
     assert current_version(spark, f"{out}/{INDEX_TABLE}") == v_idx
     assert read_meta()["centroids"] == m2["centroids"]
+
+    # crash window BETWEEN the index overwrite and write_meta: the
+    # on-disk meta is still the pre-rebuild model while the committed
+    # index already holds corpus ∪ batch.  The replayed batch re-enters
+    # the drift branch with prior_full ALREADY containing the batch
+    # rows; the set-dedup on vec_id makes the retrain input exactly
+    # corpus ∪ batch again, so the replay re-derives the same centroids
+    # and baseline instead of training on a duplicated multiset.
+    _, write_meta = _meta_io(spark, out)
+    write_meta({k: m1[k] for k in ("centroids", "queries", "mean_sim")})
+    extend_ann_index(
+        spark,
+        spark.createDataFrame(
+            b2, "vec_id long, embedding array<float>"
+        ),
+        out,
+        2,
+        txn_app=app,
+        n_cells=8,
+        retrain_drift=0.05,
+    )
+    m_replay = read_meta()
+    assert m_replay["centroids"] == m2["centroids"]
+    assert m_replay["mean_sim"] == m2["mean_sim"]
+    # snapshot commits stayed fenced; the index still holds each vec once
+    assert current_version(spark, f"{out}/serves") == v_serves
+    assert current_version(spark, f"{out}/{INDEX_TABLE}") == v_idx
+    assert read_snapshot(spark, f"{out}/{INDEX_TABLE}").count() == 1000
 
 
 @pytest.mark.slow

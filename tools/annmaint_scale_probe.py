@@ -76,7 +76,7 @@ def main() -> None:
         extend_ann_index(
             spark, batch, out, b, txn_app="ann-probe", n_cells=n_cells
         )
-        walls.append(round(time.monotonic() - t0, 2))
+        walls.append(time.monotonic() - t0)
 
     index_rows = read_snapshot(spark, f"{out}/{INDEX_TABLE}").count()
     serve_rows = read_snapshot(spark, f"{out}/{SERVES_TABLE}").count()
@@ -87,8 +87,12 @@ def main() -> None:
                 "n_batches": n_batches,
                 "n_cells": n_cells,
                 "cores": cpus,
-                "batch_sec": walls,
-                "last_over_first": round(walls[-1] / walls[0], 2),
+                "batch_sec": [round(w, 2) for w in walls],
+                # ratio from UNROUNDED walls: a sub-5 ms first batch would
+                # round to 0.0 and divide-by-zero
+                "last_over_first": (
+                    round(walls[-1] / walls[0], 2) if walls[0] > 0 else None
+                ),
                 "index_rows": index_rows,
                 "serve_rows": serve_rows,
             }
