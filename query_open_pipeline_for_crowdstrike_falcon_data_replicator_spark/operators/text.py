@@ -1626,24 +1626,66 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's token lead over another by one document per two cycles —
     far tighter than hash placement on skewed document lengths.
 
-    Deterministic and integer-only; one global sort (the same cost
-    profile as the packing prefix sum, and at 100 TB the same
-    substitution applies: rank within length buckets computed from a
-    one-pass histogram instead of a total sort).  Output: one row per
-    shard with its document count, token total, and the max single
-    document it carries."""
+    Scale shape: NO corpus-wide sort.  The global rank decomposes as
+    ``rank(d) = #docs with MORE tokens + d's position inside its
+    n_tokens tie-group``.  The first term resolves on the n_tokens
+    HISTOGRAM (bounded by the document-length domain, independent of
+    corpus size) via the ``text_quality_ensemble`` two-level prefix
+    sum: a per-bucket exclusive prefix over ~domain/4096 bucket rows,
+    then a within-bucket running count partitioned by bucket.  The
+    second term is a window partitioned by n_tokens — one length
+    tie-group, never the corpus.  The offset table is derived and
+    corpus-dependent, so it joins back ``shuffle_hash``, never as a
+    plan-time broadcast (the dedup_span_removal rule).  Deterministic
+    and integer-only.  Output: one row per shard with its document
+    count, token total, and the max single document it carries."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+        )
     )
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    r = F.row_number().over(w) - 1
+    n_total = per_doc.count()  # materialize: histogram + rank join consumers
+
+    grain = (
+        per_doc.groupBy(F.col("n_tokens").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.expr("v div 4096"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bprefix = (
+        grain.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bc"))
+        # bucket grain: <= domain/4096 rows — bounded by construction
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(wb), F.lit(0).cast("long")).alias(
+                "prefix"
+            ),
+        )
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offset(v) = #docs with n_tokens > v — the exclusive prefix of the
+    # DESC order, from the ASC inclusive cumulative count
+    offsets = grain.join(F.broadcast(bprefix), "bucket").select(
+        F.col("v").alias("n_tokens"),
+        (F.lit(n_total) - (F.sum("cnt").over(wi) + F.col("prefix"))).alias(
+            "offset"
+        ),
+    )
+    wt = Window.partitionBy("n_tokens").orderBy("doc_id")
+    tagged = per_doc.join(offsets.hint("shuffle_hash"), "n_tokens")
+    r = F.col("offset") + F.row_number().over(wt) - 1
     cycle, pos = (r / SHARD_COUNT).cast("long"), r % SHARD_COUNT
     shard = F.when(cycle % 2 == 0, pos).otherwise(SHARD_COUNT - 1 - pos)
     return (
-        per_doc.select("doc_id", "n_tokens", shard.alias("shard"))
+        tagged.select("doc_id", "n_tokens", shard.alias("shard"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1781,30 +1823,85 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cut is an exact per-lang rank over (mean_nll, doc_id) — rounded
     NLLs are driver-oracled byte-equal, and the doc_id tiebreak makes
     the boundary deterministic.  Integer-exact threshold:
-    rank * 10 <= n_lang * 7 (no 0.7*n float edge).
+    rank * 10 <= n_lang * 7 (no 0.7*n float edge), i.e.
+    rank <= k_lang = n_lang * 7 div 10.
 
-    Scale shape: scoring is the one-join-per-order LM shape; the cut
-    adds ONE per-lang sort (window).  At 100 TB you'd replace the exact
-    rank with a KLL-sketch quantile cutoff broadcast back (one pass, no
-    global sort — `events_sketch_rollup` holds the sketch machinery);
-    the exact form is the oracle-able semantic the sketch approximates."""
+    Scale shape: NO per-lang corpus-grain sort (language cardinality is
+    a handful, so ``Window.partitionBy(lang)`` would put a 60%-English
+    corpus through ONE task).  The ``corpus_select_budget`` boundary
+    pattern instead: scores collapse to integer micro-units and then to
+    the (lang, nll-bucket) HISTOGRAM (bucket = micro div 4096 — grain
+    bounded by the NLL value domain, not the corpus); a per-lang window
+    over BUCKET rows finds each bucket's exclusive cumulative count,
+    classifying buckets as fully-kept / fully-dropped / the single
+    BOUNDARY bucket per language.  Only the boundary bucket's docs —
+    one narrow NLL slice, never a whole language — pay a doc-grain
+    rank, keyed by (lang, bucket).  The per-lang threshold table is
+    bounded by the lang domain (a curated list at 100 TB), so its
+    broadcast is safe by construction; the bucket status rides a
+    ``shuffle_hash`` join back to the doc grain (derived-table rule)."""
     from pyspark.sql import Window
 
     scored = text_lm_score(spark, sf_dir)
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = scored.join(langs, "doc_id")
-    w = Window.partitionBy("lang").orderBy("mean_nll", "doc_id")
-    wn = Window.partitionBy("lang")
-    return j.select(
+    j = tracked_persist(
+        scored.join(langs, "doc_id")
+        # mean_nll is round(·, 6), so ×1e6 is integral up to float repr
+        # error; round-to-nearest recovers the exact micro integer
+        .withColumn(
+            "_nll_micro",
+            F.round(F.col("mean_nll") * 1_000_000, 0).cast("long"),
+        )
+        .withColumn("_bucket", F.expr("_nll_micro div 4096"))
+    )
+    j.count()  # materialize: histogram, per-lang totals, and the tag join
+
+    ks = j.groupBy("lang").agg(
+        F.expr(f"count(1) * {PPL_KEEP_NUM} div {PPL_KEEP_DEN}").alias("k_lang")
+    )
+    hist = j.groupBy("lang", "_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    status = (
+        hist.withColumn(
+            "cum_excl",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("long")),
+        )
+        # lang domain is a curated list — bounded broadcast
+        .join(F.broadcast(ks), "lang")
+        .select(
+            "lang",
+            "_bucket",
+            "cum_excl",
+            "k_lang",
+            F.when(F.col("cum_excl") + F.col("cnt") <= F.col("k_lang"), 2)
+            .when(F.col("cum_excl") < F.col("k_lang"), 1)  # boundary
+            .otherwise(0)
+            .alias("st"),
+        )
+    )
+    tagged = j.join(status.hint("shuffle_hash"), ["lang", "_bucket"])
+    clear = tagged.filter(F.col("st") != 1).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_nll",
+        (F.col("st") == 2).alias("keep"),
+    )
+    wt = Window.partitionBy("lang", "_bucket").orderBy("_nll_micro", "doc_id")
+    boundary = tagged.filter(F.col("st") == 1).select(
         "doc_id",
         "lang",
         "n_tokens",
         "mean_nll",
         (
-            F.row_number().over(w) * PPL_KEEP_DEN
-            <= F.count(F.lit(1)).over(wn) * PPL_KEEP_NUM
+            F.col("cum_excl") + F.row_number().over(wt) <= F.col("k_lang")
         ).alias("keep"),
     )
+    return clear.unionByName(boundary)
 
 
 TEXT_PPL_FILTER_SQL = f"""

@@ -886,3 +886,67 @@ def test_select_budget_plan_no_corpus_sort(spark, sf_dir):
     assert "hashpartitioning(source" in plan and "q_micro" in plan
     # the histogram grain comes from a map-side partial sum
     assert "partial_sum" in plan, plan[:1500]
+
+
+def test_shard_balance_plan_no_corpus_sort(spark, sf_dir):
+    """corpus_shard_balance: the global snake rank decomposes into a
+    histogram-grain offset (two-level prefix sum over n_tokens values,
+    keyed by sub-bucket) plus a tie-group window keyed by n_tokens —
+    doc rows are never globally sorted, and the derived offset table
+    attaches via shuffle_hash, not a plan-time broadcast."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_shard_balance,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_shard_balance(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # derived offset table joins back shuffle_hash
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # the tie-group window is keyed on n_tokens — its partition is one
+    # length tie-group, never the corpus
+    assert "hashpartitioning(n_tokens" in plan, plan[:1500]
+    # the bulk running count is keyed on the histogram sub-bucket
+    assert "hashpartitioning(bucket" in plan, plan[:1500]
+    # the histogram collapses through a map-side partial count before
+    # any Sort/Window touches it
+    assert "partial_count" in plan, plan[:1500]
+
+
+def test_ppl_filter_plan_no_per_lang_corpus_window(spark, sf_dir):
+    """text_ppl_filter: the per-lang 70% cut resolves on the
+    (lang, nll-bucket) histogram — the only doc-grain window is the
+    boundary bucket's rank, keyed by lang AND bucket (one narrow NLL
+    slice, never a whole language), and the bucket status joins back
+    shuffle_hash."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        text_ppl_filter,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(text_ppl_filter(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    # (upstream text_lm_score attaches its 1-row (total, vocab) scalar
+    # via a designed broadcast nested-loop cross — bounded by
+    # construction, so no BNLJ-absence pin here)
+    # derived bucket-status table joins back shuffle_hash
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # the histogram grain comes from a map-side partial count
+    assert "partial_count" in plan, plan[:1500]
+    # every doc-grain rank window is keyed by lang AND _bucket — a
+    # row_number over lang alone would put a whole language in one task
+    rn_specs = [
+        ln
+        for ln in plan.splitlines()
+        if "row_number()" in ln and "windowspecdefinition(lang#" in ln
+    ]
+    assert rn_specs, plan[:1500]
+    for ln in rn_specs:
+        assert "_bucket#" in ln, ln
