@@ -170,6 +170,73 @@ def read_snapshot(
     return spark.read.parquet(*[posixpath.join(path, f) for f in files])
 
 
+def _footer_cluster_stats(
+    files: list[tuple[str, str]], cluster_col: str
+) -> dict | None:
+    """Per-file ``[min, max]`` for ``cluster_col`` read from the parquet
+    FOOTERS — no data pages touched.  ``files`` is (rel, absolute-uri)
+    pairs; returns {rel: [lo, hi]} or ``None`` when any file's stats are
+    unusable (non-local scheme, stats disabled, undecodable binary), in
+    which case the caller falls back to the column-pruned scan.
+
+    Parquet row-group stats skip NULLs exactly like SQL min/max, so an
+    all-NULL file records [None, None] — byte-identical to the scan
+    path.  Caveat carried from the scan path unchanged: string bounds
+    compare byte-wise in parquet vs code-point-wise in the Python
+    bisect consumer; identical for ASCII keys (the only string cluster
+    keys in use: md5 hex)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    out: dict = {}
+    for rel, uri in files:
+        local = uri
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        elif "://" in local:
+            return None  # non-local scheme: footer access needs the fs
+        try:
+            md = pq.ParquetFile(local).metadata
+        except Exception:
+            return None
+        lo = hi = None
+        seen_values = False
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            col = None
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == cluster_col:
+                    col = c
+                    break
+            if col is None:
+                return None  # column absent: schema drift, let the scan decide
+            st = col.statistics
+            if st is None:
+                return None  # stats disabled at write time
+            if not st.has_min_max:
+                # legitimately empty bounds only when the group is all
+                # NULL; anything else means unusable stats
+                if st.num_values and st.num_values > (st.null_count or 0):
+                    return None
+                continue
+            gmin, gmax = st.min, st.max
+            if isinstance(gmin, bytes) or isinstance(gmax, bytes):
+                try:
+                    gmin = gmin.decode("utf-8")
+                    gmax = gmax.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    return None
+            seen_values = True
+            lo = gmin if lo is None or gmin < lo else lo
+            hi = gmax if hi is None or gmax > hi else hi
+        out[rel] = [lo, hi] if seen_values else [None, None]
+    return out
+
+
 def _stage_files(
     spark: SparkSession, fs, df: DataFrame, path: str,
     cluster_col: str | None = None,
@@ -204,23 +271,33 @@ def _stage_files(
             rels.append(rel)
     stats: dict = {}
     if cluster_col is not None and rels:
-        from pyspark.sql import functions as F
-
-        rows = (
-            spark.read.parquet(out_dir)
-            .select(
-                F.input_file_name().alias("_f"),
-                F.col(cluster_col).alias("_k"),
-            )
-            .groupBy("_f")
-            .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
-            .collect()
+        # parquet footers already hold per-column min/max — read THEM
+        # instead of re-scanning every staged byte (at streaming cadence
+        # the old second scan was one extra pass over everything
+        # written, forever)
+        footer = _footer_cluster_stats(
+            [(rel, prefix + rel) for rel in rels], cluster_col
         )
-        by_suffix = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
-        for r in rows:
-            rel = by_suffix.get(r["_f"].rsplit("/", 1)[-1])
-            if rel is not None:
-                stats[rel] = [r["lo"], r["hi"]]
+        if footer is not None:
+            stats = footer
+        else:
+            from pyspark.sql import functions as F
+
+            rows = (
+                spark.read.parquet(out_dir)
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.col(cluster_col).alias("_k"),
+                )
+                .groupBy("_f")
+                .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+                .collect()
+            )
+            by_suffix = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
+            for r in rows:
+                rel = by_suffix.get(r["_f"].rsplit("/", 1)[-1])
+                if rel is not None:
+                    stats[rel] = [r["lo"], r["hi"]]
     return rels, stats
 
 

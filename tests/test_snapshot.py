@@ -373,3 +373,75 @@ def test_pruned_read_survives_all_null_cluster_file(spark, tmp_path):
     # NULL keys themselves are droppable (match only NULL-range files)
     got2 = read_snapshot_pruned(spark, path, ["a", None])
     assert {r.v for r in got2.collect()} == vals
+
+
+def test_stage_files_stats_from_parquet_footers(spark, tmp_path, monkeypatch):
+    """Clustered commits derive per-file [min, max] from parquet
+    FOOTERS — one write pass per commit, no second scan job — and the
+    footer stats are byte-identical to what the full-scan fallback
+    computes, for an integer key with NULLs mixed in, an ASCII
+    (md5-hex) string key, and an all-NULL append."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks import (
+        snapshot as snap,
+    )
+
+    took_footer = []
+    real = snap._footer_cluster_stats
+
+    def spy(files, col):
+        r = real(files, col)
+        took_footer.append(r is not None)
+        return r
+
+    monkeypatch.setattr(snap, "_footer_cluster_stats", spy)
+
+    def scan_stats(path, files, col):
+        out = {}
+        for rel in files:
+            r = (
+                spark.read.parquet(posixpath.join(path, rel))
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            out[rel] = [r["lo"], r["hi"]]
+        return out
+
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        p1 = str(tmp_path / "ints")
+        df = spark.createDataFrame(
+            [(None, 0)]
+            + [(i * 7 % 101, i) for i in range(200)]
+            + [(None, 999)],
+            "k int, v int",
+        )
+        write_snapshot(spark, df, p1, cluster_col="k")
+        p2 = str(tmp_path / "strs")
+        sdf = spark.range(100).selectExpr(
+            "md5(cast(id as string)) AS k", "id AS v"
+        )
+        write_snapshot(spark, sdf, p2, cluster_col="k")
+        write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(None, -1), (None, -2)], "k string, v long"
+            ),
+            p2,
+            cluster_col="k",
+        )
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+
+    # the footer path was taken on every clustered commit (no fallback)
+    assert took_footer and all(took_footer)
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+    )
+
+    for path in (p1, p2):
+        fs, _ = _fs(spark, path)
+        v = current_version(spark, path)
+        manifest = _load_manifest(spark, fs, path, v)
+        assert manifest["stats"] == scan_stats(
+            path, manifest["files"], manifest["cluster_col"]
+        )
