@@ -1720,6 +1720,29 @@ _UPDATE_T = (
 )
 
 
+def _lloyd_chain_from(
+    src: str, prefix: str = "", train_where: str = "vec_id % 5 = 0"
+) -> str:
+    """Training-only Lloyd chain over an existing unit-vector CTE
+    ``src`` (columns vec_id, u), every CTE name prefixed with
+    ``prefix`` so one oracle can carry SEVERAL independently-trained
+    quantizers (the drift-rebuild replay needs the batch-0 model and
+    the post-rebuild model in one query).  Ends in centroid table
+    ``{prefix}c2``."""
+    p = prefix
+    return f"""{p}train AS (SELECT vec_id, u FROM {src} WHERE {train_where}),
+{p}seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
+  FROM {p}train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
+),
+{p}a1 AS ({_ASSIGN_T.format(src=p + "train", cents=p + "seed")}),
+{p}m1 AS ({_MEAN_T.format(assigned=p + "a1", dimp1=DIM + 1)}),
+{p}c1 AS ({_UPDATE_T.format(prev=p + "seed", means=p + "m1")}),
+{p}a2 AS ({_ASSIGN_T.format(src=p + "train", cents=p + "c1")}),
+{p}m2 AS ({_MEAN_T.format(assigned=p + "a2", dimp1=DIM + 1)}),
+{p}c2 AS ({_UPDATE_T.format(prev=p + "c1", means=p + "m2")})"""
+
+
 def _lloyd_chain(after_u: str = "", train_where: str = "vec_id % 5 = 0") -> str:
     """CTE prefix replaying ``_ivf_train`` exactly: unit vectors, the
     training sample (``train_where``, default the %5 sample; the
@@ -1729,21 +1752,14 @@ def _lloyd_chain(after_u: str = "", train_where: str = "vec_id % 5 = 0") -> str:
     Deterministic across engines because unit vectors are sequential-fold
     arithmetic, each Lloyd mean is rounded to 6 decimals, and assignment
     breaks distance ties toward the lower cell."""
-    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return (
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 u AS (SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
       FROM e),{after_u}
-train AS (SELECT vec_id, u FROM u WHERE {train_where}),
-seed AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS c
-  FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= {IVF_CELLS}
-),
-a1 AS ({_ASSIGN_T.format(src="train", cents="seed")}),
-m1 AS ({_MEAN_T.format(assigned="a1", dimp1=DIM + 1)}),
-c1 AS ({_UPDATE_T.format(prev="seed", means="m1")}),
-a2 AS ({_ASSIGN_T.format(src="train", cents="c1")}),
-m2 AS ({_MEAN_T.format(assigned="a2", dimp1=DIM + 1)}),
-c2 AS ({_UPDATE_T.format(prev="c1", means="m2")})"""
+"""
+        + _lloyd_chain_from("u", "", train_where)
+    )
 
 
 def _ivf_oracle_sql() -> str:

@@ -331,12 +331,17 @@ def run_ann_stream(
     max_files_per_trigger: int | None = None,
     n_cells: int = IVF_CELLS,
     retrain_drift: float | None = None,
+    compact_every: int | None = None,
 ):
     """Stream NDJSON embedding files (vec_id, embedding) through
     incremental ANN index maintenance: exactly-once serves / index
     snapshots, the fixed query set answered after every ingest;
     ``retrain_drift`` arms the drift-triggered rebuild (see
-    ``extend_ann_index``)."""
+    ``extend_ann_index``).  ``compact_every=N`` re-clusters the
+    snapshot tables after every N-th batch (replay-fenced, see
+    ``streaming/compaction``)."""
+    from .compaction import compact_twin_tables
+
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -354,6 +359,15 @@ def run_ann_stream(
             n_cells=n_cells,
             retrain_drift=retrain_drift,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_twin_tables(
+                spark,
+                out_path,
+                [SERVES_TABLE, INDEX_TABLE],
+                txn_app=app,
+                batch_id=batch_id,
+                canonical=INDEX_TABLE,
+            )
 
     return (
         stream.writeStream.foreachBatch(_sink)

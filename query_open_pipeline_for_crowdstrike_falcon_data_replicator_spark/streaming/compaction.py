@@ -1,0 +1,69 @@
+"""Periodic snapshot compaction for the streaming maintenance twins.
+
+Every maintenance twin (span / curation / graph / triplet / ANN) appends
+a fresh clustered file-set to its snapshot tables each micro-batch.
+After thousands of micro-batches the manifest carries thousands of
+overlapping [min, max] ranges and the trickle-probe file-skip degrades
+toward a full scan.  ``sinks/snapshot.compact_snapshot`` already
+re-clusters a table and tightens its ranges (per-batch appends each
+cover the whole key range, so compaction is precisely when the ranges
+become disjoint again); this module is the missing scheduler — the
+long-running-stream analogue of ``streaming/pipeline.run_stream``'s
+directory-table ``compact_every``.
+
+Replay semantics: compaction is fenced on the twin's txn high-water
+mark.  It fires only when the CANONICAL table's mark for this writer is
+exactly ``batch_id`` — true both when the batch just committed and when
+the last batch replays after a crash (including a crash in the middle of
+a previous compaction attempt, which leaves only unreferenced orphan
+files behind — the snapshot commit is atomic).  A replay of an OLDER
+batch can never recompact, and a maintenance pass that dies mid-rewrite
+costs nothing but orphans for ``vacuum_snapshots`` to reap.
+
+Compaction rewrites the full table, so ``compact_every`` trades that
+rewrite cost against probe-planning decay; the spanmaint long-run probe
+(``tools/spanmaint_scale_probe.py --compact-every``) measures both
+sides.  Readers are never disturbed (snapshot isolation), and the txn
+map rides every compaction commit, so replay fencing survives.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import SparkSession
+
+from ..sinks.snapshot import (
+    compact_snapshot,
+    current_version,
+    last_txn_version,
+)
+
+
+def compact_twin_tables(
+    spark: SparkSession,
+    out_path: str,
+    tables: list[str],
+    *,
+    txn_app: str,
+    batch_id: int,
+    canonical: str,
+    target_files: int = 0,
+) -> list[str]:
+    """Compact each snapshot table under ``out_path`` if the twin's
+    high-water mark on ``canonical`` is exactly ``batch_id`` (see module
+    docstring for why that is the replay-safe condition).  Tables that
+    do not exist yet are skipped.  Returns the compacted table names."""
+    mark = last_txn_version(
+        spark, posixpath.join(out_path, canonical), txn_app
+    )
+    if mark != batch_id:
+        return []
+    done = []
+    for t in tables:
+        p = posixpath.join(out_path, t)
+        if current_version(spark, p) is None:
+            continue
+        compact_snapshot(spark, p, target_files=target_files)
+        done.append(t)
+    return done

@@ -303,9 +303,14 @@ def run_curation_stream(
     *,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through the curation
-    gate into an exactly-once curated corpus + dedup index."""
+    gate into an exactly-once curated corpus + dedup index.
+    ``compact_every=N`` re-clusters the snapshot tables after every
+    N-th batch (replay-fenced, see ``streaming/compaction``)."""
+    from .compaction import compact_twin_tables
+
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -315,6 +320,15 @@ def run_curation_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         curate_batch(spark, batch_df, out_path, batch_id, txn_app=app)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_twin_tables(
+                spark,
+                out_path,
+                [DOCS_TABLE, BANDS_TABLE, PROFILES_TABLE],
+                txn_app=app,
+                batch_id=batch_id,
+                canonical=PROFILES_TABLE,
+            )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

@@ -181,10 +181,15 @@ def run_graph_stream(
     checkpoint: str,
     *,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through the pair-graph
     maintenance path: an exactly-once, incrementally-extended near-dup
-    edge snapshot plus the band/profile index the next batch probes."""
+    edge snapshot plus the band/profile index the next batch probes.
+    ``compact_every=N`` re-clusters the snapshot tables after every
+    N-th batch (replay-fenced, see ``streaming/compaction``)."""
+    from .compaction import compact_twin_tables
+
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -194,6 +199,15 @@ def run_graph_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_pair_graph(spark, batch_df, out_path, batch_id, txn_app=app)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_twin_tables(
+                spark,
+                out_path,
+                [PAIRS_TABLE, BANDS_TABLE, PROFILES_TABLE],
+                txn_app=app,
+                batch_id=batch_id,
+                canonical=PROFILES_TABLE,
+            )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -233,10 +233,16 @@ def run_span_stream(
     checkpoint: str,
     *,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through incremental
     span removal: an exactly-once cleaned-corpus snapshot plus the
-    window-hash index the next batch probes."""
+    window-hash index the next batch probes.  ``compact_every=N``
+    re-clusters both snapshot tables after every N-th batch (replay-
+    fenced, see ``streaming/compaction``) so the window index's pruning
+    ranges stay tight over a long-running stream."""
+    from .compaction import compact_twin_tables
+
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -246,6 +252,15 @@ def run_span_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_span_clean(spark, batch_df, out_path, batch_id, txn_app=app)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_twin_tables(
+                spark,
+                out_path,
+                [CLEAN_TABLE, WINDOWS_TABLE],
+                txn_app=app,
+                batch_id=batch_id,
+                canonical=WINDOWS_TABLE,
+            )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -297,10 +297,15 @@ def run_triplet_stream(
     checkpoint: str,
     *,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Stream NDJSON embedding files (vec_id, label, embedding) through
     incremental triplet mining: exactly-once pairs / triplets / index
-    snapshots."""
+    snapshots.  ``compact_every=N`` re-clusters the snapshot tables
+    after every N-th batch (replay-fenced, see
+    ``streaming/compaction``)."""
+    from .compaction import compact_twin_tables
+
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -310,6 +315,15 @@ def run_triplet_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_triplets(spark, batch_df, out_path, batch_id, txn_app=app)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_twin_tables(
+                spark,
+                out_path,
+                [PAIRS_TABLE, TRIPLETS_TABLE, INDEX_TABLE],
+                txn_app=app,
+                batch_id=batch_id,
+                canonical=INDEX_TABLE,
+            )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -1037,6 +1037,201 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# Drift threshold for the drift-armed probe: at sf0.01 the planted
+# rotation makes batch 1's mean-sim drop 0.0651 under the batch-0 model
+# (> 0.05 -> rebuild) and batch 2's drop 0.0359 under the rebuilt model
+# (< 0.05 -> append) — deterministic 6dp-rounded scalars with ~0.015
+# margin on both sides of the gate, far above any replay jitter.
+ANN_DRIFT_THRESH = 0.05
+
+
+def stream_ann_drift_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the DRIFT-REBUILD regime of streamed ANN
+    maintenance (``annmaint.extend_ann_index`` with ``retrain_drift``
+    armed) — the operationally scary branch: the drift decision, the
+    retrain on corpus ∪ batch, the index overwrite, the re-baseline,
+    and post-rebuild serving.
+
+    Fixture: the embeddings corpus with a PLANTED distribution shift —
+    batches 1 and 2 (vec_id above max/3) arrive with the embedding
+    ROTATED by DIM/2 positions.  A rotation is an exact permutation: no
+    new float values, so NDJSON round-trip fidelity and the
+    sequential-fold norms are untouched, yet the batch no longer fits
+    the batch-0 quantizer.  Decisions at the ``ANN_DRIFT_THRESH`` gate
+    are deterministic (see the constant's comment): the rebuild fires
+    at batch 1 and ONLY there.
+
+    The DuckDB oracle replays the whole protocol sequentially: batch 0
+    served under the batch-0-trained Lloyd chain over the first third;
+    batches 1 and 2 under the REBUILT chain (trained on the first two
+    thirds' %5 sample — exactly ``_ivf_train``'s rule on the rebuild's
+    corpus ∪ batch input), batch 1 against the overwritten index,
+    batch 2 against overwrite + append.  A hash-match therefore proves
+    end-to-end, through actual stream execution: the drift gate fired
+    exactly once at the planted batch, the retrain input was exactly
+    the (vec_id, u) SET (no replay duplication), and serving continued
+    correctly against the rebuilt index.
+
+    Output: (batch_id, query_id, rank, neighbor_id, cosine).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the rebuild itself costs ~2.2x an append at 1M
+    vectors and fires only on the gate (BASELINE.md drift row)."""
+    from ..operators.similarity import DIM
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .annmaint import SERVES_TABLE, run_ann_stream
+
+    ensure_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(emb, "vec_id")
+    half = DIM // 2
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        cut = emb.agg(F.max("vec_id")).collect()[0][0] // 3
+        shifted = emb.select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") > cut,
+                F.concat(
+                    F.slice("embedding", half + 1, half),
+                    F.slice("embedding", 1, half),
+                ),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        _write_ordered_batches(
+            shifted, src, id_col="vec_id", cols=("vec_id", "embedding")
+        )
+        q = run_ann_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+            retrain_drift=ANN_DRIFT_THRESH,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_ann_drift_verify: ann stream did not drain within "
+                "600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamanndrift_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "out", SERVES_TABLE)).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+    )
+
+
+def _stream_ann_drift_oracle_sql() -> str:
+    """Sequential replay of the drift-rebuild protocol: the planted
+    rotation on vec_id > max/3; model M0 (batch-0 %5 sample) serves
+    batch 0 over the first third; the rebuild model M1 (first two
+    thirds' %5 sample — _ivf_train's rule on the rebuild input) serves
+    batch 1 over the first two thirds and batch 2 over the whole
+    corpus."""
+    from ..operators.similarity import (
+        DIM,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _ASSIGN_T,
+        _lloyd_chain_from,
+    )
+
+    half = DIM // 2
+    m0 = _lloyd_chain_from(
+        "u",
+        "d0",
+        "vec_id % 5 = 0 AND vec_id <= (SELECT m // 3 FROM mx)",
+    )
+    m1 = _lloyd_chain_from(
+        "u",
+        "d1",
+        "vec_id % 5 = 0 AND vec_id <= (SELECT 2 * m // 3 FROM mx)",
+    )
+
+    def probe(cents: str, alias: str) -> str:
+        return f"""{alias} AS (
+  SELECT vec_id AS query_id, u AS qu, cell FROM (
+    SELECT t.vec_id, t.u, s.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY -list_dot_product(t.u, s.c), s.cell) AS rn
+    FROM u t CROSS JOIN {cents} s
+    WHERE t.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+)"""
+
+    def assigned(src: str, cents: str, alias: str) -> str:
+        return f"""{alias} AS (
+  SELECT vec_id AS neighbor_id, u AS cu, cell
+  FROM ({_ASSIGN_T.format(src=src, cents=cents)})
+)"""
+
+    def cand(b: int, probes: str, idx: str) -> str:
+        return f"""SELECT DISTINCT {b} AS b, p.query_id, a.neighbor_id,
+       round(list_dot_product(p.qu, a.cu), 4) + 0.0 AS cosine
+FROM {probes} p JOIN {idx} a USING (cell)
+WHERE a.neighbor_id <> p.query_id"""
+
+    return f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mx AS (SELECT max(vec_id) AS m FROM raw),
+e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id > (SELECT m // 3 FROM mx)
+              THEN list_concat(v[{half + 1}:], v[:{half}])
+              ELSE v END AS v
+  FROM raw),
+u AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+{m0},
+{m1},
+cor0 AS (SELECT vec_id, u FROM u WHERE vec_id <= (SELECT m // 3 FROM mx)),
+cor1 AS (SELECT vec_id, u FROM u WHERE vec_id <= (SELECT 2 * m // 3 FROM mx)),
+{assigned("cor0", "d0c2", "a0")},
+{assigned("cor1", "d1c2", "a1")},
+{assigned("u", "d1c2", "a2")},
+{probe("d0c2", "p0")},
+{probe("d1c2", "p1")},
+cand AS (
+  {cand(0, "p0", "a0")}
+  UNION ALL
+  {cand(1, "p1", "a1")}
+  UNION ALL
+  {cand(2, "p1", "a2")}
+),
+ranked AS (
+  SELECT b, query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY b, query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT CAST(b AS BIGINT) AS batch_id, query_id,
+       CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1047,4 +1242,8 @@ STREAMING_QUERIES: dict[
     "stream_span_verify": (stream_span_verify, _stream_span_oracle_sql()),
     "stream_triplet_verify": (stream_triplet_verify, _stream_triplet_oracle_sql()),
     "stream_ann_verify": (stream_ann_verify, _stream_ann_oracle_sql()),
+    "stream_ann_drift_verify": (
+        stream_ann_drift_verify,
+        _stream_ann_drift_oracle_sql(),
+    ),
 }

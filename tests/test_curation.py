@@ -423,13 +423,26 @@ def test_span_stream_incremental_and_exactly_once(spark, tmp_path):
     assert got[3][0] == 0
 
     # batch 2: the same span arrives again -> stripped via the PERSISTED
-    # window index (no batch-internal duplicate this time)
+    # window index (no batch-internal duplicate this time); this run
+    # also exercises the compaction hook (batch_id 1 -> (1+1)%2 == 0)
     b2 = [(101, f"late copy {span} trailing bits")]
     _write_batch(src, "b2.json", b2)
-    q2 = run_span_stream(spark, src, out, ckpt)
+    q2 = run_span_stream(spark, src, out, ckpt, compact_every=2)
     assert q2.awaitTermination(300), "stream did not drain in 300s"
     got = _rows()
     assert got[101] == (SUBSTRING_K, "late copy trailing bits", 1)
+    # the due batch compacted both tables: the latest manifests record
+    # their source version, and every table collapsed to few files
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _fs as _snap_fs,
+        _load_manifest,
+    )
+
+    for t in ("cleaned", "index/windows"):
+        fs, _ = _snap_fs(spark, f"{out}/{t}")
+        v = current_version(spark, f"{out}/{t}")
+        m = _load_manifest(spark, fs, f"{out}/{t}", v)
+        assert "compacted_from" in m, t
 
     # replay of batch 0 (same writer identity, same batch_id): fenced —
     # no duplicate rows, no new versions on either table

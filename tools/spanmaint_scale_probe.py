@@ -12,9 +12,16 @@ last/first — the number that would expose an index-probe or
 snapshot-append term that grows with corpus size.
 
 Usage: python tools/spanmaint_scale_probe.py [batch_docs] [n_batches]
+[compact_every]
+A non-zero ``compact_every`` folds snapshot compaction in after every
+N-th batch (streaming/compaction.compact_twin_tables, the
+run_span_stream hook) and reports the live-file trajectory of the
+window index plus each compaction's wall — the long-running-stream
+evidence that the pruning index stays tight at bounded cost.
 Prints one JSON line: {"batch_docs": ..., "n_batches": ..., "cores":
 ..., "batch_sec": [...], "last_over_first": ..., "index_windows": ...,
-"total_removed": ...}
+"total_removed": ..., "compact_every": ..., "live_files": [...],
+"compact_sec": [...]}
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     batch_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
 
     from pyspark.sql import functions as F
@@ -42,6 +50,10 @@ def main() -> None:
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
         read_snapshot,
+        snapshot_files,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.compaction import (
+        compact_twin_tables,
     )
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.spanmaint import (
         CLEAN_TABLE,
@@ -50,7 +62,7 @@ def main() -> None:
     )
 
     spark = get_spark()
-    out = f"/tmp/spanmaint_probe_{batch_docs}x{n_batches}"
+    out = f"/tmp/spanmaint_probe_{batch_docs}x{n_batches}c{compact_every}"
     shutil.rmtree(out, ignore_errors=True)
 
     # one corpus, sliced into ascending doc_id batches (the module's
@@ -64,6 +76,8 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
 
     walls = []
+    compact_walls = []
+    live_files = []
     for b in range(n_batches):
         lo, hi = b * batch_docs, (b + 1) * batch_docs
         batch = corpus.filter(
@@ -72,6 +86,18 @@ def main() -> None:
         t0 = time.monotonic()
         extend_span_clean(spark, batch, out, b, txn_app="span-probe")
         walls.append(round(time.monotonic() - t0, 2))
+        if compact_every and (b + 1) % compact_every == 0:
+            t1 = time.monotonic()
+            compact_twin_tables(
+                spark,
+                out,
+                [CLEAN_TABLE, WINDOWS_TABLE],
+                txn_app="span-probe",
+                batch_id=b,
+                canonical=WINDOWS_TABLE,
+            )
+            compact_walls.append(round(time.monotonic() - t1, 2))
+        live_files.append(len(snapshot_files(spark, f"{out}/{WINDOWS_TABLE}")))
 
     n_windows = read_snapshot(spark, f"{out}/{WINDOWS_TABLE}").count()
     removed = (
@@ -89,6 +115,9 @@ def main() -> None:
                 "last_over_first": round(walls[-1] / walls[0], 2),
                 "index_windows": n_windows,
                 "total_removed": int(removed),
+                "compact_every": compact_every,
+                "live_files": live_files,
+                "compact_sec": compact_walls,
             }
         )
     )
