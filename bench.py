@@ -68,6 +68,32 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
+    # --slowest N (default 10): refine the heavy tail with 3 MORE runs
+    # per query (min-of-6 total).  At 130 queries / ~42 s the per-query
+    # floor is ~0.3 s of fixed job overhead, so round-over-round
+    # regressions are only detectable on the heavy queries — this
+    # section keeps them comparable above box variance.  The headline
+    # total stays the single-pass min-of-3 (cross-round consistency);
+    # compare slowest_min3 when chasing a specific query.
+    n_slow = 10
+    if "--slowest" in sys.argv:
+        i = sys.argv.index("--slowest")
+        n_slow = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 10
+    slowest_min3: dict[str, float] = {}
+    if n_slow > 0:
+        by_name = dict(qs)
+        for name, best in sorted(
+            timings.items(), key=lambda kv: kv[1], reverse=True
+        )[:n_slow]:
+            fn, _sql = by_name[name]
+            for _ in range(3):
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            slowest_min3[name] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_queries_total_wall",
@@ -75,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **({"slowest_min3": slowest_min3} if slowest_min3 else {}),
     }
     # Per-query detail FIRST, compact headline LAST: the round driver
     # tail-captures stdout, and at 90+ queries the detail line outgrew
