@@ -129,6 +129,7 @@ def test_compact_uri_table_path(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(uri).collect()) == before_rows
 
 
+@pytest.mark.slow
 def test_twin_compaction_crash_replay(spark, tmp_path, monkeypatch):
     """Twin snapshot compaction survives a mid-compaction crash: a
     compactor that dies after staging but before its manifest commit

@@ -375,6 +375,7 @@ def test_pruned_read_survives_all_null_cluster_file(spark, tmp_path):
     assert {r.v for r in got2.collect()} == vals
 
 
+@pytest.mark.slow
 def test_stage_files_stats_from_parquet_footers(spark, tmp_path, monkeypatch):
     """Clustered commits derive per-file [min, max] from parquet
     FOOTERS — one write pass per commit, no second scan job — and the
