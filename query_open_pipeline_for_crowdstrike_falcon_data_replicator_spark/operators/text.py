@@ -1775,14 +1775,20 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
         )
     )
-    n_total = per_doc.count()  # materialize: histogram + rank join consumers
+    # materialize BEFORE the fan-out: bprefix rides a broadcast, and
+    # broadcast exchanges launch eagerly in parallel with the rank-join
+    # chain — without the fill they race and recompute the scan (the
+    # embedding_triplets multi-consumer lesson)
+    per_doc.count()
 
     grain = (
         per_doc.groupBy(F.col("n_tokens").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket", F.expr("v div 4096"))
     )
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     bprefix = (
         grain.groupBy("bucket")
         .agg(F.sum("cnt").alias("bc"))
@@ -1796,16 +1802,18 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wi = (
         Window.partitionBy("bucket")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # offset(v) = #docs with n_tokens > v — the exclusive prefix of the
-    # DESC order, from the ASC inclusive cumulative count
+    # offset(v) = #docs with n_tokens > v — computed DIRECTLY as the
+    # exclusive DESC prefix (buckets above + larger values within the
+    # bucket), no corpus total needed
     offsets = grain.join(F.broadcast(bprefix), "bucket").select(
         F.col("v").alias("n_tokens"),
-        (F.lit(n_total) - (F.sum("cnt").over(wi) + F.col("prefix"))).alias(
-            "offset"
-        ),
+        (
+            F.coalesce(F.sum("cnt").over(wi), F.lit(0).cast("long"))
+            + F.col("prefix")
+        ).alias("offset"),
     )
     wt = Window.partitionBy("n_tokens").orderBy("doc_id")
     tagged = per_doc.join(offsets.hint("shuffle_hash"), "n_tokens")
@@ -1972,6 +1980,11 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = text_lm_score(spark, sf_dir)
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # persisted + MATERIALIZED: the per-lang threshold table rides a
+    # broadcast, and broadcast exchanges launch eagerly in parallel
+    # with the tag-join chain — without the count() they race and
+    # recompute the expensive scoring subtree (the embedding_triplets
+    # multi-consumer lesson)
     j = tracked_persist(
         scored.join(langs, "doc_id")
         # mean_nll is round(·, 6), so ×1e6 is integral up to float repr
@@ -1982,12 +1995,12 @@ def text_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_bucket", F.expr("_nll_micro div 4096"))
     )
-    j.count()  # materialize: histogram, per-lang totals, and the tag join
+    j.count()
 
+    hist = j.groupBy("lang", "_bucket").agg(F.count(F.lit(1)).alias("cnt"))
     ks = j.groupBy("lang").agg(
         F.expr(f"count(1) * {PPL_KEEP_NUM} div {PPL_KEEP_DEN}").alias("k_lang")
     )
-    hist = j.groupBy("lang", "_bucket").agg(F.count(F.lit(1)).alias("cnt"))
     wb = (
         Window.partitionBy("lang")
         .orderBy("_bucket")
