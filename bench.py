@@ -78,7 +78,10 @@ def main() -> None:
     n_slow = 10
     if "--slowest" in sys.argv:
         i = sys.argv.index("--slowest")
-        n_slow = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 10
+        nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+        # lenient parse: a malformed operand must not discard a whole
+        # completed min-of-3 pass
+        n_slow = int(nxt) if nxt.lstrip("-").isdigit() else 10
     slowest_min3: dict[str, float] = {}
     if n_slow > 0:
         by_name = dict(qs)

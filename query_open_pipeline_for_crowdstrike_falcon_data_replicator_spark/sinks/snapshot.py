@@ -219,8 +219,11 @@ def _footer_cluster_stats(
                 return None  # stats disabled at write time
             if not st.has_min_max:
                 # legitimately empty bounds only when the group is all
-                # NULL; anything else means unusable stats
-                if st.num_values and st.num_values > (st.null_count or 0):
+                # NULL; pyarrow's num_values is the NON-NULL count, so
+                # any non-zero value here means the writer dropped the
+                # bounds of real values (e.g. oversized binaries) —
+                # unusable, fall back to the scan
+                if st.num_values:
                     return None
                 continue
             gmin, gmax = st.min, st.max

@@ -359,15 +359,15 @@ def run_ann_stream(
             n_cells=n_cells,
             retrain_drift=retrain_drift,
         )
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_twin_tables(
-                spark,
-                out_path,
-                [SERVES_TABLE, INDEX_TABLE],
-                txn_app=app,
-                batch_id=batch_id,
-                canonical=INDEX_TABLE,
-            )
+        compact_twin_tables(
+            spark,
+            out_path,
+            [SERVES_TABLE, INDEX_TABLE],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=INDEX_TABLE,
+            compact_every=compact_every,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)

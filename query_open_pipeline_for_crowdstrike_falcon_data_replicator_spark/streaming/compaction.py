@@ -48,12 +48,21 @@ def compact_twin_tables(
     txn_app: str,
     batch_id: int,
     canonical: str,
+    compact_every: int | None = None,
     target_files: int = 0,
 ) -> list[str]:
-    """Compact each snapshot table under ``out_path`` if the twin's
-    high-water mark on ``canonical`` is exactly ``batch_id`` (see module
-    docstring for why that is the replay-safe condition).  Tables that
-    do not exist yet are skipped.  Returns the compacted table names."""
+    """Compact each snapshot table under ``out_path`` if the run is DUE
+    and the twin's high-water mark on ``canonical`` is exactly
+    ``batch_id`` (see module docstring for why that is the replay-safe
+    condition).  The cadence lives HERE, not in each sink:
+    ``compact_every=None``/0 disarms (returns []); ``N`` fires after
+    every N-th batch — sinks call unconditionally per batch, and a
+    future cadence change (e.g. trigger on live-file count) edits one
+    place.  Direct invocations that want to compact NOW pass
+    ``compact_every=1``.  Tables that do not exist yet are skipped.
+    Returns the compacted table names."""
+    if not compact_every or (batch_id + 1) % compact_every:
+        return []
     mark = last_txn_version(
         spark, posixpath.join(out_path, canonical), txn_app
     )

@@ -320,15 +320,15 @@ def run_curation_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         curate_batch(spark, batch_df, out_path, batch_id, txn_app=app)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_twin_tables(
-                spark,
-                out_path,
-                [DOCS_TABLE, BANDS_TABLE, PROFILES_TABLE],
-                txn_app=app,
-                batch_id=batch_id,
-                canonical=PROFILES_TABLE,
-            )
+        compact_twin_tables(
+            spark,
+            out_path,
+            [DOCS_TABLE, BANDS_TABLE, PROFILES_TABLE],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=PROFILES_TABLE,
+            compact_every=compact_every,
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

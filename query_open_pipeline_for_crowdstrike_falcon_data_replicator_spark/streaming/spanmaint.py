@@ -252,15 +252,15 @@ def run_span_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_span_clean(spark, batch_df, out_path, batch_id, txn_app=app)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_twin_tables(
-                spark,
-                out_path,
-                [CLEAN_TABLE, WINDOWS_TABLE],
-                txn_app=app,
-                batch_id=batch_id,
-                canonical=WINDOWS_TABLE,
-            )
+        compact_twin_tables(
+            spark,
+            out_path,
+            [CLEAN_TABLE, WINDOWS_TABLE],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=WINDOWS_TABLE,
+            compact_every=compact_every,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)

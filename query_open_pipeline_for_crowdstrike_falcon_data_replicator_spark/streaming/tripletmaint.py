@@ -315,15 +315,15 @@ def run_triplet_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         extend_triplets(spark, batch_df, out_path, batch_id, txn_app=app)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_twin_tables(
-                spark,
-                out_path,
-                [PAIRS_TABLE, TRIPLETS_TABLE, INDEX_TABLE],
-                txn_app=app,
-                batch_id=batch_id,
-                canonical=INDEX_TABLE,
-            )
+        compact_twin_tables(
+            spark,
+            out_path,
+            [PAIRS_TABLE, TRIPLETS_TABLE, INDEX_TABLE],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=INDEX_TABLE,
+            compact_every=compact_every,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -184,6 +184,7 @@ def test_twin_compaction_crash_replay(spark, tmp_path, monkeypatch):
             txn_app=app,
             batch_id=2,
             canonical=WINDOWS_TABLE,
+            compact_every=1,
         )
         raise AssertionError("compaction should have crashed")
     except RuntimeError:
@@ -210,6 +211,7 @@ def test_twin_compaction_crash_replay(spark, tmp_path, monkeypatch):
         txn_app=app,
         batch_id=2,
         canonical=WINDOWS_TABLE,
+        compact_every=1,
     )
     assert done == [CLEAN_TABLE, WINDOWS_TABLE]
     assert (
@@ -226,6 +228,7 @@ def test_twin_compaction_crash_replay(spark, tmp_path, monkeypatch):
             txn_app=app,
             batch_id=1,
             canonical=WINDOWS_TABLE,
+            compact_every=1,
         )
         == []
     )
@@ -270,19 +273,19 @@ def test_twin_compaction_bounds_live_files_long_run(spark, tmp_path):
         app = f"span-longrun-{compact_every}"
         for b in range(n_batches):
             extend_span_clean(spark, batch(b), out, b, txn_app=app)
-            if compact_every and (b + 1) % compact_every == 0:
-                # target_files=4 keeps the compacted index multi-file
-                # (range-disjoint), so the probe's file-skip stays
-                # observable at this toy scale
-                compact_twin_tables(
-                    spark,
-                    out,
-                    [CLEAN_TABLE, WINDOWS_TABLE],
-                    txn_app=app,
-                    batch_id=b,
-                    canonical=WINDOWS_TABLE,
-                    target_files=4,
-                )
+            # target_files=4 keeps the compacted index multi-file
+            # (range-disjoint), so the probe's file-skip stays
+            # observable at this toy scale
+            compact_twin_tables(
+                spark,
+                out,
+                [CLEAN_TABLE, WINDOWS_TABLE],
+                txn_app=app,
+                batch_id=b,
+                canonical=WINDOWS_TABLE,
+                compact_every=compact_every,
+                target_files=4,
+            )
 
     plain, compacted = str(tmp_path / "plain"), str(tmp_path / "compacted")
     run(plain, None)

@@ -85,17 +85,17 @@ def main() -> None:
         )
         t0 = time.monotonic()
         extend_span_clean(spark, batch, out, b, txn_app="span-probe")
-        walls.append(round(time.monotonic() - t0, 2))
-        if compact_every and (b + 1) % compact_every == 0:
-            t1 = time.monotonic()
-            compact_twin_tables(
-                spark,
-                out,
-                [CLEAN_TABLE, WINDOWS_TABLE],
-                txn_app="span-probe",
-                batch_id=b,
-                canonical=WINDOWS_TABLE,
-            )
+        walls.append(time.monotonic() - t0)
+        t1 = time.monotonic()
+        if compact_twin_tables(
+            spark,
+            out,
+            [CLEAN_TABLE, WINDOWS_TABLE],
+            txn_app="span-probe",
+            batch_id=b,
+            canonical=WINDOWS_TABLE,
+            compact_every=compact_every,
+        ):
             compact_walls.append(round(time.monotonic() - t1, 2))
         live_files.append(len(snapshot_files(spark, f"{out}/{WINDOWS_TABLE}")))
 
@@ -111,8 +111,12 @@ def main() -> None:
                 "batch_docs": batch_docs,
                 "n_batches": n_batches,
                 "cores": cpus,
-                "batch_sec": walls,
-                "last_over_first": round(walls[-1] / walls[0], 2),
+                "batch_sec": [round(w, 2) for w in walls],
+                # ratio from UNROUNDED walls, guarded: a sub-5 ms first
+                # batch would round to 0.0 and divide-by-zero
+                "last_over_first": (
+                    round(walls[-1] / walls[0], 2) if walls[0] > 0 else None
+                ),
                 "index_windows": n_windows,
                 "total_removed": int(removed),
                 "compact_every": compact_every,
