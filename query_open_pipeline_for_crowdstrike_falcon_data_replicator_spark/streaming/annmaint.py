@@ -332,6 +332,7 @@ def run_ann_stream(
     n_cells: int = IVF_CELLS,
     retrain_drift: float | None = None,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Stream NDJSON embedding files (vec_id, embedding) through
     incremental ANN index maintenance: exactly-once serves / index
@@ -339,7 +340,8 @@ def run_ann_stream(
     ``retrain_drift`` arms the drift-triggered rebuild (see
     ``extend_ann_index``).  ``compact_every=N`` re-clusters the
     snapshot tables after every N-th batch (replay-fenced, see
-    ``streaming/compaction``)."""
+    ``streaming/compaction``; ``compact_max_files=M`` instead triggers
+    on the index's live file count — the self-scaling form)."""
     from .compaction import compact_twin_tables
 
     reader = spark.readStream.schema(EMB_SCHEMA)
@@ -367,6 +369,7 @@ def run_ann_stream(
             batch_id=batch_id,
             canonical=INDEX_TABLE,
             compact_every=compact_every,
+            max_live_files=compact_max_files,
         )
 
     return (

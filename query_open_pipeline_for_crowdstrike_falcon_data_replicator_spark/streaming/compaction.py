@@ -37,6 +37,7 @@ from ..sinks.snapshot import (
     compact_snapshot,
     current_version,
     last_txn_version,
+    snapshot_files,
 )
 
 
@@ -49,19 +50,38 @@ def compact_twin_tables(
     batch_id: int,
     canonical: str,
     compact_every: int | None = None,
+    max_live_files: int | None = None,
     target_files: int = 0,
 ) -> list[str]:
     """Compact each snapshot table under ``out_path`` if the run is DUE
     and the twin's high-water mark on ``canonical`` is exactly
     ``batch_id`` (see module docstring for why that is the replay-safe
-    condition).  The cadence lives HERE, not in each sink:
-    ``compact_every=None``/0 disarms (returns []); ``N`` fires after
-    every N-th batch — sinks call unconditionally per batch, and a
-    future cadence change (e.g. trigger on live-file count) edits one
-    place.  Direct invocations that want to compact NOW pass
+    condition).  The cadence lives HERE, not in each sink — sinks call
+    unconditionally per batch and a cadence change edits one place.
+
+    Two triggers, OR-combined; both ``None``/0 disarms (returns []):
+
+    - ``compact_every=N`` — after every N-th batch (fixed cadence);
+    - ``max_live_files=M`` — when the CANONICAL table's live file count
+      reaches M.  This is the self-scaling form BASELINE.md's cost
+      analysis calls for: a compaction rewrite costs O(index), so a
+      fixed cadence pays an ever-growing amortized per-batch cost,
+      while a file-count trigger fires ever more rarely as the index
+      grows (each batch adds a bounded file count), keeping BOTH the
+      probe-planning manifest bounded and the amortized rewrite cost
+      per batch roughly constant.
+
+    Direct invocations that want to compact NOW pass
     ``compact_every=1``.  Tables that do not exist yet are skipped.
     Returns the compacted table names."""
-    if not compact_every or (batch_id + 1) % compact_every:
+    due = bool(compact_every) and (batch_id + 1) % compact_every == 0
+    if not due and max_live_files:
+        # one manifest read — the canonical table's live file count
+        try:
+            due = len(snapshot_files(spark, posixpath.join(out_path, canonical))) >= max_live_files
+        except FileNotFoundError:
+            due = False
+    if not due:
         return []
     mark = last_txn_version(
         spark, posixpath.join(out_path, canonical), txn_app

@@ -304,11 +304,14 @@ def run_curation_stream(
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through the curation
     gate into an exactly-once curated corpus + dedup index.
     ``compact_every=N`` re-clusters the snapshot tables after every
-    N-th batch (replay-fenced, see ``streaming/compaction``)."""
+    N-th batch (replay-fenced, see ``streaming/compaction``;
+    ``compact_max_files=M`` instead triggers on the index's live file
+    count — the self-scaling form)."""
     from .compaction import compact_twin_tables
 
     reader = spark.readStream.schema(DOC_SCHEMA)
@@ -328,6 +331,7 @@ def run_curation_stream(
             batch_id=batch_id,
             canonical=PROFILES_TABLE,
             compact_every=compact_every,
+            max_live_files=compact_max_files,
         )
 
     writer = stream.writeStream.foreachBatch(_sink).option(

@@ -182,12 +182,15 @@ def run_graph_stream(
     *,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through the pair-graph
     maintenance path: an exactly-once, incrementally-extended near-dup
     edge snapshot plus the band/profile index the next batch probes.
     ``compact_every=N`` re-clusters the snapshot tables after every
-    N-th batch (replay-fenced, see ``streaming/compaction``)."""
+    N-th batch (replay-fenced, see ``streaming/compaction``;
+    ``compact_max_files=M`` instead triggers on the index's live file
+    count — the self-scaling form)."""
     from .compaction import compact_twin_tables
 
     reader = spark.readStream.schema(DOC_SCHEMA)
@@ -207,6 +210,7 @@ def run_graph_stream(
             batch_id=batch_id,
             canonical=PROFILES_TABLE,
             compact_every=compact_every,
+            max_live_files=compact_max_files,
         )
 
     return (

@@ -234,13 +234,16 @@ def run_span_stream(
     *,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through incremental
     span removal: an exactly-once cleaned-corpus snapshot plus the
     window-hash index the next batch probes.  ``compact_every=N``
     re-clusters both snapshot tables after every N-th batch (replay-
-    fenced, see ``streaming/compaction``) so the window index's pruning
-    ranges stay tight over a long-running stream."""
+    fenced, see ``streaming/compaction``; ``compact_max_files=M``
+    instead triggers on the index's live file count — the self-scaling
+    form) so the window index's pruning ranges stay tight over a
+    long-running stream."""
     from .compaction import compact_twin_tables
 
     reader = spark.readStream.schema(DOC_SCHEMA)
@@ -260,6 +263,7 @@ def run_span_stream(
             batch_id=batch_id,
             canonical=WINDOWS_TABLE,
             compact_every=compact_every,
+            max_live_files=compact_max_files,
         )
 
     return (

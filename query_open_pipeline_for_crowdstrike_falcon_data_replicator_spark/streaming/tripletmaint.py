@@ -298,12 +298,14 @@ def run_triplet_stream(
     *,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Stream NDJSON embedding files (vec_id, label, embedding) through
     incremental triplet mining: exactly-once pairs / triplets / index
     snapshots.  ``compact_every=N`` re-clusters the snapshot tables
     after every N-th batch (replay-fenced, see
-    ``streaming/compaction``)."""
+    ``streaming/compaction``; ``compact_max_files=M`` instead triggers
+    on the index's live file count — the self-scaling form)."""
     from .compaction import compact_twin_tables
 
     reader = spark.readStream.schema(EMB_SCHEMA)
@@ -323,6 +325,7 @@ def run_triplet_stream(
             batch_id=batch_id,
             canonical=INDEX_TABLE,
             compact_every=compact_every,
+            max_live_files=compact_max_files,
         )
 
     return (

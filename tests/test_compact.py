@@ -315,3 +315,59 @@ def test_twin_compaction_bounds_live_files_long_run(spark, tmp_path):
     n_read = pruned.select(F.input_file_name()).distinct().count()
     assert n_read < len(snapshot_files(spark, f"{compacted}/{WINDOWS_TABLE}"))
 
+
+
+@pytest.mark.slow
+def test_twin_compaction_file_count_trigger(spark, tmp_path):
+    """max_live_files triggers compaction when the canonical table's
+    live file count reaches the threshold — the self-scaling cadence:
+    it fires when the manifest is crowded, regardless of batch number,
+    and stays quiet while the file count is bounded."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        read_snapshot,
+        snapshot_files,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.compaction import (
+        compact_twin_tables,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.spanmaint import (
+        CLEAN_TABLE,
+        WINDOWS_TABLE,
+        extend_span_clean,
+    )
+
+    out = str(tmp_path / "span")
+    app = "span-filecount-test"
+    threshold = 4
+    fired_at = []
+    for b in range(8):
+        batch = spark.createDataFrame(
+            [
+                (b * 4 + i, " ".join(f"f{b}x{i}n{j}" for j in range(45)))
+                for i in range(4)
+            ],
+            ["doc_id", "text"],
+        )
+        extend_span_clean(spark, batch, out, b, txn_app=app)
+        done = compact_twin_tables(
+            spark,
+            out,
+            [CLEAN_TABLE, WINDOWS_TABLE],
+            txn_app=app,
+            batch_id=b,
+            canonical=WINDOWS_TABLE,
+            max_live_files=threshold,
+        )
+        if done:
+            fired_at.append(b)
+        # the invariant the trigger exists for: the manifest never grows
+        # far past the threshold (one batch's appends at most)
+        n_live = len(snapshot_files(spark, f"{out}/{WINDOWS_TABLE}"))
+        assert n_live <= threshold + 8, (b, n_live)  # loose: appends/batch vary
+
+    assert fired_at, "file-count trigger never fired"
+    assert fired_at[0] > 0, "fired before any files accumulated"
+    # content is untouched by however many compactions fired
+    assert read_snapshot(spark, f"{out}/{WINDOWS_TABLE}").count() > 0
+    total = read_snapshot(spark, f"{out}/{CLEAN_TABLE}").count()
+    assert total == 32  # every doc of every batch, exactly once
