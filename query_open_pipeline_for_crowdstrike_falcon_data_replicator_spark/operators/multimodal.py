@@ -822,9 +822,225 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- #
+# Video: real RIFF/AVI container round-trip + frame sampling
+# --------------------------------------------------------------------- #
+# The video twin of the WAV path, one level deeper: stdlib has no AVI
+# reader, so BOTH sides are hand-rolled over the RIFF spec — the writer
+# emits a standard container (RIFF/'AVI ' -> LIST hdrl [avih + LIST strl
+# [strh/strf]] -> LIST movi ['00db' frames]) and the parser genuinely
+# WALKS the chunk tree (4CC + little-endian sizes, LIST recursion, odd-
+# size padding) to recover the avih geometry and the frame chunks.
+# Frames are deterministic integer grayscale, so the DuckDB oracle
+# replays the frame-SAMPLED feature arithmetic exactly.  Frame sampling
+# (every FRAME_SAMPLE_EVERY-th frame) is the brief's video primitive:
+# at scale only the sampled frames' bytes are touched per row.
+VIDEO_W, VIDEO_H = 8, 6
+VIDEO_BASE_FRAMES = 4
+VIDEO_MOD_FRAMES = 5  # n_frames = 4 + doc_id % 5
+VIDEO_USEC_PER_FRAME = 40_000  # 25 fps
+FRAME_SAMPLE_EVERY = 2  # sample frames 0, 2, 4, ...
+
+
+def _video_pixel(doc_id: int, f: int, i: int) -> int:
+    """Deterministic grayscale byte — pure integer arithmetic, replayed
+    verbatim by the oracle."""
+    return (doc_id * 31 + f * 257 + i * 7919) % 256
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
+    """A complete standard AVI container for the doc's synthetic frames."""
+    import struct
+
+    frame_bytes = VIDEO_W * VIDEO_H
+    avih = struct.pack(
+        "<14I",
+        VIDEO_USEC_PER_FRAME,  # dwMicroSecPerFrame
+        frame_bytes * 25,      # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags (AVIF_HASINDEX clear, interleave hint)
+        n_frames,              # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        frame_bytes,           # dwSuggestedBufferSize
+        VIDEO_W,
+        VIDEO_H,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 25,                 # dwScale / dwRate -> 25 fps
+        0, n_frames, frame_bytes, 0xFFFFFFFF, 0,
+        0, 0, VIDEO_W, VIDEO_H,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, VIDEO_W, VIDEO_H, 1, 8, 0, frame_bytes, 0, 0, 256, 0,
+    )
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    frames = b"".join(
+        _riff_chunk(
+            b"00db",
+            bytes(_video_pixel(doc_id, f, i) for i in range(frame_bytes)),
+        )
+        for f in range(n_frames)
+    )
+    movi = _riff_chunk(b"LIST", b"movi" + frames)
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_riff(payload: bytes):
+    """Yield (fourcc, body) for each chunk in a RIFF payload, honoring
+    the odd-size pad byte."""
+    import struct
+
+    off = 0
+    while off + 8 <= len(payload):
+        fourcc = payload[off:off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4:off + 8])
+        body = payload[off + 8:off + 8 + size]
+        yield fourcc, body
+        off += 8 + size + (size % 2)
+
+
+def _parse_avi(data: bytes) -> tuple:
+    """(width, height, n_frames, usec_per_frame, frames) from a real
+    chunk-tree walk; raises on a malformed container."""
+    import struct
+
+    chunks = list(_walk_riff(data))
+    if len(chunks) != 1 or chunks[0][0] != b"RIFF" or chunks[0][1][:4] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    geom = None
+    frames = []
+    for fourcc, body in _walk_riff(chunks[0][1][4:]):
+        if fourcc != b"LIST":
+            continue
+        kind, inner = body[:4], body[4:]
+        if kind == b"hdrl":
+            for cc, b in _walk_riff(inner):
+                if cc == b"avih":
+                    h = struct.unpack("<14I", b)
+                    geom = (h[8], h[9], h[4], h[0])  # w, h, frames, usec
+        elif kind == b"movi":
+            frames.extend(b for cc, b in _walk_riff(inner) if cc == b"00db")
+    if geom is None or len(frames) != geom[2]:
+        raise ValueError("missing avih header or frame-count mismatch")
+    return (*geom, frames)
+
+
+VIDEO_PAYLOAD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+VIDEO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("usec_per_frame", LongType()),
+    StructField("sampled_frames", LongType()),
+    StructField("sum_pix", LongType()),
+    StructField("max_pix", LongType()),
+])
+
+
+def synth_avi_batch(ids: Iterator) -> Iterator:
+    """mapInPandas body: doc_id -> a complete AVI file as bytes."""
+    import pandas as pd
+
+    for pdf in ids:
+        payloads = [
+            _avi_bytes(
+                int(doc_id),
+                VIDEO_BASE_FRAMES + int(doc_id) % VIDEO_MOD_FRAMES,
+            )
+            for doc_id in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_video_batch(batches: Iterator) -> Iterator:
+    """mapInPandas body: AVI bytes -> frame-sampled integer features via
+    the real chunk-tree parse."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, n, usec, frames = _parse_avi(bytes(payload))
+            sampled = frames[::FRAME_SAMPLE_EVERY]
+            rows.append(
+                (
+                    int(doc_id), w, h, n, usec, len(sampled),
+                    sum(sum(fr) for fr in sampled),
+                    max(max(fr) for fr in sampled),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_frames", "usec_per_frame",
+                "sampled_frames", "sum_pix", "max_pix",
+            ],
+        )
+
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode + frame-sampled feature extraction over the binary
+    column: synth a real AVI per doc (Arrow pass 1), then walk the RIFF
+    chunk tree back and extract integer features from every
+    FRAME_SAMPLE_EVERY-th frame (Arrow pass 2) — the opaque-binary
+    story for the video modality, exact-oracled because frames are
+    deterministic integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    avi = docs.mapInPandas(synth_avi_batch, VIDEO_PAYLOAD_SCHEMA)
+    return avi.mapInPandas(decode_video_batch, VIDEO_FEATURE_SCHEMA)
+
+
+MULTIMODAL_VIDEO_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {VIDEO_BASE_FRAMES} + doc_id % {VIDEO_MOD_FRAMES} AS n_frames
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, f.f AS f, i.i AS i,
+         (d.doc_id * 31 + f.f * 257 + i.i * 7919) % 256 AS v
+  FROM d,
+       (SELECT unnest(range({VIDEO_BASE_FRAMES + VIDEO_MOD_FRAMES})) AS f) f,
+       (SELECT unnest(range({VIDEO_W * VIDEO_H})) AS i) i
+  WHERE f.f < d.n_frames AND f.f % {FRAME_SAMPLE_EVERY} = 0
+)
+SELECT p.doc_id,
+       {VIDEO_W} AS width,
+       {VIDEO_H} AS height,
+       d.n_frames,
+       {VIDEO_USEC_PER_FRAME} AS usec_per_frame,
+       CAST(count(DISTINCT p.f) AS BIGINT) AS sampled_frames,
+       CAST(sum(p.v) AS BIGINT) AS sum_pix,
+       CAST(max(p.v) AS BIGINT) AS max_pix
+FROM px p JOIN d USING (doc_id)
+GROUP BY p.doc_id, d.n_frames
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
+    "multimodal_video": (multimodal_video, MULTIMODAL_VIDEO_SQL),
 }

@@ -2482,3 +2482,59 @@ def test_modularity_exact_on_bridged_cliques(spark):
     }
     release_tracked_caches()
     assert rows == {(1, 6, 13, 143), (5, 6, 13, 143)}
+
+
+def test_multimodal_video_avi_roundtrip(spark):
+    """The video path writes REAL RIFF/AVI containers and parses them
+    back by walking the chunk tree: payloads carry the RIFF/'AVI '
+    magic, the recovered geometry and frame bytes equal the direct
+    computation, frame SAMPLING picks every FRAME_SAMPLE_EVERY-th
+    frame, and a malformed container is rejected loudly."""
+    import pytest as _p
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        FRAME_SAMPLE_EVERY,
+        VIDEO_BASE_FRAMES,
+        VIDEO_FEATURE_SCHEMA,
+        VIDEO_H,
+        VIDEO_MOD_FRAMES,
+        VIDEO_PAYLOAD_SCHEMA,
+        VIDEO_USEC_PER_FRAME,
+        VIDEO_W,
+        _parse_avi,
+        _video_pixel,
+        decode_video_batch,
+        synth_avi_batch,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 3, 4, 123, 999)], "doc_id long")
+    avi = ids.mapInPandas(synth_avi_batch, VIDEO_PAYLOAD_SCHEMA)
+    payloads = {r.doc_id: bytes(r.payload) for r in avi.collect()}
+    for doc_id, p in payloads.items():
+        assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+        w, h, nf, usec, frames = _parse_avi(p)
+        n_expect = VIDEO_BASE_FRAMES + doc_id % VIDEO_MOD_FRAMES
+        assert (w, h, nf, usec) == (
+            VIDEO_W, VIDEO_H, n_expect, VIDEO_USEC_PER_FRAME,
+        )
+        assert list(frames[0]) == [
+            _video_pixel(doc_id, 0, i) for i in range(VIDEO_W * VIDEO_H)
+        ]
+
+    feats = {
+        r.doc_id: r
+        for r in avi.mapInPandas(decode_video_batch, VIDEO_FEATURE_SCHEMA).collect()
+    }
+    for doc_id in payloads:
+        n = VIDEO_BASE_FRAMES + doc_id % VIDEO_MOD_FRAMES
+        sampled = list(range(0, n, FRAME_SAMPLE_EVERY))
+        r = feats[doc_id]
+        assert r.sampled_frames == len(sampled)
+        assert r.sum_pix == sum(
+            _video_pixel(doc_id, f, i)
+            for f in sampled
+            for i in range(VIDEO_W * VIDEO_H)
+        )
+
+    with _p.raises(ValueError):
+        _parse_avi(b"RIFX" + b"\x00" * 64)
