@@ -1415,9 +1415,9 @@ def train_lm_model(
         )
     if order >= 4:
         # "a 5-gram is two more tables in the identical pipeline" made
-        # code: the 4-gram table denormalizes ITS context denominator
-        # (the trigram count re-keyed one position left) exactly as the
-        # trigram did with the bigram's
+        # code: each higher order denormalizes ITS context denominator
+        # (the previous order's count re-keyed one position left)
+        # exactly as the trigram did with the bigram's
         tri_stored = spark.read.parquet(posixjoin(model_path, "trigrams"))
         ctx3 = tri_stored.select(
             F.col("prev2").alias("prev3"),
@@ -1432,6 +1432,23 @@ def train_lm_model(
             .join(ctx3, ["prev3", "prev2", "prev"])
             .write.mode("overwrite")
             .parquet(posixjoin(model_path, "fourgrams"))
+        )
+    if order >= 5:
+        four_stored = spark.read.parquet(posixjoin(model_path, "fourgrams"))
+        ctx4 = four_stored.select(
+            F.col("prev3").alias("prev4"),
+            F.col("prev2").alias("prev3"),
+            F.col("prev").alias("prev2"),
+            F.col("tok").alias("prev"),
+            F.col("c4").alias("ctx_c4"),
+        )
+        (
+            toks.filter(F.col("prev4").isNotNull())
+            .groupBy("prev4", "prev3", "prev2", "prev", "tok")
+            .agg(F.count(F.lit(1)).alias("c5"))
+            .join(ctx4, ["prev4", "prev3", "prev2", "prev"])
+            .write.mode("overwrite")
+            .parquet(posixjoin(model_path, "fivegrams"))
         )
     (
         uni_stored
@@ -1490,9 +1507,18 @@ def score_lm(
     bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
 
     scored = toks.join(uni, "tok", "left").join(big, ["prev", "tok"], "left")
-    table_name = {3: "trigrams", 4: "fourgrams"}
-    keys = {3: ["prev2", "prev", "tok"], 4: ["prev3", "prev2", "prev", "tok"]}
-    counts = {2: ("c2", "prev_c1"), 3: ("c3", "ctx_c2"), 4: ("c4", "ctx_c3")}
+    table_name = {3: "trigrams", 4: "fourgrams", 5: "fivegrams"}
+    keys = {
+        3: ["prev2", "prev", "tok"],
+        4: ["prev3", "prev2", "prev", "tok"],
+        5: ["prev4", "prev3", "prev2", "prev", "tok"],
+    }
+    counts = {
+        2: ("c2", "prev_c1"),
+        3: ("c3", "ctx_c2"),
+        4: ("c4", "ctx_c3"),
+        5: ("c5", "ctx_c4"),
+    }
     for k in range(3, order + 1):
         scored = scored.join(
             spark.read.parquet(posixjoin(model_path, table_name[k])),
@@ -1590,6 +1616,25 @@ def text_lm_score_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: train_lm_model(spark, docs, p, order=4),
     )
     return score_lm(docs, spark, model_path, order=4)
+
+
+def text_lm_score_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-5 instantiation — KenLM's order, and the SECOND of the
+    "two more iterations of the identical step": the fivegrams table
+    (counts + denormalized fourgram-context denominator) from the same
+    train pipeline, one more left join, one more rung on the
+    generalized backoff ladder.  Train/score code paths are shared with
+    every lower order; the oracle's CASE ladder is generated from the
+    same rung rule the Spark when-chain compiles from."""
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = build_once(
+        _lm_model_path(sf_dir, corpus_fingerprint(docs)) + "_five",
+        os.path.join("scalars", "_SUCCESS"),
+        lambda p: train_lm_model(spark, docs, p, order=5),
+    )
+    return score_lm(docs, spark, model_path, order=5)
 
 
 TEXT_LM_SCORE_SQL = f"""
@@ -1735,6 +1780,87 @@ scored AS (
                      AND tk.prev = ctx3.tok
   LEFT JOIN four fr ON tk.prev3 = fr.prev3 AND tk.prev2 = fr.prev2
                     AND tk.prev = fr.prev AND tk.tok = fr.tok
+  CROSS JOIN scal
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
+FROM scored
+GROUP BY 1
+"""
+
+
+def _lm_backoff_case_sql(order: int) -> str:
+    """The stupid-backoff CASE ladder for any order — the SQL mirror of
+    ``score_lm``'s generalized when-chain, rung for rung, with the same
+    left-associative ``-ln(B) + ...`` penalty chains."""
+    addone = "-ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))"
+    level = {
+        2: "-ln(b.c2 * 1.0 / up.c1)",
+        3: "-ln(tr.c3 * 1.0 / ctx.c2)",
+        4: "-ln(fr.c4 * 1.0 / ctx3.c3)",
+        5: "-ln(fv.c5 * 1.0 / ctx4.c4)",
+    }
+    count_col = {2: "b.c2", 3: "tr.c3", 4: "fr.c4", 5: "fv.c5"}
+
+    def pen(n: int, x: str) -> str:
+        return " + ".join([f"-ln({LM_BACKOFF})"] * n + [x])
+
+    rungs = [f"WHEN tk.prev IS NULL THEN {addone}"]
+    for s in range(order, 2, -1):
+        has = f"tk.prev{s - 1} IS NOT NULL"
+        for k in range(s, 1, -1):
+            rungs.append(
+                f"WHEN {has} AND {count_col[k]} IS NOT NULL "
+                f"THEN {pen(s - k, level[k])}"
+            )
+        rungs.append(f"WHEN {has} THEN {pen(s - 1, addone)}")
+    rungs.append(f"WHEN b.c2 IS NOT NULL THEN {level[2]}")
+    rungs.append(f"ELSE {pen(1, addone)}")
+    joined = "\n           ".join(rungs)
+    return f"CASE\n           {joined}\n         END"
+
+
+TEXT_LM5_SCORE_SQL = f"""
+WITH pos_toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+),
+toks AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev,
+         CASE WHEN pos > 2 THEN t[pos - 2] ELSE NULL END AS prev2,
+         CASE WHEN pos > 3 THEN t[pos - 3] ELSE NULL END AS prev3,
+         CASE WHEN pos > 4 THEN t[pos - 4] ELSE NULL END AS prev4
+  FROM pos_toks
+),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+big AS (SELECT prev, tok, count(*) AS c2 FROM toks
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT prev2, prev, tok, count(*) AS c3 FROM toks
+        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+four AS (SELECT prev3, prev2, prev, tok, count(*) AS c4 FROM toks
+         WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+five AS (SELECT prev4, prev3, prev2, prev, tok, count(*) AS c5 FROM toks
+         WHERE prev4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
+scored AS (
+  SELECT tk.doc_id,
+         {_lm_backoff_case_sql(5)} AS nll
+  FROM toks tk
+  LEFT JOIN uni u ON tk.tok = u.tok
+  LEFT JOIN uni up ON tk.prev = up.tok
+  LEFT JOIN big b ON tk.prev = b.prev AND tk.tok = b.tok
+  LEFT JOIN big ctx ON tk.prev2 = ctx.prev AND tk.prev = ctx.tok
+  LEFT JOIN tri tr ON tk.prev2 = tr.prev2 AND tk.prev = tr.prev
+                   AND tk.tok = tr.tok
+  LEFT JOIN tri ctx3 ON tk.prev3 = ctx3.prev2 AND tk.prev2 = ctx3.prev
+                     AND tk.prev = ctx3.tok
+  LEFT JOIN four fr ON tk.prev3 = fr.prev3 AND tk.prev2 = fr.prev2
+                    AND tk.prev = fr.prev AND tk.tok = fr.tok
+  LEFT JOIN four ctx4 ON tk.prev4 = ctx4.prev3 AND tk.prev3 = ctx4.prev2
+                      AND tk.prev2 = ctx4.prev AND tk.prev = ctx4.tok
+  LEFT JOIN five fv ON tk.prev4 = fv.prev4 AND tk.prev3 = fv.prev3
+                    AND tk.prev2 = fv.prev2 AND tk.prev = fv.prev
+                    AND tk.tok = fv.tok
   CROSS JOIN scal
 )
 SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
@@ -3612,6 +3738,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_shard_balance": (corpus_shard_balance, CORPUS_SHARD_SQL),
     "text_lm_score_trigram": (text_lm_score_trigram, TEXT_LM3_SCORE_SQL),
     "text_lm_score_4gram": (text_lm_score_4gram, TEXT_LM4_SCORE_SQL),
+    "text_lm_score_5gram": (text_lm_score_5gram, TEXT_LM5_SCORE_SQL),
     "text_gopher_filter": (text_gopher_filter, TEXT_GOPHER_SQL),
     "text_bm25": (text_bm25, _bm25_oracle_sql()),
     "corpus_dsir_resample": (corpus_dsir_resample, DSIR_SQL),

@@ -138,7 +138,11 @@ DRIVER_ANCHORS = (
     "corpus_export_verify",
 )
 
-DRIVER_SLOTS = 50
+# 51 this round: 5 anchors + 4 never-verified round-8 entries + all 42
+# entries whose last green row was round 5 (the verdict's rotation ask
+# fits exactly; the cap returns to the steady-state window as history
+# catches up)
+DRIVER_SLOTS = 51
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
