@@ -69,6 +69,8 @@ BENCH_EXCLUDE = {
     # query (3 micro-batches appending serves/index snapshots) inside
     # the builder
     "stream_ann_verify",
+    # same, drift-armed (planted-shift batches triggering the rebuild)
+    "stream_ann_drift_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

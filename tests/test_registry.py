@@ -146,3 +146,19 @@ def test_zero_signal_membership_matches_sf001_oracles():
         _, sql = full[name]
         n = len(con.execute(sql).fetchall())
         assert n > 0, f"{name} oracle is empty at sf0.01 - zero driver signal"
+
+
+def test_streaming_probes_are_bench_excluded():
+    """Every streaming verify probe runs a Structured Streaming query
+    inside its builder — a correctness probe, never a timed op.  This
+    pin would have caught stream_ann_drift_verify landing in the bench
+    surface (round 8)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.registry import (
+        BENCH_EXCLUDE,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.verify import (
+        STREAMING_QUERIES,
+    )
+
+    missing = [n for n in STREAMING_QUERIES if n not in BENCH_EXCLUDE]
+    assert missing == [], missing
