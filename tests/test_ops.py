@@ -2484,6 +2484,34 @@ def test_modularity_exact_on_bridged_cliques(spark):
     assert rows == {(1, 6, 13, 143), (5, 6, 13, 143)}
 
 
+def test_avi_container_roundtrip_pure():
+    """Container-logic half of the video path, Spark-free (default
+    gate): writer/parser round-trip, frame bytes, and malformed-input
+    rejection."""
+    import pytest as _p
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_USEC_PER_FRAME,
+        VIDEO_W,
+        _avi_bytes,
+        _parse_avi,
+        _video_pixel,
+    )
+
+    for doc_id, n in ((0, 4), (7, 6), (123, 8)):
+        data = _avi_bytes(doc_id, n)
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        w, h, nf, usec, frames = _parse_avi(data)
+        assert (w, h, nf, usec) == (VIDEO_W, VIDEO_H, n, VIDEO_USEC_PER_FRAME)
+        assert list(frames[-1]) == [
+            _video_pixel(doc_id, n - 1, i) for i in range(VIDEO_W * VIDEO_H)
+        ]
+    with _p.raises(ValueError):
+        _parse_avi(b"RIFX" + b"\x00" * 64)
+
+
+@pytest.mark.slow
 def test_multimodal_video_avi_roundtrip(spark):
     """The video path writes REAL RIFF/AVI containers and parses them
     back by walking the chunk tree: payloads carry the RIFF/'AVI '
