@@ -865,7 +865,8 @@ def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
         VIDEO_USEC_PER_FRAME,  # dwMicroSecPerFrame
         frame_bytes * 25,      # dwMaxBytesPerSec
         0,                     # dwPaddingGranularity
-        0x10,                  # dwFlags (AVIF_HASINDEX clear, interleave hint)
+        0,                     # dwFlags (no idx1 is emitted, so
+                               # AVIF_HASINDEX=0x10 must stay CLEAR)
         n_frames,              # dwTotalFrames
         0,                     # dwInitialFrames
         1,                     # dwStreams
@@ -881,10 +882,14 @@ def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
         0, n_frames, frame_bytes, 0xFFFFFFFF, 0,
         0, 0, VIDEO_W, VIDEO_H,
     )
+    # an 8-bpp DIB's strf must carry its RGBQUAD palette after the
+    # 40-byte BITMAPINFOHEADER (biClrUsed=256 promises 1024 bytes) —
+    # grayscale identity here, so external VfW/ffmpeg readers see a
+    # conforming stream
     strf = struct.pack(
         "<IiiHHIIiiII",
         40, VIDEO_W, VIDEO_H, 1, 8, 0, frame_bytes, 0, 0, 256, 0,
-    )
+    ) + b"".join(bytes((i, i, i, 0)) for i in range(256))
     strl = _riff_chunk(
         b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
@@ -902,15 +907,22 @@ def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
 
 def _walk_riff(payload: bytes):
     """Yield (fourcc, body) for each chunk in a RIFF payload, honoring
-    the odd-size pad byte."""
+    the odd-size pad byte.  A declared size that overruns the buffer is
+    a truncated container — raised loudly, never silently clamped (a
+    short frame chunk would otherwise pass the frame-count check and
+    yield silently wrong features)."""
     import struct
 
     off = 0
     while off + 8 <= len(payload):
         fourcc = payload[off:off + 4]
         (size,) = struct.unpack("<I", payload[off + 4:off + 8])
-        body = payload[off + 8:off + 8 + size]
-        yield fourcc, body
+        if off + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated RIFF chunk {fourcc!r}: declares {size} bytes, "
+                f"{len(payload) - off - 8} remain"
+            )
+        yield fourcc, payload[off + 8:off + 8 + size]
         off += 8 + size + (size % 2)
 
 
@@ -931,6 +943,10 @@ def _parse_avi(data: bytes) -> tuple:
         if kind == b"hdrl":
             for cc, b in _walk_riff(inner):
                 if cc == b"avih":
+                    if len(b) != 56:
+                        raise ValueError(
+                            f"malformed avih header: {len(b)} bytes, want 56"
+                        )
                     h = struct.unpack("<14I", b)
                     geom = (h[8], h[9], h[4], h[0])  # w, h, frames, usec
         elif kind == b"movi":

@@ -1637,6 +1637,37 @@ def text_lm_score_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_lm(docs, spark, model_path, order=5)
 
 
+def _lm_backoff_case_sql(order: int) -> str:
+    """The stupid-backoff CASE ladder for any order — the SQL mirror of
+    ``score_lm``'s generalized when-chain, rung for rung, with the same
+    left-associative ``-ln(B) + ...`` penalty chains."""
+    addone = "-ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))"
+    level = {
+        2: "-ln(b.c2 * 1.0 / up.c1)",
+        3: "-ln(tr.c3 * 1.0 / ctx.c2)",
+        4: "-ln(fr.c4 * 1.0 / ctx3.c3)",
+        5: "-ln(fv.c5 * 1.0 / ctx4.c4)",
+    }
+    count_col = {2: "b.c2", 3: "tr.c3", 4: "fr.c4", 5: "fv.c5"}
+
+    def pen(n: int, x: str) -> str:
+        return " + ".join([f"-ln({LM_BACKOFF})"] * n + [x])
+
+    rungs = [f"WHEN tk.prev IS NULL THEN {addone}"]
+    for s in range(order, 2, -1):
+        has = f"tk.prev{s - 1} IS NOT NULL"
+        for k in range(s, 1, -1):
+            rungs.append(
+                f"WHEN {has} AND {count_col[k]} IS NOT NULL "
+                f"THEN {pen(s - k, level[k])}"
+            )
+        rungs.append(f"WHEN {has} THEN {pen(s - 1, addone)}")
+    rungs.append(f"WHEN b.c2 IS NOT NULL THEN {level[2]}")
+    rungs.append(f"ELSE {pen(1, addone)}")
+    joined = "\n           ".join(rungs)
+    return f"CASE\n           {joined}\n         END"
+
+
 TEXT_LM_SCORE_SQL = f"""
 WITH pos_toks AS (
   SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
@@ -1692,21 +1723,7 @@ tri AS (SELECT prev2, prev, tok, count(*) AS c3 FROM toks
 scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
 scored AS (
   SELECT tk.doc_id,
-         CASE
-           WHEN tk.prev IS NULL
-             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-           WHEN tk.prev2 IS NOT NULL AND tr.c3 IS NOT NULL
-             THEN -ln(tr.c3 * 1.0 / ctx.c2)
-           WHEN tk.prev2 IS NOT NULL AND b.c2 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln(b.c2 * 1.0 / up.c1)
-           WHEN tk.prev2 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln({LM_BACKOFF})
-                  + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-           WHEN b.c2 IS NOT NULL
-             THEN -ln(b.c2 * 1.0 / up.c1)
-           ELSE -ln({LM_BACKOFF})
-                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-         END AS nll
+         {_lm_backoff_case_sql(3)} AS nll
   FROM toks tk
   LEFT JOIN uni u ON tk.tok = u.tok
   LEFT JOIN uni up ON tk.prev = up.tok
@@ -1744,31 +1761,7 @@ four AS (SELECT prev3, prev2, prev, tok, count(*) AS c4 FROM toks
 scal AS (SELECT CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab FROM uni),
 scored AS (
   SELECT tk.doc_id,
-         CASE
-           WHEN tk.prev IS NULL
-             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-           WHEN tk.prev3 IS NOT NULL AND fr.c4 IS NOT NULL
-             THEN -ln(fr.c4 * 1.0 / ctx3.c3)
-           WHEN tk.prev3 IS NOT NULL AND tr.c3 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln(tr.c3 * 1.0 / ctx.c2)
-           WHEN tk.prev3 IS NOT NULL AND b.c2 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln({LM_BACKOFF})
-                  + -ln(b.c2 * 1.0 / up.c1)
-           WHEN tk.prev3 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln({LM_BACKOFF}) + -ln({LM_BACKOFF})
-                  + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-           WHEN tk.prev2 IS NOT NULL AND tr.c3 IS NOT NULL
-             THEN -ln(tr.c3 * 1.0 / ctx.c2)
-           WHEN tk.prev2 IS NOT NULL AND b.c2 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln(b.c2 * 1.0 / up.c1)
-           WHEN tk.prev2 IS NOT NULL
-             THEN -ln({LM_BACKOFF}) + -ln({LM_BACKOFF})
-                  + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-           WHEN b.c2 IS NOT NULL
-             THEN -ln(b.c2 * 1.0 / up.c1)
-           ELSE -ln({LM_BACKOFF})
-                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
-         END AS nll
+         {_lm_backoff_case_sql(4)} AS nll
   FROM toks tk
   LEFT JOIN uni u ON tk.tok = u.tok
   LEFT JOIN uni up ON tk.prev = up.tok
@@ -1786,37 +1779,6 @@ SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) + 0.0 AS mean_nll
 FROM scored
 GROUP BY 1
 """
-
-
-def _lm_backoff_case_sql(order: int) -> str:
-    """The stupid-backoff CASE ladder for any order — the SQL mirror of
-    ``score_lm``'s generalized when-chain, rung for rung, with the same
-    left-associative ``-ln(B) + ...`` penalty chains."""
-    addone = "-ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))"
-    level = {
-        2: "-ln(b.c2 * 1.0 / up.c1)",
-        3: "-ln(tr.c3 * 1.0 / ctx.c2)",
-        4: "-ln(fr.c4 * 1.0 / ctx3.c3)",
-        5: "-ln(fv.c5 * 1.0 / ctx4.c4)",
-    }
-    count_col = {2: "b.c2", 3: "tr.c3", 4: "fr.c4", 5: "fv.c5"}
-
-    def pen(n: int, x: str) -> str:
-        return " + ".join([f"-ln({LM_BACKOFF})"] * n + [x])
-
-    rungs = [f"WHEN tk.prev IS NULL THEN {addone}"]
-    for s in range(order, 2, -1):
-        has = f"tk.prev{s - 1} IS NOT NULL"
-        for k in range(s, 1, -1):
-            rungs.append(
-                f"WHEN {has} AND {count_col[k]} IS NOT NULL "
-                f"THEN {pen(s - k, level[k])}"
-            )
-        rungs.append(f"WHEN {has} THEN {pen(s - 1, addone)}")
-    rungs.append(f"WHEN b.c2 IS NOT NULL THEN {level[2]}")
-    rungs.append(f"ELSE {pen(1, addone)}")
-    joined = "\n           ".join(rungs)
-    return f"CASE\n           {joined}\n         END"
 
 
 TEXT_LM5_SCORE_SQL = f"""

@@ -140,11 +140,13 @@ DRIVER_ANCHORS = (
     "corpus_export_verify",
 )
 
-# 51 this round: 5 anchors + 4 never-verified round-8 entries + all 42
-# entries whose last green row was round 5 (the verdict's rotation ask
-# fits exactly; the cap returns to the steady-state window as history
-# catches up)
-DRIVER_SLOTS = 51
+# 50 is the DRIVER's cap, not ours: every CORRECTNESS_r*.json records
+# exactly 50 rows (r1's recorded the first 50 of 55+ in dict order), so
+# returning a 51st entry silently drops it from verification.  Round 8
+# added 4 never-verified entries, so exactly one r5-stale row
+# (window_running_revenue, the alphabetical tail of the tie) rolls to
+# round 9 as the then-oldest — the mechanical rotation handling it.
+DRIVER_SLOTS = 50
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:

@@ -2509,6 +2509,11 @@ def test_avi_container_roundtrip_pure():
         ]
     with _p.raises(ValueError):
         _parse_avi(b"RIFX" + b"\x00" * 64)
+    # truncation is rejected loudly, never silently clamped (a short
+    # frame would otherwise yield wrong features)
+    whole = _avi_bytes(7, 5)
+    with _p.raises(ValueError):
+        _parse_avi(whole[: len(whole) - 10])
 
 
 @pytest.mark.slow
