@@ -201,6 +201,7 @@ def test_stream_snapshot_mode(spark, tmp_path):
     assert read_snapshot(spark, probe).count() == 2 * EXPECTED_COUNTS["process_activity"]
 
 
+@pytest.mark.slow  # 59 s: applyInPandasWithState soak, the gate's single largest test
 def test_stateful_threshold_alerts(spark, tmp_path):
     """Custom cross-batch stateful operator (applyInPandasWithState):
     per-user cumulative error counts persist across micro-batches and the
