@@ -1389,10 +1389,19 @@ def train_lm_model(
         toks.filter(F.col("prev").isNotNull())
         .groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("c2"))
+        # MERGE hint on every context join: BOTH sides are corpus-scale
+        # (counts are derived tables whose Catalyst size estimate can be
+        # 100x low — the substring-dedup precedent; at 1M probe docs the
+        # un-hinted plan OOMed the driver broadcasting the trigram
+        # table, and shuffle_hash OOMed the per-partition hash map at
+        # ~49M distinct trigrams).  Sort-merge spills gracefully — the
+        # only join shape that survives two corpus-scale sides at any
+        # size, and train runs once per corpus so the sort is cheap
+        # insurance.
         .join(
             uni_stored.select(
                 F.col("tok").alias("prev"), F.col("c1").alias("prev_c1")
-            ),
+            ).hint("merge"),
             "prev",
         )
         .write.mode("overwrite")
@@ -1409,7 +1418,7 @@ def train_lm_model(
             toks.filter(F.col("prev2").isNotNull())
             .groupBy("prev2", "prev", "tok")
             .agg(F.count(F.lit(1)).alias("c3"))
-            .join(ctx, ["prev2", "prev"])
+            .join(ctx.hint("merge"), ["prev2", "prev"])
             .write.mode("overwrite")
             .parquet(posixjoin(model_path, "trigrams"))
         )
@@ -1429,7 +1438,7 @@ def train_lm_model(
             toks.filter(F.col("prev3").isNotNull())
             .groupBy("prev3", "prev2", "prev", "tok")
             .agg(F.count(F.lit(1)).alias("c4"))
-            .join(ctx3, ["prev3", "prev2", "prev"])
+            .join(ctx3.hint("merge"), ["prev3", "prev2", "prev"])
             .write.mode("overwrite")
             .parquet(posixjoin(model_path, "fourgrams"))
         )
@@ -1446,7 +1455,7 @@ def train_lm_model(
             toks.filter(F.col("prev4").isNotNull())
             .groupBy("prev4", "prev3", "prev2", "prev", "tok")
             .agg(F.count(F.lit(1)).alias("c5"))
-            .join(ctx4, ["prev4", "prev3", "prev2", "prev"])
+            .join(ctx4.hint("merge"), ["prev4", "prev3", "prev2", "prev"])
             .write.mode("overwrite")
             .parquet(posixjoin(model_path, "fivegrams"))
         )
@@ -1476,6 +1485,35 @@ def _lm_model_path(sf_dir: str, fp: str) -> str:
         tempfile.gettempdir(),
         f"qopcfdr_lm2_model_{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
     )
+
+
+# a 32 MB parquet n-gram table inflates toward the 64 MB broadcast
+# threshold's danger zone in memory; half the threshold is the
+# conservative gate for forcing the spillable join
+LM_MERGE_HINT_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _local_dir_bytes(path: str) -> int | None:
+    """Total bytes under a LOCAL directory via filesystem metadata (no
+    Spark job); ``None`` for non-local schemes or unreadable paths —
+    callers treat unknown as 'assume big'."""
+    import os as _os
+
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    elif "://" in local:
+        return None
+    try:
+        return sum(
+            e.stat().st_size
+            for e in _os.scandir(local)
+            if e.is_file()
+        )
+    except OSError:
+        return None
 
 
 def score_lm(
@@ -1520,11 +1558,22 @@ def score_lm(
         5: ("c5", "ctx_c4"),
     }
     for k in range(3, order + 1):
-        scored = scored.join(
-            spark.read.parquet(posixjoin(model_path, table_name[k])),
-            keys[k],
-            "left",
-        )
+        # size-gated merge hint: the order>=3 count tables grow
+        # combinatorially with the corpus (49M distinct trigrams at the
+        # 1M-doc probe) and their COMPRESSED size can sit under the
+        # broadcast threshold while inflating ~10x in memory — AQE
+        # broadcast of the trigram table OOMed the probe.  Sort-merge
+        # spills gracefully at any size, but costs ~0.5 s/query at toy
+        # scale, so the hint applies only when the on-disk table (a
+        # cheap filesystem-metadata check, no job) is big enough to be
+        # dangerous — or when its size is unknowable (the safe default).
+        # uni/big stay AQE-planned: vocab- and vocab^2-bounded,
+        # measured fine at 1M docs.
+        tbl = spark.read.parquet(posixjoin(model_path, table_name[k]))
+        size = _local_dir_bytes(posixjoin(model_path, table_name[k]))
+        if size is None or size > LM_MERGE_HINT_MIN_BYTES:
+            tbl = tbl.hint("merge")
+        scored = scored.join(tbl, keys[k], "left")
 
     def level(k):
         if k == 1:
