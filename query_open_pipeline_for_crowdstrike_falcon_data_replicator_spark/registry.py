@@ -71,6 +71,10 @@ BENCH_EXCLUDE = {
     "stream_ann_verify",
     # same, drift-armed (planted-shift batches triggering the rebuild)
     "stream_ann_drift_verify",
+    # runs incremental LM maintenance as a Structured Streaming query
+    # (3 micro-batches appending count-delta/scores snapshots, one
+    # mid-stream fold compaction) inside the builder
+    "stream_lm_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

@@ -499,6 +499,7 @@ def compact_snapshot(
     *,
     target_files: int = 0,
     target_file_bytes: int = 128 * 1024 * 1024,
+    transform=None,
 ) -> int:
     """Rewrite the current snapshot into ~``target_files`` larger files
     and commit the result as a new version.  No reader is disturbed:
@@ -507,7 +508,15 @@ def compact_snapshot(
 
     ``target_files=0`` sizes the output from the snapshot's total bytes
     at ``target_file_bytes`` per file (the 128 MB default matches the
-    reference Firehose buffer ceiling)."""
+    reference Firehose buffer ceiling).
+
+    ``transform`` (DataFrame -> DataFrame) is applied to the unioned
+    read before restaging — MERGE-ON-READ compaction for tables whose
+    rows are partial-aggregate deltas (the streamed LM's n-gram count
+    tables fold duplicates with a groupBy-sum here).  The transform
+    must be a pure fold: idempotent on already-folded data, preserving
+    the readers' merge semantics, or readers of pre- and post-compaction
+    versions would disagree."""
     fs, _ = _fs(spark, path)
     version = current_version(spark, path)
     if version is None:
@@ -522,6 +531,8 @@ def compact_snapshot(
         )
         target_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(*[posixpath.join(path, f) for f in files])
+    if transform is not None:
+        df = transform(df)
     if cluster_col is not None:
         # a clustered table compacts CLUSTERED: per-batch appends each
         # cover the whole key range, so compaction is precisely when the

@@ -52,6 +52,7 @@ def compact_twin_tables(
     compact_every: int | None = None,
     max_live_files: int | None = None,
     target_files: int = 0,
+    transforms: dict | None = None,
 ) -> list[str]:
     """Compact each snapshot table under ``out_path`` if the run is DUE
     and the twin's high-water mark on ``canonical`` is exactly
@@ -73,6 +74,9 @@ def compact_twin_tables(
 
     Direct invocations that want to compact NOW pass
     ``compact_every=1``.  Tables that do not exist yet are skipped.
+    ``transforms`` maps table name -> pure fold applied during that
+    table's rewrite (``compact_snapshot``'s merge-on-read hook — the
+    streamed LM folds its count-delta tables with a groupBy-sum).
     Returns the compacted table names."""
     due = bool(compact_every) and (batch_id + 1) % compact_every == 0
     if not due and max_live_files:
@@ -93,6 +97,11 @@ def compact_twin_tables(
         p = posixpath.join(out_path, t)
         if current_version(spark, p) is None:
             continue
-        compact_snapshot(spark, p, target_files=target_files)
+        compact_snapshot(
+            spark,
+            p,
+            target_files=target_files,
+            transform=(transforms or {}).get(t),
+        )
         done.append(t)
     return done

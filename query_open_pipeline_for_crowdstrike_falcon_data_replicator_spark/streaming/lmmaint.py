@@ -1,0 +1,245 @@
+"""Incremental n-gram LM maintenance — the streaming twin of
+``text.train_lm_model`` / ``text.score_lm`` (order 2, the CCNet-style
+perplexity filter kept current on a live corpus).
+
+A reference LM is never closed either: document batches keep arriving,
+and the filter must score each batch against the model of EVERYTHING
+admitted so far without recounting old documents.  N-gram counts are a
+monoid (counts add), so the model state is two APPEND-ONLY snapshot
+tables of count DELTAS under the output root:
+
+- ``counts/unigrams`` — (tok, c1) per batch, clustered by ``tok``;
+- ``counts/bigrams``  — (prev, tok, c2) per batch, clustered by
+  ``prev``;
+- ``scores``          — (doc_id, batch_id, n_tokens, mean_nll): each
+  batch's documents scored against the cumulative model INCLUDING the
+  batch (the self-scoring CCNet bootstrap, per batch).
+
+Maintenance per batch is O(batch): one ``_ngram_positions`` explode,
+two map-side-combine groupBys, two clustered appends.  Serving is
+MERGE-ON-READ: cumulative counts are the groupBy-SUM over the delta
+rows.  The unigram fold reads the whole table — vocabulary-bounded
+(Heaps' law, sublinear in the corpus) and needed in full anyway for the
+(total, vocab) scalars; the BIGRAM table — the corpus-combinatorial one
+(49M distinct trigrams at the 1M-doc probe for its order-3 sibling) —
+is pruned to the batch's distinct ``prev`` keys through the clustered
+manifest stats (``read_snapshot_pruned``), so a trickle batch reads
+~its own key count of files, never the model (the spanmaint
+trickle-regime mechanics; the key list is batch-bounded, like
+spanmaint's window hashes).
+
+Merge-on-read leaves one cost unbounded: after thousands of batches
+each key's count is scattered over thousands of delta rows.  The FOLD
+COMPACTION closes it — ``compact_twin_tables(transforms=...)`` rewrites
+each count table through its groupBy-sum (``compact_snapshot``'s
+``transform`` hook), so the table periodically collapses back to one
+row per distinct n-gram and the per-serve read amplification stays
+bounded (``compact_max_files`` is the self-scaling trigger).  The fold
+is a pure monoid collapse: readers of pre- and post-compaction versions
+see identical cumulative counts.
+
+Exactly-once: deltas commit FIRST (unigrams -> bigrams), then the serve
+reads the tables BACK (never "prior snapshot ∪ in-memory batch": on a
+crash-replay whose delta commits skip, the snapshot already contains
+the batch — re-reading gives cumulative-through-batch in both the
+first-run and replay paths, so the scores append is deterministic),
+then scores commit.  All three writes ride the per-writer txn marks.
+
+Reference parity: the reference has no LM (SURVEY.md §6) —
+beyond-reference machinery composed from driver-verified parts
+(``text_lm_score``'s scoring expressions, ``stream_span_verify``'s
+sequential protocol, the count-monoid argument of
+``sketch_maintenance``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..operators.text import LM_BACKOFF, _ngram_positions
+from ..sinks.snapshot import read_snapshot, read_snapshot_pruned, write_snapshot
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+UNI_TABLE = "counts/unigrams"
+BIG_TABLE = "counts/bigrams"
+SCORES_TABLE = "scores"
+
+
+def fold_unigrams(df: DataFrame) -> DataFrame:
+    """Collapse unigram count deltas — the monoid sum (idempotent on
+    already-folded rows; ``compact_snapshot``'s transform contract)."""
+    return df.groupBy("tok").agg(F.sum("c1").alias("c1"))
+
+
+def fold_bigrams(df: DataFrame) -> DataFrame:
+    return df.groupBy("prev", "tok").agg(F.sum("c2").alias("c2"))
+
+
+def _score_batch(
+    toks: DataFrame, uni: DataFrame, big: DataFrame, batch_id: int
+) -> DataFrame:
+    """``score_lm``'s order-2 backoff over merge-on-read count tables:
+    the identical expression forms (same floats as the batch scorer and
+    the DuckDB oracle), with the denominators joined at serve time
+    instead of denormalized at train time."""
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
+    alpha = -F.log(F.lit(LM_BACKOFF))
+    bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
+    nll = (
+        F.when(F.col("prev").isNull(), addone)
+        .when(F.col("c2").isNotNull(), bigram_nll)
+        .otherwise(alpha + addone)
+    )
+    scal = uni.agg(
+        F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        toks.join(uni, "tok", "left")
+        .join(
+            uni.select(
+                F.col("tok").alias("prev"), F.col("c1").alias("prev_c1")
+            ),
+            "prev",
+            "left",
+        )
+        # merge hint: both sides can be corpus-scale (the folded bigram
+        # table is a derived aggregate whose size estimate Catalyst
+        # gets wrong — the train_lm_model OOM lesson); sort-merge
+        # spills at any size.  The uni joins stay AQE-planned:
+        # vocab-bounded, measured fine at 1M docs.
+        .join(big.hint("merge"), ["prev", "tok"], "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+        .select(
+            "doc_id",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_tokens",
+            "mean_nll",
+        )
+    )
+
+
+def extend_lm(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    out_path: str,
+    batch_id: int,
+    *,
+    txn_app: str,
+) -> None:
+    """The foreachBatch body; factored out so tests can drive it
+    directly.  Appends the batch's count deltas, then scores the batch
+    against the cumulative model read BACK from the tables."""
+    uni_path = posixpath.join(out_path, UNI_TABLE)
+    big_path = posixpath.join(out_path, BIG_TABLE)
+    scores_path = posixpath.join(out_path, SCORES_TABLE)
+
+    toks = _ngram_positions(batch_df.select("doc_id", "text"), order=2).persist()
+    try:
+        # ---- maintenance: O(batch) counts, clustered appends ---------
+        uni_delta = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+        big_delta = (
+            toks.filter(F.col("prev").isNotNull())
+            .groupBy("prev", "tok")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+        write_snapshot(
+            spark, uni_delta, uni_path,
+            txn_app=txn_app, txn_version=batch_id, cluster_col="tok",
+        )
+        write_snapshot(
+            spark, big_delta, big_path,
+            txn_app=txn_app, txn_version=batch_id, cluster_col="prev",
+        )
+
+        # ---- serving: merge-on-read against the committed state ------
+        # (read BACK, not prior ∪ in-memory: see module docstring's
+        # replay argument)
+        uni = fold_unigrams(read_snapshot(spark, uni_path))
+        prevs = [
+            r["prev"]
+            for r in toks.filter(F.col("prev").isNotNull())
+            .select("prev")
+            .distinct()
+            .collect()
+        ]
+        pruned = (
+            read_snapshot_pruned(spark, big_path, prevs) if prevs else None
+        )
+        big = (
+            fold_bigrams(pruned)
+            if pruned is not None
+            else spark.createDataFrame([], "prev string, tok string, c2 bigint")
+        )
+        write_snapshot(
+            spark,
+            _score_batch(toks, uni, big, batch_id),
+            scores_path,
+            txn_app=txn_app,
+            txn_version=batch_id,
+        )
+    finally:
+        toks.unpersist()
+
+
+def run_lm_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
+):
+    """Stream NDJSON document files (doc_id, text) through incremental
+    LM maintenance: exactly-once count-delta / scores snapshots, with
+    FOLD compaction of the count tables on the shared cadence triggers
+    (``compact_every`` fixed, ``compact_max_files`` self-scaling)."""
+    from .compaction import compact_twin_tables
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(input_path)
+
+    app = "lm-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        extend_lm(spark, batch_df, out_path, batch_id, txn_app=app)
+        compact_twin_tables(
+            spark,
+            out_path,
+            [UNI_TABLE, BIG_TABLE],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=BIG_TABLE,
+            compact_every=compact_every,
+            max_live_files=compact_max_files,
+            transforms={UNI_TABLE: fold_unigrams, BIG_TABLE: fold_bigrams},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

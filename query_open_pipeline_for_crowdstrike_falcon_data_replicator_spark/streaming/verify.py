@@ -1232,6 +1232,135 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def stream_lm_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of INCREMENTAL LM maintenance
+    (``streaming/lmmaint.py``): the documents corpus arrives as three
+    ascending doc_id-range NDJSON drops streamed through
+    ``run_lm_stream`` (availableNow, one file per micro-batch,
+    ``compact_every=2`` so a FOLD compaction of the count-delta tables
+    lands mid-stream).  Each batch appends its n-gram count deltas and
+    scores its own documents against the cumulative merge-on-read model
+    (unigram fold + prev-key-pruned bigram fold) INCLUDING the batch.
+
+    The read-back is the scores snapshot; the DuckDB oracle replays the
+    SEQUENTIAL definition exactly — batch b's docs scored under counts
+    cumulative through batch b, the same backoff CASE as
+    ``text_lm_score``.  A hash-match therefore proves, through actual
+    stream execution: the count-monoid append protocol, merge-on-read
+    serving, manifest-stat pruning of the bigram reads, the
+    mid-stream fold compaction (pure collapse — the oracle never sees
+    it), and exactly-once snapshot commits.
+
+    Output: (doc_id, batch_id, n_tokens, mean_nll).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (O(batch) maintenance, Heaps-bounded unigram fold,
+    key-pruned bigram reads, fold-bounded read amplification — see
+    ``lmmaint`` module docstring)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from .lmmaint import SCORES_TABLE, run_lm_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_lm_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_lm_verify: LM stream did not drain within 600s; "
+                "snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamlm_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "out", SCORES_TABLE)).select(
+        "doc_id", "batch_id", "n_tokens", "mean_nll"
+    )
+
+
+def _stream_lm_oracle_sql() -> str:
+    """Sequential replay of incremental LM scoring: batches are doc_id
+    thirds; batch b's documents score under counts cumulative through
+    batch b with the exact ``text_lm_score`` backoff arithmetic."""
+    from ..operators.text import LM_BACKOFF
+
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+bdoc AS (
+  SELECT d.doc_id, lower(d.text) AS lt,
+         CASE WHEN d.doc_id <= m // 3 THEN 0
+              WHEN d.doc_id <= 2 * m // 3 THEN 1
+              ELSE 2 END AS bid
+  FROM documents d CROSS JOIN mx
+),
+pos_toks AS (
+  SELECT doc_id, bid, unnest(generate_series(1, len(t))) AS pos, t
+  FROM (SELECT doc_id, bid, string_split(lt, ' ') AS t FROM bdoc)
+),
+toks AS (
+  SELECT doc_id, bid, pos, t[pos] AS tok,
+         CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+  FROM pos_toks
+),
+sb(s) AS (VALUES (0), (1), (2)),
+uni AS (
+  SELECT s, tok, count(*) AS c1
+  FROM toks JOIN sb ON toks.bid <= sb.s GROUP BY 1, 2
+),
+big AS (
+  SELECT s, prev, tok, count(*) AS c2
+  FROM toks JOIN sb ON toks.bid <= sb.s
+  WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+scal AS (
+  SELECT s, CAST(sum(c1) AS BIGINT) AS total, count(*) AS vocab
+  FROM uni GROUP BY 1
+),
+scored AS (
+  SELECT tk.doc_id, tk.bid,
+         CASE
+           WHEN tk.prev IS NULL
+             THEN -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+           WHEN bg.c2 IS NOT NULL
+             THEN -ln(bg.c2 * 1.0 / up.c1)
+           ELSE -ln({LM_BACKOFF})
+                + -ln((coalesce(u.c1, 0) + 1.0) / (total + vocab))
+         END AS nll
+  FROM toks tk
+  LEFT JOIN uni u ON u.s = tk.bid AND tk.tok = u.tok
+  LEFT JOIN uni up ON up.s = tk.bid AND tk.prev = up.tok
+  LEFT JOIN big bg ON bg.s = tk.bid AND tk.prev = bg.prev
+                   AND tk.tok = bg.tok
+  JOIN scal ON scal.s = tk.bid
+)
+SELECT doc_id, CAST(bid AS BIGINT) AS batch_id, count(*) AS n_tokens,
+       round(avg(nll), 6) + 0.0 AS mean_nll
+FROM scored
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1246,4 +1375,5 @@ STREAMING_QUERIES: dict[
         stream_ann_drift_verify,
         _stream_ann_drift_oracle_sql(),
     ),
+    "stream_lm_verify": (stream_lm_verify, _stream_lm_oracle_sql()),
 }

@@ -56,6 +56,44 @@ def load_artifact_history(repo_root: str = _REPO_ROOT) -> dict[str, tuple[int, .
 
 DRIVER_HISTORY: dict[str, tuple[int, ...]] = load_artifact_history()
 
+# Round 7's CORRECTNESS_r07.json never landed in this workspace: once
+# .gitignore began excluding driver artifacts (round 6), the round-7
+# driver commit (a1f0790) carried only VERDICT/ADVICE, and the dropped
+# file is absent from round-8's disk.  The greens are reconstructed,
+# not guessed: the r7 surface is DETERMINISTIC from the judged r7 HEAD
+# (``registry.driver_queries()`` evaluated at 612b403 over the r1-r6
+# artifacts — exactly 50 names), and VERDICT.md (r7) records the
+# result: "50/50 driver CORRECTNESS rows triple-green (rows+schema+
+# hash, zero errs)", naming these entries individually throughout.
+# Recorded here so the slot rotation doesn't re-burn round-8 slots on
+# entries verified one round ago.  If the artifact ever reappears the
+# set-union below makes this a no-op.
+R7_GREENS: tuple[str, ...] = (
+    "ann_hybrid_rrf", "ann_range_ivf", "ann_topk_filtered",
+    "ann_topk_ivf", "corpus_export_verify", "corpus_select_budget",
+    "dedup_incremental", "dedup_ngram_jaccard", "embedding_pca_power",
+    "embedding_standardize", "embedding_triplets_ivf",
+    "events_anomaly_zscore", "events_cusum_changepoint",
+    "events_funnel", "events_hypertable_rollup",
+    "events_retention_cohorts", "events_session_window",
+    "graph_label_propagation", "graph_modularity", "multimodal_audio",
+    "multimodal_meta", "ocsf_all_search", "ocsf_etl_verify",
+    "profile_orders", "q13_customer_distribution", "q16_supplier_cnt",
+    "q19_or_of_ands", "q1_pricing_summary", "q20_promo_suppliers",
+    "q21_late_suppliers", "q2_min_cost_part", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q8_market_share", "q9_product_profit",
+    "range_join_error_follow", "semi_join_urgent_customers",
+    "stream_ann_verify", "stream_pack_verify", "stream_triplet_verify",
+    "text_bm25", "text_lm_score", "text_lm_score_trigram",
+    "text_phrase_mining", "text_quality_by_lang",
+    "text_quality_ensemble", "text_quality_model",
+    "text_token_fingerprint", "text_vocabulary",
+    "window_top_orders_per_customer",
+)
+for _n in R7_GREENS:
+    DRIVER_HISTORY[_n] = tuple(sorted(set(DRIVER_HISTORY.get(_n, ())) | {7}))
+del _n
+
 # Hand-written snapshot through RECORDED_MAX_ROUND — a cross-check
 # only; DRIVER_HISTORY above is the operative table.
 RECORDED_MAX_ROUND = 6

@@ -1,0 +1,221 @@
+"""Incremental LM maintenance (streaming/lmmaint.py): count-monoid
+appends, merge-on-read serving, fold compaction, and exactly-once
+replays."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+    current_version,
+    read_snapshot,
+    snapshot_files,
+    write_snapshot,
+)
+from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.lmmaint import (
+    BIG_TABLE,
+    SCORES_TABLE,
+    UNI_TABLE,
+    extend_lm,
+    fold_bigrams,
+    fold_unigrams,
+    run_lm_stream,
+)
+
+B1 = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog"),
+]
+B2 = [
+    (11, "the cat sat again"),
+    (12, "something entirely novel here"),
+]
+
+
+def _write_batch(src: str, name: str, docs: list[tuple[int, str]]) -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    time.sleep(0.05)  # distinct file mtimes keep the source's batch order
+
+
+def _uni_counts(spark, out) -> dict[str, int]:
+    return {
+        r.tok: r.c1
+        for r in fold_unigrams(read_snapshot(spark, f"{out}/{UNI_TABLE}")).collect()
+    }
+
+
+def _scores(spark, out) -> dict[int, tuple[int, int, float]]:
+    return {
+        r.doc_id: (r.batch_id, r.n_tokens, r.mean_nll)
+        for r in read_snapshot(spark, f"{out}/{SCORES_TABLE}").collect()
+    }
+
+
+def _batch_prefix_scores(spark, tmp_path, tag, corpus, scored_docs):
+    """The batch-side yardstick: train_lm_model on the cumulative corpus,
+    score_lm the batch's docs — what each streamed serve must equal."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        score_lm,
+        train_lm_model,
+    )
+
+    model = str(tmp_path / f"model_{tag}")
+    train_lm_model(spark, spark.createDataFrame(corpus, ["doc_id", "text"]), model)
+    return {
+        r.doc_id: (r.n_tokens, r.mean_nll)
+        for r in score_lm(
+            spark.createDataFrame(scored_docs, ["doc_id", "text"]), spark, model
+        ).collect()
+    }
+
+
+@pytest.mark.slow
+def test_lm_stream_incremental_and_exactly_once(spark, tmp_path):
+    """Each batch's streamed serve equals the batch train+score over the
+    cumulative prefix (merge-on-read == denormalized model tables); a
+    mid-stream fold compaction changes nothing; replays are fenced."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "lm")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(src, "b1.json", B1)
+    q = run_lm_stream(spark, src, out, ckpt)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
+    got = _scores(spark, out)
+    want0 = _batch_prefix_scores(spark, tmp_path, "p0", B1, B1)
+    assert {d: v[1:] for d, v in got.items()} == want0
+    assert {v[0] for v in got.values()} == {0}
+
+    # batch 2 scores against cumulative counts (incl. itself); the run is
+    # due for compaction (batch_id 1 -> (1+1)%2 == 0), which must FOLD
+    # the count tables without changing anything a reader sees
+    _write_batch(src, "b2.json", B2)
+    q2 = run_lm_stream(spark, src, out, ckpt, compact_every=2)
+    assert q2.awaitTermination(300), "stream did not drain in 300s"
+    got = _scores(spark, out)
+    want1 = _batch_prefix_scores(spark, tmp_path, "p1", B1 + B2, B2)
+    assert {d: v[1:] for d, v in got.items() if v[0] == 1} == want1
+    # batch-0 scores are immutable facts: still the prefix-0 values
+    assert {d: v[1:] for d, v in got.items() if v[0] == 0} == want0
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _fs as _snap_fs,
+        _load_manifest,
+    )
+
+    for t in (UNI_TABLE, BIG_TABLE):
+        fs, _ = _snap_fs(spark, f"{out}/{t}")
+        v = current_version(spark, f"{out}/{t}")
+        m = _load_manifest(spark, fs, f"{out}/{t}", v)
+        assert "compacted_from" in m, t
+
+    # the fold collapsed deltas to one row per distinct n-gram
+    uni = read_snapshot(spark, f"{out}/{UNI_TABLE}")
+    assert uni.count() == uni.select("tok").distinct().count()
+    # "the" counted across both batches: 4 in B1 + 1 in B2
+    assert _uni_counts(spark, out)["the"] == 5
+
+    # replay of batch 0 (same writer identity): fenced — no new versions
+    versions = {
+        t: current_version(spark, f"{out}/{t}")
+        for t in (UNI_TABLE, BIG_TABLE, SCORES_TABLE)
+    }
+    app = "lm-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    extend_lm(
+        spark, spark.createDataFrame(B1, ["doc_id", "text"]), out, 0, txn_app=app
+    )
+    assert _scores(spark, out) == got
+    for t, v in versions.items():
+        assert current_version(spark, f"{out}/{t}") == v, t
+
+
+def test_lm_crash_between_commits_replays_clean(spark, tmp_path):
+    """A crash AFTER the unigram-delta commit but BEFORE the bigram and
+    scores commits leaves a batch half-published; replaying the whole
+    batch must skip the fenced unigram commit, land the rest, and end
+    identical to an uncrashed run in a sibling directory."""
+    app = "lm-" + hashlib.md5(b"crash").hexdigest()[:12]
+    out = str(tmp_path / "crashed")
+    clean = str(tmp_path / "clean")
+    df1 = spark.createDataFrame(B1, ["doc_id", "text"])
+
+    # simulate the crash window: publish ONLY the unigram deltas for
+    # batch 0 (same writer identity and version the real body would use)
+    uni_delta = (
+        df1.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    write_snapshot(
+        spark, uni_delta, f"{out}/{UNI_TABLE}",
+        txn_app=app, txn_version=0, cluster_col="tok",
+    )
+
+    # replay batch 0 in full, then run batch 1 normally
+    extend_lm(spark, df1, out, 0, txn_app=app)
+    df2 = spark.createDataFrame(B2, ["doc_id", "text"])
+    extend_lm(spark, df2, out, 1, txn_app=app)
+
+    extend_lm(spark, df1, clean, 0, txn_app=app)
+    extend_lm(spark, df2, clean, 1, txn_app=app)
+    assert _scores(spark, out) == _scores(spark, clean)
+    assert _uni_counts(spark, out) == _uni_counts(spark, clean)
+
+
+def test_lm_fold_compaction_preserves_counts_and_bounds_files(spark, tmp_path):
+    """The fold is a pure monoid collapse: cumulative counts identical
+    before and after, file count drops to the fold's output, and the txn
+    fence survives the compaction commit (a replay still skips)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.compaction import (
+        compact_twin_tables,
+    )
+
+    app = "lm-fold-test"
+    out = str(tmp_path / "lm")
+    extend_lm(spark, spark.createDataFrame(B1, ["doc_id", "text"]), out, 0, txn_app=app)
+    extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
+
+    uni_before = _uni_counts(spark, out)
+    big_before = {
+        (r.prev, r.tok): r.c2
+        for r in fold_bigrams(read_snapshot(spark, f"{out}/{BIG_TABLE}")).collect()
+    }
+    files_before = len(snapshot_files(spark, f"{out}/{UNI_TABLE}"))
+    assert files_before >= 2  # two delta appends
+
+    done = compact_twin_tables(
+        spark,
+        out,
+        [UNI_TABLE, BIG_TABLE],
+        txn_app=app,
+        batch_id=1,
+        canonical=BIG_TABLE,
+        compact_every=2,
+        transforms={UNI_TABLE: fold_unigrams, BIG_TABLE: fold_bigrams},
+    )
+    assert set(done) == {UNI_TABLE, BIG_TABLE}
+
+    assert _uni_counts(spark, out) == uni_before
+    assert {
+        (r.prev, r.tok): r.c2
+        for r in read_snapshot(spark, f"{out}/{BIG_TABLE}").collect()
+    } == big_before
+    # physically folded: one row per key, fewer live files
+    uni = read_snapshot(spark, f"{out}/{UNI_TABLE}")
+    assert uni.count() == uni.select("tok").distinct().count()
+    assert len(snapshot_files(spark, f"{out}/{UNI_TABLE}")) < files_before
+
+    # the txn map rode the compaction commit: a batch-1 replay is fenced
+    v = current_version(spark, f"{out}/{SCORES_TABLE}")
+    extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
+    assert current_version(spark, f"{out}/{SCORES_TABLE}") == v
