@@ -153,6 +153,7 @@ def extend_lm(
     scores_path = posixpath.join(out_path, SCORES_TABLE)
 
     toks = _ngram_positions(batch_df.select("doc_id", "text"), order=2).persist()
+    uni = None
     try:
         # ---- maintenance: O(batch) counts, clustered appends ---------
         uni_delta = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
@@ -173,7 +174,12 @@ def extend_lm(
         # ---- serving: merge-on-read against the committed state ------
         # (read BACK, not prior ∪ in-memory: see module docstring's
         # replay argument)
-        uni = fold_unigrams(read_snapshot(spark, uni_path))
+        # persisted + materialized: three consumers (tok join, prev
+        # join, the scalars aggregate) would otherwise each re-read and
+        # re-fold the whole unigram table (the annmaint multi-consumer
+        # lesson)
+        uni = fold_unigrams(read_snapshot(spark, uni_path)).persist()
+        uni.count()
         prevs = [
             r["prev"]
             for r in toks.filter(F.col("prev").isNotNull())
@@ -197,6 +203,8 @@ def extend_lm(
             txn_version=batch_id,
         )
     finally:
+        if uni is not None:
+            uni.unpersist()
         toks.unpersist()
 
 
