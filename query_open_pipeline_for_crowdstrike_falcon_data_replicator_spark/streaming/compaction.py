@@ -38,6 +38,7 @@ from ..sinks.snapshot import (
     current_version,
     last_txn_version,
     snapshot_files,
+    vacuum_snapshots,
 )
 
 
@@ -53,6 +54,8 @@ def compact_twin_tables(
     max_live_files: int | None = None,
     target_files: int = 0,
     transforms: dict | None = None,
+    vacuum_keep_last: int | None = 2,
+    vacuum_min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Compact each snapshot table under ``out_path`` if the run is DUE
     and the twin's high-water mark on ``canonical`` is exactly
@@ -77,6 +80,17 @@ def compact_twin_tables(
     ``transforms`` maps table name -> pure fold applied during that
     table's rewrite (``compact_snapshot``'s merge-on-read hook — the
     streamed LM folds its count-delta tables with a groupBy-sum).
+
+    Each compacted table is then VACUUMED (``vacuum_snapshots`` with
+    ``vacuum_keep_last``/``vacuum_min_age_seconds``): compaction is
+    exactly what turns old versions into dead weight — without GC a
+    long-running twin's storage grows as O(batches x table size) even
+    though the live snapshot is bounded.  On by default because the
+    age guard makes it safe next to live writers and pinned readers
+    (nothing younger than the threshold is deleted; Delta's VACUUM
+    RETAIN rationale) and the txn map rides the retained manifests, so
+    replay fencing survives.  ``vacuum_keep_last=None`` opts out
+    (time travel then reaches every version).
     Returns the compacted table names."""
     due = bool(compact_every) and (batch_id + 1) % compact_every == 0
     if not due and max_live_files:
@@ -103,5 +117,12 @@ def compact_twin_tables(
             target_files=target_files,
             transform=(transforms or {}).get(t),
         )
+        if vacuum_keep_last is not None:
+            vacuum_snapshots(
+                spark,
+                p,
+                keep_last=vacuum_keep_last,
+                min_age_seconds=vacuum_min_age_seconds,
+            )
         done.append(t)
     return done

@@ -219,3 +219,55 @@ def test_lm_fold_compaction_preserves_counts_and_bounds_files(spark, tmp_path):
     v = current_version(spark, f"{out}/{SCORES_TABLE}")
     extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
     assert current_version(spark, f"{out}/{SCORES_TABLE}") == v
+
+
+def test_compaction_vacuum_bounds_storage_and_keeps_fencing(spark, tmp_path):
+    """Compaction creates dead versions; the wired vacuum reaps them:
+    with keep_last=1 and no age guard only the compacted manifest and
+    its data files survive, reads stay correct, and the txn map on the
+    retained manifest still fences a replay."""
+    import glob
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.compaction import (
+        compact_twin_tables,
+    )
+
+    app = "lm-vac-test"
+    out = str(tmp_path / "lm")
+    extend_lm(spark, spark.createDataFrame(B1, ["doc_id", "text"]), out, 0, txn_app=app)
+    extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
+    uni_before = _uni_counts(spark, out)
+    uni_path = f"{out}/{UNI_TABLE}"
+    data_files_before = len(glob.glob(f"{uni_path}/data/*/*.parquet"))
+
+    done = compact_twin_tables(
+        spark,
+        out,
+        [UNI_TABLE, BIG_TABLE],
+        txn_app=app,
+        batch_id=1,
+        canonical=BIG_TABLE,
+        compact_every=2,
+        transforms={UNI_TABLE: fold_unigrams, BIG_TABLE: fold_bigrams},
+        vacuum_keep_last=1,
+        vacuum_min_age_seconds=0.0,
+    )
+    assert set(done) == {UNI_TABLE, BIG_TABLE}
+
+    # one manifest left (the compacted version), on-disk data pruned to
+    # exactly the live file set, counts unchanged
+    assert len(glob.glob(f"{uni_path}/_snapshots/*.json")) == 1
+    live = set(snapshot_files(spark, uni_path))
+    on_disk = {
+        os.path.relpath(p, uni_path)
+        for p in glob.glob(f"{uni_path}/data/*/*.parquet")
+    }
+    assert on_disk == live
+    assert len(on_disk) < data_files_before
+    assert _uni_counts(spark, out) == uni_before
+
+    # replay fencing survived the vacuum: the retained manifest carries
+    # the writer's high-water mark
+    v = current_version(spark, uni_path)
+    extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
+    assert current_version(spark, uni_path) == v
