@@ -221,6 +221,47 @@ def test_lm_fold_compaction_preserves_counts_and_bounds_files(spark, tmp_path):
     assert current_version(spark, f"{out}/{SCORES_TABLE}") == v
 
 
+def test_lm_serve_plan_bigram_join_is_sort_merge(spark):
+    """The serve's bigram model join is pinned SPILLABLE sort-merge:
+    both sides can be corpus-scale and the folded count table is a
+    derived aggregate whose size estimate Catalyst gets wrong (the
+    train_lm_model OOM lesson) — a plan-time broadcast here is the
+    failure mode.  The only nested-loop is the designed 1-row scalar
+    attach."""
+    import io
+    from contextlib import redirect_stdout
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        _ngram_positions,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.lmmaint import (
+        _score_batch,
+    )
+
+    toks = _ngram_positions(
+        spark.createDataFrame(B1, ["doc_id", "text"]), order=2
+    )
+    uni = spark.createDataFrame([("the", 4)], "tok string, c1 bigint")
+    big = spark.createDataFrame(
+        [("the", "cat", 1)], "prev string, tok string, c2 bigint"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _score_batch(toks, uni, big, 0).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan, plan[:1500]
+    # exactly the one designed nested-loop NODE: the broadcast 1-row
+    # scalars ("formatted" prints each node twice — tree + details —
+    # so count node ids, not substrings)
+    import re
+
+    bnlj_nodes = re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.MULTILINE
+    )
+    assert len(bnlj_nodes) == 1, plan[:1500]
+
+
 def test_compaction_vacuum_bounds_storage_and_keeps_fencing(spark, tmp_path):
     """Compaction creates dead versions; the wired vacuum reaps them:
     with keep_last=1 and no age guard only the compacted manifest and
