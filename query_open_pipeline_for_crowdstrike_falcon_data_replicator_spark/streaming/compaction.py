@@ -1,7 +1,8 @@
 """Periodic snapshot compaction for the streaming maintenance twins.
 
-Every maintenance twin (span / curation / graph / triplet / ANN) appends
-a fresh clustered file-set to its snapshot tables each micro-batch.
+Every maintenance twin (span / curation / graph / triplet / ANN / LM)
+appends a fresh clustered file-set to its snapshot tables each
+micro-batch.
 After thousands of micro-batches the manifest carries thousands of
 overlapping [min, max] ranges and the trickle-probe file-skip degrades
 toward a full scan.  ``sinks/snapshot.compact_snapshot`` already
