@@ -1516,6 +1516,56 @@ def _local_dir_bytes(path: str) -> int | None:
         return None
 
 
+LM_COUNT_COLS = {
+    2: ("c2", "prev_c1"),
+    3: ("c3", "ctx_c2"),
+    4: ("c4", "ctx_c3"),
+    5: ("c5", "ctx_c4"),
+}
+
+
+def _lm_backoff_expr(order: int):
+    """The stupid-backoff when-chain over the STANDARD column names
+    (``c1``/``total``/``vocab``, per-order counts and context
+    denominators per ``LM_COUNT_COLS``, context tokens ``prev``/
+    ``prev{k}``) — the third face of the one rung rule: shared by the
+    batch scorer (``score_lm``, denormalized model tables), the
+    streamed merge-on-read serve (``streaming/lmmaint``, denominators
+    joined at serve time), and — via the same rung recurrence — the
+    generated oracle CASE (``_lm_backoff_case_sql``).  A position
+    scores at the highest order whose context column is non-null; each
+    level dropped below it adds one LEFT-ASSOCIATIVE -ln(LM_BACKOFF)
+    (the float the oracle's "+"-chain builds; n*alpha rounds once,
+    a+a+a rounds twice — not always equal)."""
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
+    alpha = -F.log(F.lit(LM_BACKOFF))
+    bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
+
+    def level(k):
+        if k == 1:
+            return addone
+        c, d = LM_COUNT_COLS[k]
+        return -F.log(F.col(c) / F.col(d))
+
+    def pen(n, x):
+        acc = None
+        for _ in range(n):
+            acc = alpha if acc is None else acc + alpha
+        return x if acc is None else acc + x
+
+    nll = F.when(F.col("prev").isNull(), addone)
+    for s in range(order, 2, -1):
+        has = F.col(f"prev{s - 1}").isNotNull()
+        for k in range(s, 1, -1):
+            c = LM_COUNT_COLS[k][0]
+            nll = nll.when(has & F.col(c).isNotNull(), pen(s - k, level(k)))
+        nll = nll.when(has, pen(s - 1, addone))
+    return nll.when(F.col("c2").isNotNull(), bigram_nll).otherwise(
+        alpha + addone
+    )
+
+
 def score_lm(
     docs: DataFrame, spark: SparkSession, model_path: str, *, order: int = 2
 ) -> DataFrame:
@@ -1537,25 +1587,12 @@ def score_lm(
 
     toks = _ngram_positions(docs, order=order)
 
-    # OOV tokens (scoring a corpus the model never saw) take the add-one
-    # floor with c1=0 instead of silently dropping the position
-    c1 = F.coalesce(F.col("c1"), F.lit(0))
-    addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
-    alpha = -F.log(F.lit(LM_BACKOFF))
-    bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
-
     scored = toks.join(uni, "tok", "left").join(big, ["prev", "tok"], "left")
     table_name = {3: "trigrams", 4: "fourgrams", 5: "fivegrams"}
     keys = {
         3: ["prev2", "prev", "tok"],
         4: ["prev3", "prev2", "prev", "tok"],
         5: ["prev4", "prev3", "prev2", "prev", "tok"],
-    }
-    counts = {
-        2: ("c2", "prev_c1"),
-        3: ("c3", "ctx_c2"),
-        4: ("c4", "ctx_c3"),
-        5: ("c5", "ctx_c4"),
     }
     for k in range(3, order + 1):
         # size-gated merge hint: the order>=3 count tables grow
@@ -1575,35 +1612,11 @@ def score_lm(
             tbl = tbl.hint("merge")
         scored = scored.join(tbl, keys[k], "left")
 
-    def level(k):
-        if k == 1:
-            return addone
-        c, d = counts[k]
-        return -F.log(F.col(c) / F.col(d))
-
-    def pen(n, x):
-        # n backoff alphas by repeated LEFT-ASSOCIATIVE addition — the
-        # exact float the oracle's "-ln(B) + -ln(B) + ..." chain builds
-        # (n*alpha rounds once, a+a+a rounds twice: not always equal)
-        acc = None
-        for _ in range(n):
-            acc = alpha if acc is None else acc + alpha
-        return x if acc is None else acc + x
-
-    # First-match-wins backoff ladder: a position's maximum order is the
-    # highest k whose context column is non-null; each level dropped
-    # below it multiplies LM_BACKOFF once.  Orders 2 and 3 compile to
-    # the exact when-chains the original hand-written forms produced.
-    nll = F.when(F.col("prev").isNull(), addone)
-    for s in range(order, 2, -1):
-        has = F.col(f"prev{s - 1}").isNotNull()
-        for k in range(s, 1, -1):
-            c = counts[k][0]
-            nll = nll.when(has & F.col(c).isNotNull(), pen(s - k, level(k)))
-        nll = nll.when(has, pen(s - 1, addone))
-    nll = nll.when(F.col("c2").isNotNull(), bigram_nll).otherwise(
-        alpha + addone
-    )
+    # First-match-wins backoff ladder from the ONE rung-rule source
+    # (OOV tokens take the add-one floor with c1=0 inside the shared
+    # expression; orders 2 and 3 compile to the exact when-chains the
+    # original hand-written forms produced)
+    nll = _lm_backoff_expr(order)
     return (
         scored.crossJoin(F.broadcast(scal))
         .groupBy("doc_id")

@@ -1,6 +1,11 @@
 """Incremental n-gram LM maintenance — the streaming twin of
-``text.train_lm_model`` / ``text.score_lm`` (order 2, the CCNet-style
-perplexity filter kept current on a live corpus).
+``text.train_lm_model`` / ``text.score_lm`` (the CCNet-style perplexity
+filter kept current on a live corpus; order 2 default, order 3
+supported — each higher order is one more delta table and two more
+serve joins, the batch trainer's recurrence, and the backoff ladder
+itself comes from the SAME rung-rule source all three faces share:
+``text._lm_backoff_expr`` here and in the batch scorer,
+``text._lm_backoff_case_sql`` in the generated oracles).
 
 A reference LM is never closed either: document batches keep arriving,
 and the filter must score each batch against the model of EVERYTHING
@@ -61,7 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..operators.text import LM_BACKOFF, _ngram_positions
+from ..operators.text import _lm_backoff_expr, _ngram_positions
 from ..sinks.snapshot import read_snapshot, read_snapshot_pruned, write_snapshot
 
 DOC_SCHEMA = StructType(
@@ -73,6 +78,7 @@ DOC_SCHEMA = StructType(
 
 UNI_TABLE = "counts/unigrams"
 BIG_TABLE = "counts/bigrams"
+TRI_TABLE = "counts/trigrams"
 SCORES_TABLE = "scores"
 
 
@@ -86,22 +92,38 @@ def fold_bigrams(df: DataFrame) -> DataFrame:
     return df.groupBy("prev", "tok").agg(F.sum("c2").alias("c2"))
 
 
+def fold_trigrams(df: DataFrame) -> DataFrame:
+    return df.groupBy("prev2", "prev", "tok").agg(F.sum("c3").alias("c3"))
+
+
+def _twin_tables(order: int) -> list[str]:
+    return [UNI_TABLE, BIG_TABLE] + ([TRI_TABLE] if order >= 3 else [])
+
+
+FOLDS = {
+    UNI_TABLE: fold_unigrams,
+    BIG_TABLE: fold_bigrams,
+    TRI_TABLE: fold_trigrams,
+}
+
+
 def _score_batch(
-    toks: DataFrame, uni: DataFrame, big: DataFrame, batch_id: int
+    toks: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    batch_id: int,
+    *,
+    order: int = 2,
+    tri: DataFrame | None = None,
 ) -> DataFrame:
-    """``score_lm``'s order-2 backoff over merge-on-read count tables:
-    the identical expression forms (same floats as the batch scorer and
-    the DuckDB oracle), with the denominators joined at serve time
-    instead of denormalized at train time."""
-    c1 = F.coalesce(F.col("c1"), F.lit(0))
-    addone = -F.log((c1 + 1.0) / (F.col("total") + F.col("vocab")))
-    alpha = -F.log(F.lit(LM_BACKOFF))
-    bigram_nll = -F.log(F.col("c2") / F.col("prev_c1"))
-    nll = (
-        F.when(F.col("prev").isNull(), addone)
-        .when(F.col("c2").isNotNull(), bigram_nll)
-        .otherwise(alpha + addone)
-    )
+    """``score_lm``'s backoff over merge-on-read count tables — the
+    SAME when-chain (``text._lm_backoff_expr``, the one rung-rule
+    source shared with the batch scorer and the generated oracle CASE),
+    with every denominator joined at serve time instead of denormalized
+    at train time: ``prev_c1`` from the unigram fold re-keyed on
+    ``prev``; at order 3, ``ctx_c2`` from the bigram fold re-keyed on
+    (prev2, prev) — one more table, two more joins per order, exactly
+    the batch trainer's recurrence."""
     scal = uni.agg(
         F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -120,8 +142,18 @@ def _score_batch(
         # spills at any size.  The uni joins stay AQE-planned:
         # vocab-bounded, measured fine at 1M docs.
         .join(big.hint("merge"), ["prev", "tok"], "left")
-        .crossJoin(F.broadcast(scal))
     )
+    if order >= 3:
+        ctx = big.select(
+            F.col("prev").alias("prev2"),
+            F.col("tok").alias("prev"),
+            F.col("c2").alias("ctx_c2"),
+        )
+        scored = scored.join(ctx.hint("merge"), ["prev2", "prev"], "left").join(
+            tri.hint("merge"), ["prev2", "prev", "tok"], "left"
+        )
+    scored = scored.crossJoin(F.broadcast(scal))
+    nll = _lm_backoff_expr(order)
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -144,15 +176,27 @@ def extend_lm(
     batch_id: int,
     *,
     txn_app: str,
+    order: int = 2,
 ) -> None:
     """The foreachBatch body; factored out so tests can drive it
     directly.  Appends the batch's count deltas, then scores the batch
-    against the cumulative model read BACK from the tables."""
+    against the cumulative model read BACK from the tables.
+
+    ``order=3`` adds the trigram delta table (clustered by ``prev2``)
+    and, at serve time, the ctx_c2 re-key of the bigram fold plus the
+    pruned trigram fold — one more table, two more joins, the batch
+    trainer's recurrence in streaming form.  Orders beyond 3 iterate
+    the identical step (proven to 5 on the batch side)."""
+    if order not in (2, 3):
+        raise ValueError(f"order must be 2 or 3, got {order}")
     uni_path = posixpath.join(out_path, UNI_TABLE)
     big_path = posixpath.join(out_path, BIG_TABLE)
+    tri_path = posixpath.join(out_path, TRI_TABLE)
     scores_path = posixpath.join(out_path, SCORES_TABLE)
 
-    toks = _ngram_positions(batch_df.select("doc_id", "text"), order=2).persist()
+    toks = _ngram_positions(
+        batch_df.select("doc_id", "text"), order=order
+    ).persist()
     uni = None
     try:
         # ---- maintenance: O(batch) counts, clustered appends ---------
@@ -170,6 +214,16 @@ def extend_lm(
             spark, big_delta, big_path,
             txn_app=txn_app, txn_version=batch_id, cluster_col="prev",
         )
+        if order >= 3:
+            tri_delta = (
+                toks.filter(F.col("prev2").isNotNull())
+                .groupBy("prev2", "prev", "tok")
+                .agg(F.count(F.lit(1)).alias("c3"))
+            )
+            write_snapshot(
+                spark, tri_delta, tri_path,
+                txn_app=txn_app, txn_version=batch_id, cluster_col="prev2",
+            )
 
         # ---- serving: merge-on-read against the committed state ------
         # (read BACK, not prior ∪ in-memory: see module docstring's
@@ -180,24 +234,48 @@ def extend_lm(
         # lesson)
         uni = fold_unigrams(read_snapshot(spark, uni_path)).persist()
         uni.count()
-        prevs = [
-            r["prev"]
-            for r in toks.filter(F.col("prev").isNotNull())
-            .select("prev")
-            .distinct()
-            .collect()
-        ]
+
+        def _keys(col: str) -> list:
+            return [
+                r[col]
+                for r in toks.filter(F.col(col).isNotNull())
+                .select(col)
+                .distinct()
+                .collect()
+            ]
+
+        prevs = _keys("prev")
+        prev2s = _keys("prev2") if order >= 3 else []
+        # the ctx_c2 re-key probes the bigram table with prev2 values in
+        # its prev position, so the pruned read needs both key sets
+        big_keys = sorted(set(prevs) | set(prev2s))
         pruned = (
-            read_snapshot_pruned(spark, big_path, prevs) if prevs else None
+            read_snapshot_pruned(spark, big_path, big_keys)
+            if big_keys
+            else None
         )
         big = (
             fold_bigrams(pruned)
             if pruned is not None
             else spark.createDataFrame([], "prev string, tok string, c2 bigint")
         )
+        tri = None
+        if order >= 3:
+            tri_pruned = (
+                read_snapshot_pruned(spark, tri_path, prev2s)
+                if prev2s
+                else None
+            )
+            tri = (
+                fold_trigrams(tri_pruned)
+                if tri_pruned is not None
+                else spark.createDataFrame(
+                    [], "prev2 string, prev string, tok string, c3 bigint"
+                )
+            )
         write_snapshot(
             spark,
-            _score_batch(toks, uni, big, batch_id),
+            _score_batch(toks, uni, big, batch_id, order=order, tri=tri),
             scores_path,
             txn_app=txn_app,
             txn_version=batch_id,
@@ -217,6 +295,7 @@ def run_lm_stream(
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
     compact_max_files: int | None = None,
+    order: int = 2,
 ):
     """Stream NDJSON document files (doc_id, text) through incremental
     LM maintenance: exactly-once count-delta / scores snapshots, with
@@ -232,17 +311,17 @@ def run_lm_stream(
     app = "lm-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        extend_lm(spark, batch_df, out_path, batch_id, txn_app=app)
+        extend_lm(spark, batch_df, out_path, batch_id, txn_app=app, order=order)
         compact_twin_tables(
             spark,
             out_path,
-            [UNI_TABLE, BIG_TABLE],
+            _twin_tables(order),
             txn_app=app,
             batch_id=batch_id,
             canonical=BIG_TABLE,
             compact_every=compact_every,
             max_live_files=compact_max_files,
-            transforms={UNI_TABLE: fold_unigrams, BIG_TABLE: fold_bigrams},
+            transforms=FOLDS,
         )
 
     return (

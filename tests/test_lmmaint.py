@@ -61,7 +61,7 @@ def _scores(spark, out) -> dict[int, tuple[int, int, float]]:
     }
 
 
-def _batch_prefix_scores(spark, tmp_path, tag, corpus, scored_docs):
+def _batch_prefix_scores(spark, tmp_path, tag, corpus, scored_docs, order=2):
     """The batch-side yardstick: train_lm_model on the cumulative corpus,
     score_lm the batch's docs — what each streamed serve must equal."""
     from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
@@ -70,11 +70,15 @@ def _batch_prefix_scores(spark, tmp_path, tag, corpus, scored_docs):
     )
 
     model = str(tmp_path / f"model_{tag}")
-    train_lm_model(spark, spark.createDataFrame(corpus, ["doc_id", "text"]), model)
+    train_lm_model(
+        spark, spark.createDataFrame(corpus, ["doc_id", "text"]), model,
+        order=order,
+    )
     return {
         r.doc_id: (r.n_tokens, r.mean_nll)
         for r in score_lm(
-            spark.createDataFrame(scored_docs, ["doc_id", "text"]), spark, model
+            spark.createDataFrame(scored_docs, ["doc_id", "text"]), spark,
+            model, order=order,
         ).collect()
     }
 
@@ -219,6 +223,35 @@ def test_lm_fold_compaction_preserves_counts_and_bounds_files(spark, tmp_path):
     v = current_version(spark, f"{out}/{SCORES_TABLE}")
     extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
     assert current_version(spark, f"{out}/{SCORES_TABLE}") == v
+
+
+def test_lm_order3_prefix_equivalence(spark, tmp_path):
+    """The order-3 streamed serve equals the batch order-3 train+score
+    over each cumulative prefix — the 'one more table, two more joins'
+    recurrence holds in streaming form, through the shared rung rule."""
+    app = "lm3-test"
+    out = str(tmp_path / "lm3")
+    extend_lm(
+        spark, spark.createDataFrame(B1, ["doc_id", "text"]), out, 0,
+        txn_app=app, order=3,
+    )
+    extend_lm(
+        spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1,
+        txn_app=app, order=3,
+    )
+    got = _scores(spark, out)
+    want0 = _batch_prefix_scores(spark, tmp_path, "o3p0", B1, B1, order=3)
+    want1 = _batch_prefix_scores(spark, tmp_path, "o3p1", B1 + B2, B2, order=3)
+    assert {d: v[1:] for d, v in got.items() if v[0] == 0} == want0
+    assert {d: v[1:] for d, v in got.items() if v[0] == 1} == want1
+    # the trigram delta table exists and folds to one row per key
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.lmmaint import (
+        TRI_TABLE,
+        fold_trigrams,
+    )
+
+    tri = fold_trigrams(read_snapshot(spark, f"{out}/{TRI_TABLE}"))
+    assert tri.count() == tri.select("prev2", "prev", "tok").distinct().count()
 
 
 def test_lm_serve_plan_bigram_join_is_sort_merge(spark):
