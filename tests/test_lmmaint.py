@@ -225,10 +225,13 @@ def test_lm_fold_compaction_preserves_counts_and_bounds_files(spark, tmp_path):
     assert current_version(spark, f"{out}/{SCORES_TABLE}") == v
 
 
+@pytest.mark.slow
 def test_lm_order3_prefix_equivalence(spark, tmp_path):
     """The order-3 streamed serve equals the batch order-3 train+score
     over each cumulative prefix — the 'one more table, two more joins'
-    recurrence holds in streaming form, through the shared rung rule."""
+    recurrence holds in streaming form, through the shared rung rule.
+    (@slow: an equivalence sweep that trains two batch models — the
+    fast gate keeps the order-2 crash/fold/plan pins.)"""
     app = "lm3-test"
     out = str(tmp_path / "lm3")
     extend_lm(
