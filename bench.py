@@ -52,6 +52,41 @@ def main() -> None:
     # other's cached RDDs (cross-query interference skews per-query times)
     spark.catalog.clearCache()
 
+    # box-speed canary: a fixed synthetic workload, data-independent and
+    # code-independent of the engine, timed min-of-3.  Every round's
+    # verdict re-discovers that bench totals are not comparable across
+    # days (same-code A/B on this box has measured 33.3 s vs 40.2 s);
+    # the canary turns that from an argument into a number — divide two
+    # rounds' totals by their canaries before calling anything a
+    # regression.  cpu: one whole-stage-codegen pipeline over
+    # spark.range (no input, no shuffle); shuffle: the same rows
+    # through one 200-key exchange + final aggregate.
+    def _canary(df_builder) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df_builder().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    from pyspark.sql import functions as F
+
+    canary = {
+        "cpu_sec": _canary(
+            lambda: spark.range(500_000_000).select(
+                F.sum((F.col("id") * 2654435761) % 1000000007).alias("s")
+            )
+        ),
+        "shuffle_sec": _canary(
+            lambda: spark.range(20_000_000)
+            .groupBy((F.col("id") % 200).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .groupBy()
+            .agg(F.sum("s").alias("t"))
+        ),
+    }
+
     # min of 3 runs per query: a single run is hostage to transient
     # machine load (this box runs a round driver alongside; round 2 showed
     # 1.4-2.8x phantom regressions on untouched queries at min-of-2); the
@@ -104,6 +139,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary": canary,
         **({"slowest_min3": slowest_min3} if slowest_min3 else {}),
     }
     # Per-query detail FIRST, compact headline LAST: the round driver
@@ -126,6 +162,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "canary": canary,
                 "queries": slowest,
                 "detail": "full per-query timings in BENCH_SELF.json",
             }
