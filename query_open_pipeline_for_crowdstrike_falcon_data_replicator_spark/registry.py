@@ -75,6 +75,10 @@ BENCH_EXCLUDE = {
     # (3 micro-batches appending count-delta/scores snapshots, one
     # mid-stream fold compaction) inside the builder
     "stream_lm_verify",
+    # runs the COMPOSED curate->pack export pipeline as a Structured
+    # Streaming query (3 micro-batches x 5 snapshot tables) inside the
+    # builder
+    "stream_export_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

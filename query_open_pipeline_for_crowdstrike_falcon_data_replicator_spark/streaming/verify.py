@@ -343,13 +343,16 @@ def stream_curate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_curate_oracle_sql() -> str:
-    """Sequential three-batch admission replay.  Batch cuts are the same
-    thirds-of-max(doc_id) rule ``_write_ordered_batches`` uses; the
-    near-dup relation is the exact string-shingle Jaccard pair set
-    (gated on the ROUNDED value, mirroring ``curation._exact_jaccard``),
-    restricted to gate-passed docs — only pairs with a_doc < b_doc are
-    needed because the drops are ascending doc_id ranges."""
+def _curate_admission_ctes() -> str:
+    """The sequential three-batch admission replay as a CTE chain
+    through ``acc`` (the admitted docs: batch, predicted_lang, n_tokens,
+    doc_id) — shared by the curate and export stream oracles.  Batch
+    cuts are the same thirds-of-max(doc_id) rule
+    ``_write_ordered_batches`` uses; the near-dup relation is the exact
+    string-shingle Jaccard pair set (gated on the ROUNDED value,
+    mirroring ``curation._exact_jaccard``), restricted to gate-passed
+    docs — only pairs with a_doc < b_doc are needed because the drops
+    are ascending doc_id ranges."""
     from ..operators.dedup import JACCARD_SHINGLES_CTE, JACCARD_THRESHOLD
     from ..operators.text import (
         CURATION_MIN_DISTINCT,
@@ -357,8 +360,7 @@ def _stream_curate_oracle_sql() -> str:
         _PREDICTED_LANG_SQL,
     )
 
-    return f"""
-WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+    return f"""m AS (SELECT max(doc_id) AS max_id FROM documents),
 per_doc AS (
   SELECT doc_id,
          md5(lower(text)) AS fingerprint,
@@ -445,7 +447,12 @@ acc AS (
   SELECT batch, predicted_lang, n_tokens, doc_id FROM acc0
   UNION ALL SELECT batch, predicted_lang, n_tokens, doc_id FROM acc1
   UNION ALL SELECT batch, predicted_lang, n_tokens, doc_id FROM acc2
-)
+)"""
+
+
+def _stream_curate_oracle_sql() -> str:
+    return f"""
+WITH {_curate_admission_ctes()}
 SELECT CAST(batch AS BIGINT) AS batch_id,
        predicted_lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1361,6 +1368,112 @@ GROUP BY 1, 2
 """
 
 
+def stream_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the COMPOSED streamed export pipeline
+    (``streaming/export.py`` — curation feeding sequence packing in one
+    foreachBatch): three ascending doc_id-range NDJSON drops stream
+    through ``run_export_stream``; each batch is admitted against
+    everything already accepted, and the admitted docs are appended to
+    the SAME token stream earlier batches packed.
+
+    The read-back aggregates the packed snapshot per sequence; the
+    DuckDB oracle replays BOTH stages sequentially — the curate
+    admission CTE chain (shared verbatim with ``stream_curate_verify``)
+    ordered by (admission batch, doc_id), then the concat-and-chunk
+    prefix sum over exactly that order.  A hash-match therefore proves
+    the stage COUPLING end-to-end: the packer consumed exactly the
+    committed admitted set, in admission order, continuing the
+    cross-batch token total — the reference's export dataflow
+    (batch-anchored by ``corpus_export_verify``) as a live pipeline.
+
+    Output: (seq_id, n_docs, total_tokens, min_doc, max_doc,
+    n_boundary_docs, n_batches).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); each stage carries its own 100 TB design (see
+    ``streaming/export.py``)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .export import PACK_DIR, run_export_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_export_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_export_verify: export stream did not drain within "
+                "600s; snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamexport_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    packed = read_snapshot(
+        spark, os.path.join(base, "out", PACK_DIR, PACKED_TABLE)
+    )
+    return packed.groupBy(F.col("seq_id").cast("long").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_boundary_docs"),
+        F.count_distinct("batch_id").alias("n_batches"),
+    )
+
+
+def _stream_export_oracle_sql() -> str:
+    """Sequential replay of the composed pipeline: the shared admission
+    CTE chain, then the concat-and-chunk prefix sum over the admitted
+    docs in (admission batch, doc_id) order."""
+    return f"""
+WITH {_curate_admission_ctes()},
+ordered AS (
+  SELECT doc_id, batch, n_tokens,
+         sum(n_tokens) OVER (ORDER BY batch, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM acc
+),
+assign AS (
+  SELECT doc_id, batch, n_tokens,
+         (cum - n_tokens) // {PACK_SEQ_LEN} AS seq_id,
+         ((cum - 1) // {PACK_SEQ_LEN}) > ((cum - n_tokens) // {PACK_SEQ_LEN})
+           AS spans_boundary
+  FROM ordered
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs,
+       CAST(count(DISTINCT batch) AS BIGINT) AS n_batches
+FROM assign
+GROUP BY 1
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1376,4 +1489,5 @@ STREAMING_QUERIES: dict[
         _stream_ann_drift_oracle_sql(),
     ),
     "stream_lm_verify": (stream_lm_verify, _stream_lm_oracle_sql()),
+    "stream_export_verify": (stream_export_verify, _stream_export_oracle_sql()),
 }

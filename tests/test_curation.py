@@ -1072,3 +1072,56 @@ def test_triplet_anchor_with_no_negative_is_never_remined(spark, tmp_path):
     # mined now, negative is the background vector
     assert 5 not in trips, trips
     assert trips == {10: (23, 1)}, trips
+
+
+@pytest.mark.slow
+def test_export_crash_between_stages_replays_clean(spark, tmp_path):
+    """The composed export pipeline (streaming/export.py): a crash
+    AFTER curation's commits but BEFORE the packing stage leaves the
+    batch half-exported; replaying the whole batch must skip the fenced
+    curation commits, read back the SAME admitted set, and pack it
+    identically to an uncrashed run in a sibling directory."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.export import (
+        CURATE_DIR,
+        PACK_DIR,
+        export_batch,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.packing import (
+        PACKED_TABLE,
+        STATE_TABLE,
+        _running_total,
+    )
+
+    app = "export-crash-test"
+    out = str(tmp_path / "crashed")
+    clean = str(tmp_path / "clean")
+    b1 = [(i, _text(f"a{i}_")) for i in range(1, 5)]
+    b2 = [(11, _text("a1_")), (12, _text("z_"))]  # 11 = exact dup of doc 1
+    df1 = spark.createDataFrame(b1, ["doc_id", "text"])
+    df2 = spark.createDataFrame(b2, ["doc_id", "text"])
+
+    # simulate the crash window: batch 0 runs ONLY the curation stage
+    # (same writer identity and version export_batch would use)
+    curate_batch(spark, df1, f"{out}/{CURATE_DIR}", 0, txn_app=app)
+    # replay batch 0 in full, then batch 1 normally
+    export_batch(spark, df1, out, 0, txn_app=app)
+    export_batch(spark, df2, out, 1, txn_app=app)
+
+    export_batch(spark, df1, clean, 0, txn_app=app)
+    export_batch(spark, df2, clean, 1, txn_app=app)
+
+    def _packed(root):
+        return {
+            (r.doc_id, r.seq_id, r.n_tokens, r.spans_boundary, r.batch_id)
+            for r in read_snapshot(
+                spark, f"{root}/{PACK_DIR}/{PACKED_TABLE}"
+            ).collect()
+        }
+
+    assert _packed(out) == _packed(clean)
+    assert _running_total(spark, f"{out}/{PACK_DIR}/{STATE_TABLE}") == \
+        _running_total(spark, f"{clean}/{PACK_DIR}/{STATE_TABLE}")
+    # the exact-dup (doc 11) was dropped by the CURATION stage, so the
+    # packer never saw it — stage coupling through committed state
+    assert 11 not in {t[0] for t in _packed(out)}
+    assert 12 in {t[0] for t in _packed(out)}
