@@ -85,10 +85,18 @@ def run_export_stream(
     checkpoint: str,
     *,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Stream NDJSON document files (doc_id, text) through the composed
     curate -> pack pipeline: exactly-once curated corpus + dedup index
-    + packed-sequence snapshots."""
+    + packed-sequence snapshots.  The shared compaction triggers cover
+    the pipeline's growing tables (the curate corpus/index and the
+    packed table; the one-row state table never needs it)."""
+    from .compaction import compact_twin_tables
+    from .curation import BANDS_TABLE, PROFILES_TABLE
+    from .packing import PACKED_TABLE
+
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -98,6 +106,20 @@ def run_export_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         export_batch(spark, batch_df, out_path, batch_id, txn_app=app)
+        compact_twin_tables(
+            spark,
+            out_path,
+            [
+                posixpath.join(CURATE_DIR, t)
+                for t in (DOCS_TABLE, BANDS_TABLE, PROFILES_TABLE)
+            ]
+            + [posixpath.join(PACK_DIR, PACKED_TABLE)],
+            txn_app=app,
+            batch_id=batch_id,
+            canonical=posixpath.join(CURATE_DIR, PROFILES_TABLE),
+            compact_every=compact_every,
+            max_live_files=compact_max_files,
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)
