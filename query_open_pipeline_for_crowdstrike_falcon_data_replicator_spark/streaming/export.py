@@ -67,6 +67,11 @@ def export_batch(
     replay argument)."""
     curate_out = posixpath.join(out_path, CURATE_DIR)
     curate_batch(spark, batch_df, curate_out, batch_id, txn_app=txn_app)
+    # O(batch), not O(corpus): every docs append carries ONE batch_id
+    # literal, so each file's parquet row-group stats on batch_id are a
+    # point — the pushed-down equality filter (PushedFilters in the
+    # scan) skips every other batch's row groups at footer cost, and
+    # compaction bounds the live-file count that metadata pass touches.
     admitted = (
         read_snapshot(spark, posixpath.join(curate_out, DOCS_TABLE))
         .filter(F.col("batch_id") == batch_id)
