@@ -189,6 +189,23 @@ def extend_lm(
     the identical step (proven to 5 on the batch side)."""
     if order not in (2, 3):
         raise ValueError(f"order must be 2 or 3, got {order}")
+    # order is part of the TABLE CONTRACT: a restart at a different
+    # order would serve from count tables missing earlier batches'
+    # higher-order deltas — silently wrong scores.  Pin it in a meta
+    # file on first batch, validate ever after (the annmaint/_META
+    # pattern; write-once, so replay-safe).
+    from ..sinks.txn import json_meta_io
+
+    read_meta, write_meta = json_meta_io(spark, out_path, "_lm_meta.json")
+    meta = read_meta()
+    if meta is None:
+        write_meta({"order": order})
+    elif int(meta.get("order", -1)) != order:
+        raise ValueError(
+            f"LM stream at {out_path} was built with order="
+            f"{meta.get('order')}; restarting it with order={order} would "
+            "serve from incomplete count tables"
+        )
     uni_path = posixpath.join(out_path, UNI_TABLE)
     big_path = posixpath.join(out_path, BIG_TABLE)
     tri_path = posixpath.join(out_path, TRI_TABLE)

@@ -257,6 +257,23 @@ def test_lm_order3_prefix_equivalence(spark, tmp_path):
     assert tri.count() == tri.select("prev2", "prev", "tok").distinct().count()
 
 
+def test_lm_order_change_on_restart_is_rejected(spark, tmp_path):
+    """order is part of the table contract: a restart at a different
+    order would serve from count tables missing earlier batches'
+    higher-order deltas.  The meta pin turns that silent wrongness into
+    a loud error (and the same order keeps working)."""
+    app = "lm-order-guard"
+    out = str(tmp_path / "lm")
+    extend_lm(spark, spark.createDataFrame(B1, ["doc_id", "text"]), out, 0, txn_app=app)
+    with pytest.raises(ValueError, match="order"):
+        extend_lm(
+            spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1,
+            txn_app=app, order=3,
+        )
+    extend_lm(spark, spark.createDataFrame(B2, ["doc_id", "text"]), out, 1, txn_app=app)
+    assert len(_scores(spark, out)) == len(B1) + len(B2)
+
+
 def test_lm_serve_plan_bigram_join_is_sort_merge(spark):
     """The serve's bigram model join is pinned SPILLABLE sort-merge:
     both sides can be corpus-scale and the folded count table is a
