@@ -96,20 +96,21 @@ del _n
 
 # Hand-written snapshot through RECORDED_MAX_ROUND — a cross-check
 # only; DRIVER_HISTORY above is the operative table.
-RECORDED_MAX_ROUND = 6
+RECORDED_MAX_ROUND = 8
 RECORDED_HISTORY: dict[str, tuple[int, ...]] = {
     "agg_cube_orders": (1, 6),
     "agg_grouping_sets": (1, 6),
     "agg_rollup_returns": (1, 2, 3, 4, 6),
-    "ann_hybrid_rrf": (5,),
+    "ann_hybrid_rrf": (5, 7),
+    "ann_range_ivf": (7,),
     "ann_range_search": (6,),
     "ann_topk_bruteforce": (1, 2, 3, 4, 6),
-    "ann_topk_filtered": (5,),
-    "ann_topk_ivf": (2, 5),
+    "ann_topk_filtered": (5, 7),
+    "ann_topk_ivf": (2, 5, 7),
     "ann_topk_ivf_pq": (4, 6),
-    "ann_topk_ivf_sq8": (3, 5),
-    "ann_topk_lsh": (1, 2, 3, 5),
-    "ann_topk_pq": (3, 5),
+    "ann_topk_ivf_sq8": (3, 5, 8),
+    "ann_topk_lsh": (1, 2, 3, 5, 8),
+    "ann_topk_pq": (3, 5, 8),
     "ann_topk_rp": (4, 6),
     "ann_topk_sq8": (4, 6),
     "anti_join_customers_without_orders": (1, 2, 6),
@@ -118,112 +119,128 @@ RECORDED_HISTORY: dict[str, tuple[int, ...]] = {
     "corpus_curation": (4, 6),
     "corpus_dedup_chunks": (4, 6),
     "corpus_dsir_resample": (4, 6),
-    "corpus_export_verify": (3, 4, 5, 6),
-    "corpus_mix_sources": (3, 5),
-    "corpus_pack_sequences": (3, 5),
+    "corpus_export_verify": (3, 4, 5, 6, 7, 8),
+    "corpus_mix_sources": (3, 5, 8),
+    "corpus_pack_sequences": (3, 5, 8),
     "corpus_prune_prototypes": (4, 6),
-    "corpus_sample_budget": (2, 5),
-    "corpus_sample_stratified": (5,),
+    "corpus_sample_budget": (2, 5, 8),
+    "corpus_sample_stratified": (5, 8),
+    "corpus_select_budget": (7,),
     "corpus_shard_balance": (6,),
     "corpus_split_holdout": (4, 6),
-    "dedup_cluster": (3, 5),
+    "dedup_cluster": (3, 5, 8),
     "dedup_cluster_best": (4, 6),
-    "dedup_cluster_star": (5,),
-    "dedup_containment": (5,),
-    "dedup_exact": (1, 2, 5),
-    "dedup_incremental": (4,),
-    "dedup_minhash_lsh": (1, 2, 3, 5),
-    "dedup_ngram_jaccard": (1, 2, 3, 4),
-    "dedup_semantic": (3, 5),
-    "dedup_simhash": (1, 2, 3, 5),
+    "dedup_cluster_star": (5, 8),
+    "dedup_containment": (5, 8),
+    "dedup_exact": (1, 2, 5, 8),
+    "dedup_incremental": (4, 7),
+    "dedup_minhash_lsh": (1, 2, 3, 5, 8),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 7),
+    "dedup_semantic": (3, 5, 8),
+    "dedup_simhash": (1, 2, 3, 5, 8),
     "dedup_span_removal": (6,),
-    "dedup_substring": (3, 5),
-    "embedding_assign_2l": (5,),
-    "embedding_eval_inertia": (5,),
+    "dedup_substring": (3, 5, 8),
+    "embedding_assign_2l": (5, 8),
+    "embedding_eval_inertia": (5, 8),
     "embedding_neardup_pairs": (1, 2, 6),
-    "embedding_project_rp": (5,),
+    "embedding_pca_power": (7,),
+    "embedding_project_rp": (5, 8),
+    "embedding_standardize": (7,),
     "embedding_triplets": (6,),
-    "events_anomaly_zscore": (4,),
+    "embedding_triplets_ivf": (7,),
+    "events_anomaly_zscore": (4, 7),
     "events_cm_topk": (3, 6),
-    "events_cusum_changepoint": (4,),
+    "events_cusum_changepoint": (4, 7),
     "events_daily_agg": (1, 6),
     "events_ewma_anomaly": (3, 6),
-    "events_funnel": (4,),
-    "events_holt_forecast": (5,),
-    "events_hypertable_rollup": (1, 2, 3, 4),
-    "events_ocsf_envelope": (1, 2, 5),
+    "events_funnel": (4, 7),
+    "events_holt_forecast": (5, 8),
+    "events_hypertable_rollup": (1, 2, 3, 4, 7),
+    "events_ocsf_envelope": (1, 2, 5, 8),
     "events_pivot_daily": (1, 2, 3, 6),
     "events_resample_locf": (3, 6),
-    "events_retention_cohorts": (4,),
+    "events_retention_cohorts": (4, 7),
     "events_seasonal_naive": (6,),
-    "events_session_window": (1, 2, 3, 4),
+    "events_session_window": (1, 2, 3, 4, 7),
     "events_sessionize": (1, 6),
-    "graph_kcore": (5,),
-    "graph_pagerank": (5,),
-    "graph_triangle_count": (5,),
-    "model_eval_auc": (5,),
+    "graph_kcore": (5, 8),
+    "graph_label_propagation": (7,),
+    "graph_modularity": (7,),
+    "graph_pagerank": (5, 8),
+    "graph_triangle_count": (5, 8),
+    "model_eval_auc": (5, 8),
+    "multimodal_audio": (7,),
     "multimodal_features": (2, 3, 6),
     "multimodal_frames": (2, 3, 6),
-    "multimodal_meta": (4,),
-    "ocsf_all_search": (4,),
-    "ocsf_etl_verify": (3, 4, 5, 6),
+    "multimodal_meta": (4, 7),
+    "multimodal_video": (8,),
+    "ocsf_all_search": (4, 7),
+    "ocsf_etl_verify": (3, 4, 5, 6, 7, 8),
     "ocsf_normalize_100k": (2, 3, 6),
-    "ocsf_stream_verify": (5,),
-    "profile_orders": (1, 2, 3, 4),
+    "ocsf_stream_verify": (5, 8),
+    "profile_orders": (1, 2, 3, 4, 7),
     "profile_percentiles_exact": (6,),
-    "q10_returned_items": (1, 2, 5),
+    "q10_returned_items": (1, 2, 5, 8),
     "q11_important_stock": (2, 3, 6),
-    "q12_priority_classes": (1, 2, 5),
-    "q13_customer_distribution": (1, 2, 3, 4),
-    "q14_promo_revenue": (1, 2, 5),
-    "q15_top_supplier": (1, 2, 5),
-    "q16_supplier_cnt": (1, 2, 3, 4),
-    "q17_small_quantity": (1, 2, 5),
-    "q18_large_volume": (1, 2, 5),
-    "q19_or_of_ands": (1, 2, 3, 4),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6),
-    "q20_promo_suppliers": (1, 2, 3, 4),
-    "q21_late_suppliers": (1, 2, 3, 4),
+    "q12_priority_classes": (1, 2, 5, 8),
+    "q13_customer_distribution": (1, 2, 3, 4, 7),
+    "q14_promo_revenue": (1, 2, 5, 8),
+    "q15_top_supplier": (1, 2, 5, 8),
+    "q16_supplier_cnt": (1, 2, 3, 4, 7),
+    "q17_small_quantity": (1, 2, 5, 8),
+    "q18_large_volume": (1, 2, 5, 8),
+    "q19_or_of_ands": (1, 2, 3, 4, 7),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8),
+    "q20_promo_suppliers": (1, 2, 3, 4, 7),
+    "q21_late_suppliers": (1, 2, 3, 4, 7),
     "q22_idle_customers": (1, 2, 6),
-    "q2_min_cost_part": (1, 2, 3, 4),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6),
-    "q4_priority_check": (1, 2, 5),
-    "q5_local_supplier_volume": (1, 2, 3, 4, 5, 6),
-    "q6_forecast_revenue": (1, 5),
-    "q7_volume_shipping": (1, 2, 5),
-    "q8_market_share": (1, 2, 3, 4),
-    "q9_product_profit": (1, 2, 3, 4),
-    "range_join_error_follow": (1, 2, 3, 4),
-    "semi_join_urgent_customers": (1, 2, 3, 4),
+    "q2_min_cost_part": (1, 2, 3, 4, 7),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8),
+    "q4_priority_check": (1, 2, 5, 8),
+    "q5_local_supplier_volume": (1, 2, 3, 4, 5, 6, 7, 8),
+    "q6_forecast_revenue": (1, 5, 8),
+    "q7_volume_shipping": (1, 2, 5, 8),
+    "q8_market_share": (1, 2, 3, 4, 7),
+    "q9_product_profit": (1, 2, 3, 4, 7),
+    "range_join_error_follow": (1, 2, 3, 4, 7),
+    "semi_join_urgent_customers": (1, 2, 3, 4, 7),
     "set_ops_nations": (1, 2, 3, 6),
-    "stream_curate_verify": (5,),
+    "stream_ann_drift_verify": (8,),
+    "stream_ann_verify": (7,),
+    "stream_curate_verify": (5, 8),
+    "stream_export_verify": (8,),
     "stream_graph_verify": (6,),
-    "stream_pack_verify": (4,),
+    "stream_lm_verify": (8,),
+    "stream_pack_verify": (4, 7),
     "stream_span_verify": (6,),
-    "text_bm25": (4,),
-    "text_bpe_tokenize": (5,),
-    "text_bpe_train": (5,),
+    "stream_triplet_verify": (7,),
+    "text_bm25": (4, 7),
+    "text_bpe_tokenize": (5, 8),
+    "text_bpe_train": (5, 8),
     "text_contamination": (3, 6),
-    "text_entropy": (5,),
+    "text_entropy": (5, 8),
     "text_gopher_filter": (3, 6),
     "text_lang_id": (1, 2, 3, 6),
-    "text_lm_score": (4,),
-    "text_lm_score_trigram": (4,),
-    "text_novelty": (5,),
-    "text_phrase_mining": (4,),
+    "text_lm_score": (4, 7),
+    "text_lm_score_4gram": (8,),
+    "text_lm_score_5gram": (8,),
+    "text_lm_score_trigram": (4, 7),
+    "text_novelty": (5, 8),
+    "text_phrase_mining": (4, 7),
     "text_pii_redact": (3, 6),
     "text_ppl_crossval": (6,),
     "text_ppl_filter": (6,),
-    "text_quality_by_lang": (1, 2, 3, 4),
-    "text_quality_model": (4,),
+    "text_quality_by_lang": (1, 2, 3, 4, 7),
+    "text_quality_ensemble": (7,),
+    "text_quality_model": (4, 7),
     "text_repetition": (3, 6),
     "text_stats": (1, 2, 5),
     "text_tfidf_keywords": (5,),
-    "text_token_fingerprint": (1, 2, 3, 4),
-    "text_vocabulary": (4,),
+    "text_token_fingerprint": (1, 2, 3, 4, 7),
+    "text_vocabulary": (4, 7),
     "text_winnow": (3, 6),
     "window_running_revenue": (1, 2, 5),
-    "window_top_orders_per_customer": (1, 2, 3, 4),
+    "window_top_orders_per_customer": (1, 2, 3, 4, 7),
 }
 
 
