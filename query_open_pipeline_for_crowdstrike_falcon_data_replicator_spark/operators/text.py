@@ -1895,6 +1895,18 @@ GROUP BY 1
 
 SHARD_COUNT = 8
 
+# A length tie-group is split across this many hash sub-buckets so no
+# single window task ever holds a whole tie-group: a FIXED-LENGTH
+# corpus — exactly what corpus_chunk_overlap / corpus_pack_sequences
+# emit — would otherwise put the entire corpus through ONE task.
+# Within a tie every doc weighs the same, so which member takes which
+# rank inside the group is irrelevant to the per-shard aggregate: the
+# ranks a tie-group occupies form a contiguous range fixed by the
+# histogram offsets, and the multiset of shards the snake assigns to
+# that range is permutation-invariant.  Sub-bucketing is therefore
+# EXACT, not approximate, and the oracle is unchanged.
+TIE_SUB_BUCKETS = 512
+
 
 def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced output sharding — the step before a distributed
@@ -1911,18 +1923,27 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size) via the ``text_quality_ensemble`` two-level prefix
     sum: a per-bucket exclusive prefix over ~domain/4096 bucket rows,
     then a within-bucket running count partitioned by bucket.  The
-    second term is a window partitioned by n_tokens — one length
-    tie-group, never the corpus.  The offset table is derived and
-    corpus-dependent, so it joins back ``shuffle_hash``, never as a
-    plan-time broadcast (the dedup_span_removal rule).  Deterministic
-    and integer-only.  Output: one row per shard with its document
-    count, token total, and the max single document it carries."""
+    second term is a window partitioned by (n_tokens, tie) where
+    ``tie`` hashes doc_id into ``TIE_SUB_BUCKETS`` sub-buckets — one
+    SLICE of a length tie-group, never the corpus and never a whole
+    tie-group (a fixed-length corpus, the likeliest post-chunking
+    input, degenerated to one task before the sub-bucket level; see
+    the TIE_SUB_BUCKETS note for why the split is exact).  The offset
+    table is derived and corpus-dependent, so it joins back
+    ``shuffle_hash``, never as a plan-time broadcast (the
+    dedup_span_removal rule).  Deterministic and integer-only.
+    Output: one row per shard with its document count, token total,
+    and the max single document it carries."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     per_doc = tracked_persist(
         docs.select(
-            "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(TIE_SUB_BUCKETS)).alias(
+                "tie"
+            ),
         )
     )
     # materialize BEFORE the fan-out: bprefix rides a broadcast, and
@@ -1932,7 +1953,7 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc.count()
 
     grain = (
-        per_doc.groupBy(F.col("n_tokens").alias("v"))
+        per_doc.groupBy(F.col("n_tokens").alias("v"), F.col("tie"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket", F.expr("v div 4096"))
     )
@@ -1952,21 +1973,25 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wi = (
         Window.partitionBy("bucket")
-        .orderBy(F.desc("v"))
+        .orderBy(F.desc("v"), F.asc("tie"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # offset(v) = #docs with n_tokens > v — computed DIRECTLY as the
-    # exclusive DESC prefix (buckets above + larger values within the
-    # bucket), no corpus total needed
+    # offset(v, tie) = #docs with n_tokens > v, plus same-length docs
+    # in earlier sub-buckets — computed DIRECTLY as the exclusive
+    # (DESC v, ASC tie) prefix; the partition is one histogram bucket
+    # (<= 4096 values x TIE_SUB_BUCKETS rows, bounded by construction)
     offsets = grain.join(F.broadcast(bprefix), "bucket").select(
         F.col("v").alias("n_tokens"),
+        "tie",
         (
             F.coalesce(F.sum("cnt").over(wi), F.lit(0).cast("long"))
             + F.col("prefix")
         ).alias("offset"),
     )
-    wt = Window.partitionBy("n_tokens").orderBy("doc_id")
-    tagged = per_doc.join(offsets.hint("shuffle_hash"), "n_tokens")
+    wt = Window.partitionBy("n_tokens", "tie").orderBy("doc_id")
+    tagged = per_doc.join(
+        offsets.hint("shuffle_hash"), ["n_tokens", "tie"]
+    )
     r = F.col("offset") + F.row_number().over(wt) - 1
     cycle, pos = (r / SHARD_COUNT).cast("long"), r % SHARD_COUNT
     shard = F.when(cycle % 2 == 0, pos).otherwise(SHARD_COUNT - 1 - pos)

@@ -2141,6 +2141,50 @@ def test_shard_balance_snake_bounds_spread(spark):
     assert toks[-1] - toks[0] <= max_doc  # snake bound
 
 
+def test_shard_balance_fixed_length_corpus_exact(spark, tmp_path):
+    """A FIXED-LENGTH corpus (every doc the same token count — exactly
+    what corpus_chunk_overlap / corpus_pack_sequences emit) is one
+    giant length tie-group.  The TIE_SUB_BUCKETS level must (a) keep
+    the per-shard aggregate EXACT against the global-sort oracle —
+    within a tie every doc weighs the same, so sub-bucket placement is
+    permutation-invariant — and (b) actually split the tie, so no
+    window task holds the whole corpus."""
+    import duckdb
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        CORPUS_SHARD_SQL,
+        SHARD_COUNT,
+        corpus_shard_balance,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from .oracle_util import compare
+
+    n = 400
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(7))) for i in range(n)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = corpus_shard_balance(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(got, con, CORPUS_SHARD_SQL)
+    release_tracked_caches()
+    assert not problems, problems
+    # fixed-length + n divisible by SHARD_COUNT -> perfectly balanced
+    rows = got.collect()
+    assert len(rows) == SHARD_COUNT
+    assert {r["tokens"] for r in rows} == {7 * n // SHARD_COUNT}
+    assert {r["n_docs"] for r in rows} == {n // SHARD_COUNT}
+    release_tracked_caches()
+
+
 def test_embedding_triplets_picks_hardest_non_partner(spark, sf_dir):
     """The mined negative must be (a) not the anchor, (b) not any of the
     anchor's positive partners, and (c) at least as close as every other

@@ -907,9 +907,19 @@ def test_shard_balance_plan_no_corpus_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # derived offset table joins back shuffle_hash
     assert "ShuffledHashJoin" in plan, plan[:1500]
-    # the tie-group window is keyed on n_tokens — its partition is one
-    # length tie-group, never the corpus
+    # the tie-group window is keyed on n_tokens AND the hash sub-bucket
+    # — its partition is one SLICE of a length tie-group, never the
+    # corpus and never a whole tie-group (a fixed-length corpus would
+    # otherwise run through one task)
     assert "hashpartitioning(n_tokens" in plan, plan[:1500]
+    import re
+
+    value_only = [
+        m
+        for m in re.findall(r"hashpartitioning\(n_tokens#\d+L?[,)][^)]*\)", plan)
+        if "tie#" not in m
+    ]
+    assert not value_only, value_only
     # the bulk running count is keyed on the histogram sub-bucket
     assert "hashpartitioning(bucket" in plan, plan[:1500]
     # the histogram collapses through a map-side partial count before
