@@ -68,6 +68,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.text import _lm_backoff_expr, _ngram_positions
 from ..sinks.snapshot import read_snapshot, read_snapshot_pruned, write_snapshot
+from .spanmaint import SPAN_PRUNE_MAX_KEYS as LM_PRUNE_MAX_KEYS
 
 DOC_SCHEMA = StructType(
     [
@@ -252,25 +253,35 @@ def extend_lm(
         uni = fold_unigrams(read_snapshot(spark, uni_path)).persist()
         uni.count()
 
-        def _keys(col: str) -> list:
-            return [
-                r[col]
-                for r in toks.filter(F.col(col).isNotNull())
-                .select(col)
-                .distinct()
-                .collect()
-            ]
+        def _keys(col: str) -> list | None:
+            """Distinct non-null batch values of ``col`` — or ``None``
+            when the batch exceeds ``LM_PRUNE_MAX_KEYS`` distinct
+            values (spanmaint's bulk-batch regime: a bulk batch over
+            web text carries ~1e5-1e6 distinct tokens, saturating the
+            uniform-hash cluster ranges — past that point the pruned
+            read touches every file anyway, so skip the driver-side
+            collect and read the full column-pruned table)."""
+            d = toks.filter(F.col(col).isNotNull()).select(col).distinct()
+            if d.count() > LM_PRUNE_MAX_KEYS:
+                return None
+            return [r[col] for r in d.collect()]
 
         prevs = _keys("prev")
         prev2s = _keys("prev2") if order >= 3 else []
         # the ctx_c2 re-key probes the bigram table with prev2 values in
-        # its prev position, so the pruned read needs both key sets
-        big_keys = sorted(set(prevs) | set(prev2s))
-        pruned = (
-            read_snapshot_pruned(spark, big_path, big_keys)
-            if big_keys
+        # its prev position, so the pruned read needs both key sets;
+        # either set over the cap -> full read for the bigram table
+        big_keys = (
+            sorted(set(prevs) | set(prev2s))
+            if prevs is not None and prev2s is not None
             else None
         )
+        if big_keys is None:
+            pruned = read_snapshot(spark, big_path)
+        elif big_keys:
+            pruned = read_snapshot_pruned(spark, big_path, big_keys)
+        else:
+            pruned = None
         big = (
             fold_bigrams(pruned)
             if pruned is not None
@@ -278,11 +289,12 @@ def extend_lm(
         )
         tri = None
         if order >= 3:
-            tri_pruned = (
-                read_snapshot_pruned(spark, tri_path, prev2s)
-                if prev2s
-                else None
-            )
+            if prev2s is None:
+                tri_pruned = read_snapshot(spark, tri_path)
+            elif prev2s:
+                tri_pruned = read_snapshot_pruned(spark, tri_path, prev2s)
+            else:
+                tri_pruned = None
             tri = (
                 fold_trigrams(tri_pruned)
                 if tri_pruned is not None
