@@ -1409,6 +1409,10 @@ def stream_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(stage, "out"),
             os.path.join(stage, "ckpt"),
             max_files_per_trigger=1,
+            # compaction INSIDE the hash-matched path (the
+            # stream_lm_verify precedent): mid-stream docs/bands/packed
+            # rewrites must be invisible to the oracle
+            compact_every=2,
         )
         finished = q.awaitTermination(600)
         q.stop()
@@ -1423,7 +1427,10 @@ def stream_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = build_once(
         os.path.join(
             tempfile.gettempdir(),
-            "qopcfdr_streamexport_"
+            # path segment versioned (exportc2 = compact_every=2 inside
+            # the oracled stream): a stale uncompacted /tmp build must
+            # not satisfy the compacted probe
+            "qopcfdr_streamexportc2_"
             f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
         ),
         "_COMPLETE",
