@@ -482,19 +482,22 @@ SELECT promo, total, round(100 * promo / total, 4) AS promo_pct FROM agg
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum revenue in one quarter.
     Revenue is rounded *before* the max/filter so arg-max ties resolve
-    identically across engines."""
+    identically across engines.  The global max rides the q11
+    broadcast-scalar pattern (a 1-row aggregate cross-joined back) —
+    no SinglePartition window stage; the supplier-grain aggregate is
+    persisted so the scalar branch doesn't re-scan lineitem."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = (
+    rev = tracked_persist(
         li.groupBy("l_suppkey")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
     )
-    w = Window.partitionBy()
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
