@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..session import tracked_persist
 from ..sources.tables import load_table
 
 
@@ -1053,10 +1054,243 @@ GROUP BY p.doc_id, d.n_frames
 """
 
 
+# --------------------------------------------------------------------- #
+# perceptual-hash image dedup
+# --------------------------------------------------------------------- #
+# The standard training-data step the text dedup families can't cover:
+# near-dup IMAGE removal.  A 64-bit average-hash (aHash) over an 8x8
+# downsample of the decoded grayscale — bit c set iff cell c's pixel sum
+# exceeds its share of the global sum, integer arithmetic throughout —
+# then the dedup_simhash banding: 4x16-bit bands, pigeonhole-complete
+# for Hamming <= 3.  The hash is carried as two 32-bit halves (lo, hi)
+# so no engine ever shifts into the BIGINT sign bit.
+#
+# The fixture corpus is deterministic integer arithmetic (the
+# multimodal_video pattern): docs in the same PHASH_GROUP share a base
+# cell pattern, and member m toggles cells < m — cell values sit at
+# 64/192 around the ~128 global mean, so a toggle flips EXACTLY its own
+# hash bit (the global-mean drift of <= 3 toggles is far inside the 64
+# margin) and within-group Hamming is |m_a - m_b| by construction.  The
+# payloads are REAL PNGs round-tripped through the stdlib encoder/
+# decoder; the oracle replays the cell formula, never the codec.
+#
+# Reference parity: the reference has no image pipeline (SURVEY.md §6)
+# — beyond-reference machinery for the training-data pipeline, composed
+# from driver-verified parts (decode_image_batch, dedup_simhash's
+# band-bucket join).
+PHASH_GRID = 8          # 8x8 hash grid = 64 bits
+PHASH_IMG = 16          # 16x16 px image -> 2x2 px per grid cell
+PHASH_GROUP = 4         # doc_id // 4 share a base pattern
+PHASH_HAMMING_MAX = 3
+PHASH_ON, PHASH_OFF = 192, 64
+
+
+def _phash_cell_value(doc_id: int, cell: int) -> int:
+    """Deterministic fixture cell intensity — the integer formula the
+    DuckDB oracle replays.  cell*31 mod 64 is a bijection on cells, so
+    the base on-set is exactly half the grid for every group."""
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    on = ((g * 1009 + cell * 31) % 64) < 32
+    if cell < m:
+        on = not on
+    return PHASH_ON if on else PHASH_OFF
+
+
+def _encode_png_gray(rows: list[list[int]]) -> bytes:
+    """Minimal spec-conformant 8-bit grayscale PNG encoder (filter 0
+    scanlines, zlib IDAT, CRC-correct chunks) — the fixture payloads
+    are real PNGs so dedup_phash exercises the real decode boundary."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    h, w = len(rows), len(rows[0])
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+PHASH_PAYLOAD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("lo", LongType()),
+    StructField("hi", LongType()),
+])
+
+
+def synth_image_batch(ids: Iterator) -> Iterator:
+    """mapInPandas body: doc_id -> a complete grayscale PNG as bytes."""
+    import pandas as pd
+
+    scale = PHASH_IMG // PHASH_GRID
+    for pdf in ids:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            rows = [
+                [
+                    _phash_cell_value(
+                        d, (y // scale) * PHASH_GRID + x // scale
+                    )
+                    for x in range(PHASH_IMG)
+                ]
+                for y in range(PHASH_IMG)
+            ]
+            payloads.append(_encode_png_gray(rows))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def phash_batch(batches: Iterator) -> Iterator:
+    """mapInPandas body: PNG bytes -> 64-bit average-hash as two 32-bit
+    halves, via the REAL image decode (Pillow or the stdlib decoder)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = PHASH_IMG // PHASH_GRID
+    for pdf in batches:
+        decoded = decode_image_batch(pdf["payload"])
+        rows = []
+        for doc_id, (w, h, px) in zip(pdf["doc_id"], decoded):
+            gray = np.asarray(px, dtype=np.int64)[:, :, 0]
+            cells = gray.reshape(
+                PHASH_GRID, scale, PHASH_GRID, scale
+            ).sum(axis=(1, 3))
+            total = int(cells.sum())
+            # integer-exact aHash: cell mean > global mean, cleared of
+            # division — cell_sum * n_cells > total
+            bits = (cells.reshape(-1) * (PHASH_GRID * PHASH_GRID)) > total
+            lo = sum(1 << c for c in range(32) if bits[c])
+            hi = sum(1 << (c - 32) for c in range(32, 64) if bits[c])
+            rows.append((int(doc_id), lo, hi))
+        yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
+
+
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs with Hamming distance <= PHASH_HAMMING_MAX
+    over the 64-bit perceptual hash, via 4x16-bit band buckets
+    (pigeonhole: any pair within distance 3 agrees on a whole band).
+
+    Scale shape: decode + hash is the declared Arrow ``mapInPandas``
+    boundary (two passes, both O(batch)); everything after the 3-column
+    (doc_id, lo, hi) projection is JVM-side — the band explode is 4
+    rows/doc and the bucket self-join is the dedup_simhash LSH shape
+    (band-key hash partitioning, never a corpus cross join)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.repartition("doc_id").mapInPandas(
+        synth_image_batch, PHASH_PAYLOAD_SCHEMA
+    )
+    sigs = tracked_persist(imgs.mapInPandas(phash_batch, PHASH_SCHEMA))
+    bands = sigs.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(
+                        F.col("lo") if b < 2 else F.col("hi"),
+                        (b % 2) * 16,
+                    )
+                    .bitwiseAND(F.lit((1 << 16) - 1))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "lo", "hi", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    ) + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+# The oracle replays the CELL formula (the codec round-trip is
+# pixel-identity by the PNG spec, unit-pinned separately), then the
+# identical integer aHash + banding + Hamming pipeline.
+DEDUP_PHASH_SQL = f"""
+WITH cells AS (
+  SELECT d.doc_id, c.c AS cell,
+         CASE WHEN (
+                CASE WHEN c.c < d.doc_id % {PHASH_GROUP}
+                     THEN 1 - (((d.doc_id // {PHASH_GROUP}) * 1009
+                                + c.c * 31) % 64 < 32)::INT
+                     ELSE (((d.doc_id // {PHASH_GROUP}) * 1009
+                            + c.c * 31) % 64 < 32)::INT END
+              ) = 1
+              THEN {PHASH_ON} ELSE {PHASH_OFF} END AS v
+  FROM (SELECT doc_id FROM documents) d,
+       (SELECT unnest(range({PHASH_GRID * PHASH_GRID})) AS c) c
+),
+tot AS (SELECT doc_id, sum(v) AS t FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, c.cell,
+         CASE WHEN c.v * {PHASH_GRID * PHASH_GRID} > t.t
+              THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cell < 32
+                       THEN bit * (CAST(1 AS BIGINT) << cell)
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN cell >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, lo, hi, p.p AS band,
+         (CASE WHEN p.p < 2 THEN lo ELSE hi END >> ((p.p % 2) * 16))
+         & 65535 AS key
+  FROM hashes, (SELECT unnest(range(4)) AS p) p
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      <= {PHASH_HAMMING_MAX}
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "multimodal_video": (multimodal_video, MULTIMODAL_VIDEO_SQL),
+    "dedup_phash": (dedup_phash, DEDUP_PHASH_SQL),
 }

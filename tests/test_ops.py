@@ -2560,6 +2560,72 @@ def test_avi_container_roundtrip_pure():
         _parse_avi(whole[: len(whole) - 10])
 
 
+def test_dedup_phash_planted_neardups(spark, tmp_path):
+    """Perceptual-hash image dedup end-to-end on a planted corpus: the
+    payloads are REAL PNGs (encoder -> stdlib decoder round-trip), and
+    within a PHASH_GROUP member m toggles exactly m hash bits, so every
+    within-group pair must surface with Hamming |m_a - m_b| <= 3 — and
+    the result must hash-match the cell-formula DuckDB oracle."""
+    import duckdb
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        DEDUP_PHASH_SQL,
+        PHASH_GRID,
+        PHASH_GROUP,
+        PHASH_IMG,
+        PHASH_PAYLOAD_SCHEMA,
+        _phash_cell_value,
+        decode_image_batch,
+        dedup_phash,
+        synth_image_batch,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from .oracle_util import compare
+
+    # codec round-trip pin: decoded pixels == the cell formula
+    ids = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in ids.mapInPandas(
+            synth_image_batch, PHASH_PAYLOAD_SCHEMA
+        ).collect()
+    }
+    scale = PHASH_IMG // PHASH_GRID
+    for doc_id, payload in payloads.items():
+        w, h, px = decode_image_batch([payload])[0]
+        assert (w, h) == (PHASH_IMG, PHASH_IMG)
+        for y in range(PHASH_IMG):
+            for x in range(PHASH_IMG):
+                cell = (y // scale) * PHASH_GRID + x // scale
+                assert int(px[y][x][0]) == _phash_cell_value(doc_id, cell)
+
+    # planted corpus: 4 groups x 4 members (text unused by the operator)
+    n = 4 * PHASH_GROUP
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = dedup_phash(spark, str(tmp_path))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got.collect()}
+    for g in range(4):
+        for a in range(PHASH_GROUP):
+            for b in range(a + 1, PHASH_GROUP):
+                key = (g * PHASH_GROUP + a, g * PHASH_GROUP + b)
+                assert pairs.get(key) == b - a, (key, pairs.get(key))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(dedup_phash(spark, str(tmp_path)), con, DEDUP_PHASH_SQL)
+    release_tracked_caches()
+    assert not problems, problems
+
+
 @pytest.mark.slow
 def test_multimodal_video_avi_roundtrip(spark):
     """The video path writes REAL RIFF/AVI containers and parses them
