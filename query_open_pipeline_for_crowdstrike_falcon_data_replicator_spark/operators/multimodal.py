@@ -1085,12 +1085,28 @@ PHASH_HAMMING_MAX = 3
 PHASH_ON, PHASH_OFF = 192, 64
 
 
-def _phash_cell_value(doc_id: int, cell: int) -> int:
-    """Deterministic fixture cell intensity — the integer formula the
-    DuckDB oracle replays.  cell*31 mod 64 is a bijection on cells, so
-    the base on-set is exactly half the grid for every group."""
+def _phash_base_hex(g: int) -> str:
+    """md5 of the group id as a string — the base pattern source.  Any
+    ARITHMETIC mix over (g, cell) degenerates here: cell only spans
+    0..63, so a linear term in cell is a shifted-interval pattern and
+    nearby groups collide into huge band buckets (the first version
+    collapsed a large corpus to ~64 distinct images).  md5 is the
+    engine-portable true mix — the dedup_simhash oracle precedent."""
+    import hashlib
+
+    return hashlib.md5(str(g).encode()).hexdigest()
+
+
+def _phash_cell_value(doc_id: int, cell: int, _hex: str | None = None) -> int:
+    """Deterministic fixture cell intensity — the formula the DuckDB
+    oracle replays (md5 hex digit ``cell//4``, bit ``cell%4``).  Cell
+    values sit at 64/192 around the ~128 global mean, so member m's
+    toggle of cells < m flips EXACTLY its own m hash bits regardless
+    of the base on-set's size k (the bit rule cell*64 > total reduces
+    to on/off for every 0 <= k <= 64)."""
     g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
-    on = ((g * 1009 + cell * 31) % 64) < 32
+    digit = int((_hex or _phash_base_hex(g))[cell // 4], 16)
+    on = (digit >> (cell % 4)) & 1 == 1
     if cell < m:
         on = not on
     return PHASH_ON if on else PHASH_OFF
@@ -1143,10 +1159,11 @@ def synth_image_batch(ids: Iterator) -> Iterator:
         payloads = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
+            hx = _phash_base_hex(d // PHASH_GROUP)
             rows = [
                 [
                     _phash_cell_value(
-                        d, (y // scale) * PHASH_GRID + x // scale
+                        d, (y // scale) * PHASH_GRID + x // scale, hx
                     )
                     for x in range(PHASH_IMG)
                 ]
@@ -1181,22 +1198,20 @@ def phash_batch(batches: Iterator) -> Iterator:
         yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
 
 
-def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup image pairs with Hamming distance <= PHASH_HAMMING_MAX
-    over the 64-bit perceptual hash, via 4x16-bit band buckets
-    (pigeonhole: any pair within distance 3 agrees on a whole band).
-
-    Scale shape: decode + hash is the declared Arrow ``mapInPandas``
-    boundary (two passes, both O(batch)); everything after the 3-column
-    (doc_id, lo, hi) projection is JVM-side — the band explode is 4
-    rows/doc and the bucket self-join is the dedup_simhash LSH shape
-    (band-key hash partitioning, never a corpus cross join)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = docs.repartition("doc_id").mapInPandas(
+def phash_signatures(ids: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, lo, hi): synth the fixture PNG and hash it
+    through the REAL decode — the two Arrow passes shared by the batch
+    operator and the streaming twin."""
+    imgs = ids.repartition("doc_id").mapInPandas(
         synth_image_batch, PHASH_PAYLOAD_SCHEMA
     )
-    sigs = tracked_persist(imgs.mapInPandas(phash_batch, PHASH_SCHEMA))
-    bands = sigs.select(
+    return imgs.mapInPandas(phash_batch, PHASH_SCHEMA)
+
+
+def phash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode a (doc_id, lo, hi) frame into its 4x16-bit band rows
+    (doc_id, lo, hi, band, key) — 4 rows/doc, JVM-side."""
+    return sigs.select(
         "doc_id",
         "lo",
         "hi",
@@ -1215,11 +1230,32 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "lo", "hi", "bk.band", "bk.key")
+
+
+def phash_hamming(a_prefix: str = "a", b_prefix: str = "b"):
+    """The 64-bit Hamming distance between two aliased signature sides."""
+    return F.bit_count(
+        F.col(f"{a_prefix}.lo").bitwiseXOR(F.col(f"{b_prefix}.lo"))
+    ) + F.bit_count(F.col(f"{a_prefix}.hi").bitwiseXOR(F.col(f"{b_prefix}.hi")))
+
+
+def phash_pairs_from(ids: DataFrame) -> DataFrame:
+    """Near-dup image pairs with Hamming distance <= PHASH_HAMMING_MAX
+    over the 64-bit perceptual hash, via 4x16-bit band buckets
+    (pigeonhole: any pair within distance 3 agrees on a whole band),
+    from a (doc_id) frame — factored out so the scale probe can drive
+    the identical pipeline at any corpus size.
+
+    Scale shape: decode + hash is the declared Arrow ``mapInPandas``
+    boundary (two passes, both O(batch)); everything after the 3-column
+    (doc_id, lo, hi) projection is JVM-side — the band explode is 4
+    rows/doc and the bucket self-join is the dedup_simhash LSH shape
+    (band-key hash partitioning, never a corpus cross join)."""
+    sigs = tracked_persist(phash_signatures(ids))
+    bands = phash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = F.bit_count(
-        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
-    ) + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ham = phash_hamming()
     return (
         a.join(
             b,
@@ -1237,21 +1273,32 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``phash_pairs_from`` over the documents table."""
+    return phash_pairs_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
 # The oracle replays the CELL formula (the codec round-trip is
 # pixel-identity by the PNG spec, unit-pinned separately), then the
-# identical integer aHash + banding + Hamming pipeline.
-DEDUP_PHASH_SQL = f"""
-WITH cells AS (
+# identical integer aHash + banding + Hamming pipeline.  The CTE chain
+# is shared verbatim with the streaming twin's oracle
+# (streaming/verify.stream_phash_verify).
+PHASH_SIG_CTES = f"""base AS (
+  SELECT doc_id, md5(CAST(doc_id // {PHASH_GROUP} AS VARCHAR)) AS hx
+  FROM documents
+),
+cells AS (
   SELECT d.doc_id, c.c AS cell,
-         CASE WHEN (
+         CASE WHEN xor(
+                (CAST(('0x' || substr(d.hx, c.c // 4 + 1, 1)) AS INT)
+                 >> (c.c % 4)) & 1,
                 CASE WHEN c.c < d.doc_id % {PHASH_GROUP}
-                     THEN 1 - (((d.doc_id // {PHASH_GROUP}) * 1009
-                                + c.c * 31) % 64 < 32)::INT
-                     ELSE (((d.doc_id // {PHASH_GROUP}) * 1009
-                            + c.c * 31) % 64 < 32)::INT END
+                     THEN 1 ELSE 0 END
               ) = 1
               THEN {PHASH_ON} ELSE {PHASH_OFF} END AS v
-  FROM (SELECT doc_id FROM documents) d,
+  FROM base d,
        (SELECT unnest(range({PHASH_GRID * PHASH_GRID})) AS c) c
 ),
 tot AS (SELECT doc_id, sum(v) AS t FROM cells GROUP BY 1),
@@ -1276,13 +1323,19 @@ bands AS (
          (CASE WHEN p.p < 2 THEN lo ELSE hi END >> ((p.p % 2) * 16))
          & 65535 AS key
   FROM hashes, (SELECT unnest(range(4)) AS p) p
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
-      <= {PHASH_HAMMING_MAX}
+),
+phash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        <= {PHASH_HAMMING_MAX}
+)"""
+
+DEDUP_PHASH_SQL = f"""
+WITH {PHASH_SIG_CTES}
+SELECT doc_a, doc_b, hamming FROM phash_pairs
 """
 
 

@@ -79,6 +79,10 @@ BENCH_EXCLUDE = {
     # Streaming query (3 micro-batches x 5 snapshot tables) inside the
     # builder
     "stream_export_verify",
+    # runs incremental image near-dup maintenance as a Structured
+    # Streaming query (3 micro-batches probing the banded phash index,
+    # one mid-stream compaction) inside the builder
+    "stream_phash_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

@@ -1481,6 +1481,94 @@ GROUP BY 1
 """
 
 
+def stream_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run incremental image near-dup maintenance
+    (``streaming/phashmaint.py``) over the documents corpus split into
+    three doc_id-range drops, then read the PAIRS SNAPSHOT back — every
+    near-dup image pair stamped with the batch whose arrival discovered
+    it (the batch of its LATER endpoint).
+
+    The DuckDB oracle replays the whole pipeline from the cell formula
+    (the CTE chain shared verbatim with ``dedup_phash``'s oracle) and
+    assigns each pair greatest(batch(doc_a), batch(doc_b)) — a
+    hash-match therefore proves the incremental protocol: each batch
+    probed the committed index (earlier batches only), the read-back
+    protocol produced no duplicate or missing pairs across replays,
+    and a mid-stream compaction (``compact_every=2``, INSIDE the
+    hash-matched path) changed nothing a reader sees.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the operators it drives carry their own 100 TB
+    design (domain-bounded key collect, key-pruned index probe,
+    clustered compaction)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .phashmaint import PAIRS_TABLE, run_phash_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        _write_ordered_batches(docs, src)
+        q = run_phash_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_phash_verify: stream did not drain within 600s; "
+                "snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamphash_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    pairs = read_snapshot(spark, os.path.join(base, "out", PAIRS_TABLE))
+    return pairs.select(
+        "doc_a", "doc_b", "hamming", F.col("batch_id").cast("long").alias("batch_id")
+    )
+
+
+def _stream_phash_oracle_sql() -> str:
+    """The batch pipeline's signature/band/pair CTEs plus the tercile
+    batch assignment the ordered writer uses; a pair lands in the batch
+    of its later endpoint."""
+    from ..operators.multimodal import PHASH_SIG_CTES
+
+    return f"""
+WITH {PHASH_SIG_CTES},
+mx AS (SELECT max(doc_id) AS m FROM documents),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+              WHEN doc_id <= (SELECT 2 * m // 3 FROM mx) THEN 1
+              ELSE 2 END AS b
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.hamming,
+       CAST(greatest(ba.b, bb.b) AS BIGINT) AS batch_id
+FROM phash_pairs p
+JOIN assign ba ON p.doc_a = ba.doc_id
+JOIN assign bb ON p.doc_b = bb.doc_id
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1497,4 +1585,5 @@ STREAMING_QUERIES: dict[
     ),
     "stream_lm_verify": (stream_lm_verify, _stream_lm_oracle_sql()),
     "stream_export_verify": (stream_export_verify, _stream_export_oracle_sql()),
+    "stream_phash_verify": (stream_phash_verify, _stream_phash_oracle_sql()),
 }

@@ -183,6 +183,23 @@ def main() -> None:
         release_tracked_caches()
         return len(merges)
 
+    def run_phash():
+        # perceptual-hash image dedup end-to-end: PNG synth -> stdlib
+        # decode -> integer aHash (two Arrow passes), then the banded
+        # Hamming bucket join.  The fixture formula gives distinct
+        # hashes per group (realistic buckets), so this measures the
+        # Python decode boundary + LSH join shape at corpus scale.
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+            phash_pairs_from,
+        )
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+            release_tracked_caches,
+        )
+
+        out = phash_pairs_from(corpus.select("doc_id")).count()
+        release_tracked_caches()
+        return out
+
     ops = {
         "minhash_lsh": run_minhash,
         "substring": run_substring,
@@ -191,6 +208,7 @@ def main() -> None:
         "bigram_lm_score": run_lm_score,
         "cc_cluster": run_cluster,
         "bpe_train": run_bpe_train,
+        "phash": run_phash,
     }
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
