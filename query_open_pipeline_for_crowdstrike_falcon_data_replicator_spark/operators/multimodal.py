@@ -1339,6 +1339,212 @@ SELECT doc_a, doc_b, hamming FROM phash_pairs
 """
 
 
+# --------------------------------------------------------------------- #
+# frame-level video near-dup (shared-scene detection)
+# --------------------------------------------------------------------- #
+# The video counterpart of dedup_phash: two videos are near-dups when
+# they SHARE frames (re-uploads, edits, embedded clips) — the standard
+# training-data step for video corpora.  Pipeline: sample every
+# FRAME_SAMPLE_EVERY-th frame (the multimodal_frames primitive), hash
+# each sampled frame with a per-pixel integer aHash (the fixture frames
+# are 8x6 = 48 px, so the hash is 48 bits in one BIGINT — no sign
+# exposure; a real decoder would downsample to a grid first, exactly
+# like dedup_phash), then work at DISTINCT-HASH grain:
+#
+# - identical frames collapse to one class row BEFORE any join — a
+#   million re-uploads of one intro frame are ONE vertex, not 1e12
+#   candidate pairs;
+# - frame classes seen in more than FRAME_DF_CAP videos are dropped as
+#   boilerplate (network logos, black frames) — the dedup_ngram_jaccard
+#   stop-shingle DF-cap precedent, applied to frames: a frame shared by
+#   everyone identifies nothing, and the cap bounds the video-pair
+#   expansion by DF_CAP^2 per class;
+# - banding (4x12-bit, Hamming <= FRAME_HAMMING_MAX pigeonhole) runs
+#   over the distinct hashes only, then class pairs expand to video
+#   pairs through the capped membership table.
+FRAME_HASH_BITS = VIDEO_W * VIDEO_H  # 48
+FRAME_BAND_BITS = FRAME_HASH_BITS // 4  # 12
+FRAME_HAMMING_MAX = 3
+FRAME_DF_CAP = 50
+
+FRAME_SIG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("f", LongType()),
+    StructField("fh", LongType()),
+])
+
+
+def frame_phash_batch(batches: Iterator) -> Iterator:
+    """mapInPandas body: AVI bytes -> one 48-bit per-pixel aHash per
+    sampled frame, via the real chunk-tree parse."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _w, _h, n, _usec, frames = _parse_avi(bytes(payload))
+            for idx in range(0, n, FRAME_SAMPLE_EVERY):
+                fr = frames[idx]
+                total = sum(fr)
+                bits = 0
+                for i, v in enumerate(fr):
+                    # integer-exact: pixel mean > frame mean
+                    if v * len(fr) > total:
+                        bits |= 1 << i
+                rows.append((int(doc_id), idx, bits))
+        yield pd.DataFrame(rows, columns=["doc_id", "f", "fh"])
+
+
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pairs sharing near-dup sampled frames: (vid_a, vid_b,
+    n_frame_matches = matching frame-instance pairs across all matched
+    class pairs, min_hamming).  See the header comment for the
+    distinct-hash-grain + DF-cap scale design."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    avi = docs.repartition("doc_id").mapInPandas(
+        synth_avi_batch, VIDEO_PAYLOAD_SCHEMA
+    )
+    sigs = tracked_persist(
+        avi.mapInPandas(frame_phash_batch, FRAME_SIG_SCHEMA)
+    )
+    # boilerplate cut at class grain, then per-video membership counts
+    ok = (
+        sigs.groupBy("fh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= FRAME_DF_CAP)
+        .select("fh")
+    )
+    member = tracked_persist(
+        sigs.join(ok.hint("shuffle_hash"), "fh")
+        .groupBy("doc_id", "fh")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    bands = member.select("fh").distinct().select(
+        "fh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("fh", b * FRAME_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << FRAME_BAND_BITS) - 1))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("fh", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.fh").bitwiseXOR(F.col("b.fh")))
+    # h_a <= h_b keeps identical-frame classes as self-pairs (two
+    # videos sharing the SAME class are the strongest match)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.fh") <= F.col("b.fh")),
+        )
+        .select(
+            F.col("a.fh").alias("h_a"),
+            F.col("b.fh").alias("h_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= FRAME_HAMMING_MAX)
+        .distinct()
+    )
+    ma, mb = member.alias("ma"), member.alias("mb")
+    expanded = (
+        cand.join(ma, F.col("ma.fh") == F.col("h_a"))
+        .join(mb.hint("shuffle_hash"), F.col("mb.fh") == F.col("h_b"))
+        # h_a < h_b: the two cross terms (X@h_a x Y@h_b, Y@h_a x X@h_b)
+        # are DISTINCT instance-pair sets, keep both; h_a == h_b: the
+        # ma/mb swap is the SAME set, keep one ordering only
+        .filter(
+            F.when(
+                F.col("h_a") == F.col("h_b"),
+                F.col("ma.doc_id") < F.col("mb.doc_id"),
+            ).otherwise(F.col("ma.doc_id") != F.col("mb.doc_id"))
+        )
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("vid_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("vid_b"),
+            (F.col("ma.m") * F.col("mb.m")).alias("mm"),
+            "hamming",
+        )
+    )
+    return expanded.groupBy("vid_a", "vid_b").agg(
+        F.sum("mm").alias("n_frame_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
+DEDUP_VIDEO_FRAMES_SQL = f"""
+WITH vid AS (
+  SELECT doc_id,
+         {VIDEO_BASE_FRAMES} + doc_id % {VIDEO_MOD_FRAMES} AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, f.f AS f
+  FROM vid,
+       (SELECT unnest(range({VIDEO_BASE_FRAMES + VIDEO_MOD_FRAMES})) AS f) f
+  WHERE f.f < n_frames AND f.f % {FRAME_SAMPLE_EVERY} = 0
+),
+px AS (
+  SELECT doc_id, f, i.i AS i,
+         (doc_id * 31 + f * 257 + i.i * 7919) % 256 AS v
+  FROM fr, (SELECT unnest(range({FRAME_HASH_BITS})) AS i) i
+),
+tot AS (SELECT doc_id, f, sum(v) AS t FROM px GROUP BY 1, 2),
+sigs AS (
+  SELECT p.doc_id, p.f,
+         CAST(sum(CASE WHEN p.v * {FRAME_HASH_BITS} > t.t
+                       THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END)
+              AS BIGINT) AS fh
+  FROM px p JOIN tot t USING (doc_id, f)
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT fh FROM sigs GROUP BY fh
+  HAVING count(DISTINCT doc_id) <= {FRAME_DF_CAP}
+),
+member AS (
+  SELECT s.doc_id, s.fh, count(*) AS m
+  FROM sigs s JOIN ok USING (fh)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT fh, p.p AS band,
+         (fh >> (p.p * {FRAME_BAND_BITS}))
+         & {(1 << FRAME_BAND_BITS) - 1} AS key
+  FROM (SELECT DISTINCT fh FROM member),
+       (SELECT unnest(range(4)) AS p) p
+),
+cand AS (
+  SELECT DISTINCT a.fh AS h_a, b.fh AS h_b,
+         bit_count(xor(a.fh, b.fh)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.fh <= b.fh
+  WHERE bit_count(xor(a.fh, b.fh)) <= {FRAME_HAMMING_MAX}
+),
+expanded AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS vid_a,
+         greatest(ma.doc_id, mb.doc_id) AS vid_b,
+         ma.m * mb.m AS mm, c.hamming
+  FROM cand c
+  JOIN member ma ON ma.fh = c.h_a
+  JOIN member mb ON mb.fh = c.h_b
+  WHERE CASE WHEN c.h_a = c.h_b THEN ma.doc_id < mb.doc_id
+             ELSE ma.doc_id <> mb.doc_id END
+)
+SELECT vid_a, vid_b,
+       CAST(sum(mm) AS BIGINT) AS n_frame_matches,
+       min(hamming) AS min_hamming
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
@@ -1346,4 +1552,5 @@ MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "multimodal_video": (multimodal_video, MULTIMODAL_VIDEO_SQL),
     "dedup_phash": (dedup_phash, DEDUP_PHASH_SQL),
+    "dedup_video_frames": (dedup_video_frames, DEDUP_VIDEO_FRAMES_SQL),
 }

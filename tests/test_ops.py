@@ -2626,6 +2626,51 @@ def test_dedup_phash_planted_neardups(spark, tmp_path):
     assert not problems, problems
 
 
+def test_dedup_video_frames_planted_shared_scene(spark, tmp_path):
+    """Frame-level video near-dup on a planted corpus.  The fixture's
+    frame pattern c = (31*doc + 257*f) % 256 gives EXACT shared sampled
+    frames between doc and doc+190 (31*190 = 2 mod 256 = one 2-step of
+    f, and sampled frames step by 2), and doc / doc+256 share their
+    whole pattern — both must surface with min_hamming 0, and the
+    result must hash-match the DuckDB oracle."""
+    import duckdb
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        DEDUP_VIDEO_FRAMES_SQL,
+        dedup_video_frames,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from .oracle_util import compare
+
+    ids = [0, 190, 5, 261, 1000]  # (0,190) offset-share; (5,261) full-share
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = dedup_video_frames(spark, str(tmp_path))
+    rows = {(r.vid_a, r.vid_b): r for r in got.collect()}
+    assert (0, 190) in rows and rows[(0, 190)].min_hamming == 0
+    assert (5, 261) in rows and rows[(5, 261)].min_hamming == 0
+    # full-share pair matches at least its shared sampled-frame count
+    # (doc 5: n_frames 9 -> sampled {0,2,4,6}; doc 261: n_frames 5 ->
+    # sampled {0,2,4}; identical pattern -> >= 3 identical-class hits)
+    assert rows[(5, 261)].n_frame_matches >= 3
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(
+        dedup_video_frames(spark, str(tmp_path)), con, DEDUP_VIDEO_FRAMES_SQL
+    )
+    release_tracked_caches()
+    assert not problems, problems
+
+
 @pytest.mark.slow
 def test_multimodal_video_avi_roundtrip(spark):
     """The video path writes REAL RIFF/AVI containers and parses them

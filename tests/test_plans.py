@@ -927,6 +927,31 @@ def test_shard_balance_plan_no_corpus_sort(spark, sf_dir):
     assert "partial_count" in plan, plan[:1500]
 
 
+def test_phash_plans_stay_bucketed(spark, sf_dir):
+    """dedup_phash / dedup_video_frames: the band candidate join is a
+    hash-partitioned equi-join on (band, key) — never a cartesian or
+    nested-loop product — and video-frame membership expansion rides
+    shuffle_hash (derived data must not plan-time broadcast)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        dedup_phash,
+        dedup_video_frames,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    for q in (dedup_phash, dedup_video_frames):
+        plan = _formatted(q(spark, sf_dir))
+        release_tracked_caches()
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        # the band bucket join keys on band AND key
+        assert "band" in plan and "key" in plan, q.__name__
+    plan = _formatted(dedup_video_frames(spark, sf_dir))
+    release_tracked_caches()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
 def test_ppl_filter_plan_no_per_lang_corpus_window(spark, sf_dir):
     """text_ppl_filter: the per-lang 70% cut resolves on the
     (lang, nll-bucket) histogram — the only doc-grain window is the
