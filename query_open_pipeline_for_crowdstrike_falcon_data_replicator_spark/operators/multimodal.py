@@ -1280,6 +1280,36 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE dedup decision: phash near-dup pairs ->
+    connected components -> one canonical keeper per cluster — the
+    ``dedup_cluster`` composition applied to the image modality (pairs
+    are necessary but not sufficient; transitivity makes "keep one
+    copy" well-defined).  Output one row per clustered image:
+    (doc_id, cluster_rep, cluster_size, is_rep); the drop-list is
+    ``is_rep = false``.  Cluster sizes via a window count on
+    cluster_rep, never a broadcast of the derived sizes table (the
+    dedup_cluster rule)."""
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    pairs = phash_pairs_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = connected_components(edges)
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_rep"))
+    return labels.select(
+        "doc_id",
+        "cluster_rep",
+        size_w.alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+    )
+
+
 # The oracle replays the CELL formula (the codec round-trip is
 # pixel-identity by the PNG spec, unit-pinned separately), then the
 # identical integer aHash + banding + Hamming pipeline.  The CTE chain
@@ -1336,6 +1366,30 @@ phash_pairs AS (
 DEDUP_PHASH_SQL = f"""
 WITH {PHASH_SIG_CTES}
 SELECT doc_a, doc_b, hamming FROM phash_pairs
+"""
+
+# Transitive closure of the same pair set (the DEDUP_CLUSTER_SQL shape).
+DEDUP_PHASH_CLUSTER_SQL = f"""
+WITH RECURSIVE {PHASH_SIG_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM phash_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM phash_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+),
+csizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT doc_id, cluster_rep, cluster_size, doc_id = cluster_rep AS is_rep
+FROM labels JOIN csizes USING (cluster_rep)
 """
 
 
@@ -1395,13 +1449,14 @@ def frame_phash_batch(batches: Iterator) -> Iterator:
         yield pd.DataFrame(rows, columns=["doc_id", "f", "fh"])
 
 
-def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
     """Video pairs sharing near-dup sampled frames: (vid_a, vid_b,
     n_frame_matches = matching frame-instance pairs across all matched
-    class pairs, min_hamming).  See the header comment for the
-    distinct-hash-grain + DF-cap scale design."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    avi = docs.repartition("doc_id").mapInPandas(
+    class pairs, min_hamming), from a (doc_id) frame — factored out so
+    the scale probe can drive the identical pipeline at any corpus
+    size.  See the header comment for the distinct-hash-grain + DF-cap
+    scale design."""
+    avi = ids.repartition("doc_id").mapInPandas(
         synth_avi_batch, VIDEO_PAYLOAD_SCHEMA
     )
     sigs = tracked_persist(
@@ -1475,6 +1530,13 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy("vid_a", "vid_b").agg(
         F.sum("mm").alias("n_frame_matches"),
         F.min("hamming").alias("min_hamming"),
+    )
+
+
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``video_frame_pairs_from`` over documents."""
+    return video_frame_pairs_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
     )
 
 
@@ -1552,5 +1614,6 @@ MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "multimodal_video": (multimodal_video, MULTIMODAL_VIDEO_SQL),
     "dedup_phash": (dedup_phash, DEDUP_PHASH_SQL),
+    "dedup_phash_cluster": (dedup_phash_cluster, DEDUP_PHASH_CLUSTER_SQL),
     "dedup_video_frames": (dedup_video_frames, DEDUP_VIDEO_FRAMES_SQL),
 }

@@ -2625,6 +2625,22 @@ def test_dedup_phash_planted_neardups(spark, tmp_path):
     release_tracked_caches()
     assert not problems, problems
 
+    # the keep-one-per-cluster composition: every group of 4 collapses
+    # to one cluster whose rep is its smallest member
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        dedup_phash_cluster,
+    )
+
+    clustered = {
+        r.doc_id: r for r in dedup_phash_cluster(spark, str(tmp_path)).collect()
+    }
+    release_tracked_caches()
+    assert len(clustered) == n
+    for d, r in clustered.items():
+        assert r.cluster_rep == (d // PHASH_GROUP) * PHASH_GROUP
+        assert r.cluster_size == PHASH_GROUP
+        assert r.is_rep == (d == r.cluster_rep)
+
 
 def test_dedup_video_frames_planted_shared_scene(spark, tmp_path):
     """Frame-level video near-dup on a planted corpus.  The fixture's

@@ -200,6 +200,24 @@ def main() -> None:
         release_tracked_caches()
         return out
 
+    def run_vframes():
+        # frame-level video near-dup at corpus scale.  The fixture's
+        # frame pattern has only 256 distinct classes, so at probe
+        # scale EVERY class carries thousands of videos and crosses
+        # FRAME_DF_CAP — an all-boilerplate corpus, the worst case the
+        # cap exists for: without it the pair join is (n/256)^2 * 256;
+        # with it the run stays linear (hash + class agg + empty join).
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+            video_frame_pairs_from,
+        )
+        from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+            release_tracked_caches,
+        )
+
+        out = video_frame_pairs_from(corpus.select("doc_id")).count()
+        release_tracked_caches()
+        return out
+
     ops = {
         "minhash_lsh": run_minhash,
         "substring": run_substring,
@@ -209,6 +227,7 @@ def main() -> None:
         "cc_cluster": run_cluster,
         "bpe_train": run_bpe_train,
         "phash": run_phash,
+        "vframes": run_vframes,
     }
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))
