@@ -1607,6 +1607,170 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------- #
+# audio fingerprint near-dup
+# --------------------------------------------------------------------- #
+# Completes the modality set (text / image / video / AUDIO all carry
+# exact-oracled near-dup dedup): a 48-bit sign-bit fingerprint over the
+# first AUDIO_FP_BITS PCM samples (every fixture clip has >= 64) — the
+# zero-crossing-pattern fingerprint, integer-exact and robust to
+# uniform gain, the toy form of spectral-peak fingerprinting.  Same
+# scale design as dedup_video_frames: distinct-hash grain (identical
+# clips collapse BEFORE any join), DF-cap on boilerplate classes
+# (jingles, silence), 4x12-bit banding, Hamming <= 3 pigeonhole.  The
+# fixture algebra plants near-dups: doc and doc+66 differ by a -2
+# waveform shift (31*66 = 2046 = -2 mod 2048), flipping only samples
+# sitting in [0, 2) — usually zero of the first 48.
+AUDIO_FP_BITS = 48
+AUDIO_FP_BAND_BITS = AUDIO_FP_BITS // 4  # 12
+AUDIO_FP_HAMMING_MAX = 3
+AUDIO_FP_DF_CAP = 50
+
+AUDIO_FP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("fh", LongType()),
+])
+
+
+def audio_fp_batch(batches: Iterator) -> Iterator:
+    """mapInPandas body: WAV bytes -> 48-bit sign fingerprint, via the
+    real stdlib ``wave`` parse."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                n = w.getnframes()
+                raw = w.readframes(n)
+            samples = struct.unpack(f"<{n}h", raw)[:AUDIO_FP_BITS]
+            bits = 0
+            for i, s in enumerate(samples):
+                if s >= 0:
+                    bits |= 1 << i
+            rows.append((int(doc_id), bits))
+        yield pd.DataFrame(rows, columns=["doc_id", "fh"])
+
+
+def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
+    """Near-dup audio pairs (doc_a, doc_b, hamming) from a (doc_id)
+    frame — the dedup_video_frames class-grain pipeline over one
+    fingerprint per clip."""
+    wav = ids.repartition("doc_id").mapInPandas(
+        synth_wav_batch, AUDIO_PAYLOAD_SCHEMA
+    )
+    sigs = tracked_persist(wav.mapInPandas(audio_fp_batch, AUDIO_FP_SCHEMA))
+    ok = (
+        sigs.groupBy("fh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= AUDIO_FP_DF_CAP)
+        .select("fh")
+    )
+    member = tracked_persist(
+        sigs.join(ok.hint("shuffle_hash"), "fh").select("doc_id", "fh")
+    )
+    bands = member.select("fh").distinct().select(
+        "fh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("fh", b * AUDIO_FP_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << AUDIO_FP_BAND_BITS) - 1))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("fh", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.fh").bitwiseXOR(F.col("b.fh")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.fh") <= F.col("b.fh")),
+        )
+        .select(
+            F.col("a.fh").alias("h_a"),
+            F.col("b.fh").alias("h_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AUDIO_FP_HAMMING_MAX)
+        .distinct()
+    )
+    ma, mb = member.alias("ma"), member.alias("mb")
+    return (
+        cand.join(ma, F.col("ma.fh") == F.col("h_a"))
+        .join(mb.hint("shuffle_hash"), F.col("mb.fh") == F.col("h_b"))
+        .filter(
+            F.when(
+                F.col("h_a") == F.col("h_b"),
+                F.col("ma.doc_id") < F.col("mb.doc_id"),
+            ).otherwise(F.col("ma.doc_id") != F.col("mb.doc_id"))
+        )
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
+def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``audio_fp_pairs_from`` over documents."""
+    return audio_fp_pairs_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+DEDUP_AUDIO_FP_SQL = f"""
+WITH sigs AS (
+  SELECT d.doc_id,
+         CAST(sum(CASE WHEN ((d.doc_id * 31 + i.i * 7919) % 2048) - 1024
+                            >= 0
+                       THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END)
+              AS BIGINT) AS fh
+  FROM (SELECT doc_id FROM documents) d,
+       (SELECT unnest(range({AUDIO_FP_BITS})) AS i) i
+  GROUP BY 1
+),
+ok AS (
+  SELECT fh FROM sigs GROUP BY fh
+  HAVING count(DISTINCT doc_id) <= {AUDIO_FP_DF_CAP}
+),
+member AS (SELECT s.doc_id, s.fh FROM sigs s JOIN ok USING (fh)),
+bands AS (
+  SELECT fh, p.p AS band,
+         (fh >> (p.p * {AUDIO_FP_BAND_BITS}))
+         & {(1 << AUDIO_FP_BAND_BITS) - 1} AS key
+  FROM (SELECT DISTINCT fh FROM member),
+       (SELECT unnest(range(4)) AS p) p
+),
+cand AS (
+  SELECT DISTINCT a.fh AS h_a, b.fh AS h_b,
+         bit_count(xor(a.fh, b.fh)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.fh <= b.fh
+  WHERE bit_count(xor(a.fh, b.fh)) <= {AUDIO_FP_HAMMING_MAX}
+)
+SELECT DISTINCT least(ma.doc_id, mb.doc_id) AS doc_a,
+       greatest(ma.doc_id, mb.doc_id) AS doc_b,
+       c.hamming
+FROM cand c
+JOIN member ma ON ma.fh = c.h_a
+JOIN member mb ON mb.fh = c.h_b
+WHERE CASE WHEN c.h_a = c.h_b THEN ma.doc_id < mb.doc_id
+           ELSE ma.doc_id <> mb.doc_id END
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
@@ -1616,4 +1780,5 @@ MULTIMODAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "dedup_phash": (dedup_phash, DEDUP_PHASH_SQL),
     "dedup_phash_cluster": (dedup_phash_cluster, DEDUP_PHASH_CLUSTER_SQL),
     "dedup_video_frames": (dedup_video_frames, DEDUP_VIDEO_FRAMES_SQL),
+    "dedup_audio_fp": (dedup_audio_fp, DEDUP_AUDIO_FP_SQL),
 }

@@ -2687,6 +2687,58 @@ def test_dedup_video_frames_planted_shared_scene(spark, tmp_path):
     assert not problems, problems
 
 
+def test_dedup_audio_fp_planted_shifted_clip(spark, tmp_path):
+    """Audio fingerprint near-dup on a planted corpus: doc 66's
+    waveform is doc 0's shifted by -2 (31*66 = -2 mod 2048), so their
+    48-bit sign fingerprints differ only where a sample sits in [0, 2)
+    — the pair must surface with exactly the Hamming distance the
+    waveform formula predicts, and the result must hash-match the
+    oracle."""
+    import duckdb
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        AUDIO_FP_BITS,
+        DEDUP_AUDIO_FP_SQL,
+        _wav_samples,
+        dedup_audio_fp,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from .oracle_util import compare
+
+    ids = [0, 66, 100000]
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in ids], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def sign_bits(d):
+        return [int(s >= 0) for s in _wav_samples(d, AUDIO_FP_BITS)]
+
+    want_ham = sum(
+        a != b for a, b in zip(sign_bits(0), sign_bits(66))
+    )
+    assert want_ham <= 3  # else the fixture algebra note is stale
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_audio_fp(spark, str(tmp_path)).collect()
+    }
+    assert got.get((0, 66)) == want_ham, (got, want_ham)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(
+        dedup_audio_fp(spark, str(tmp_path)), con, DEDUP_AUDIO_FP_SQL
+    )
+    release_tracked_caches()
+    assert not problems, problems
+
+
 @pytest.mark.slow
 def test_multimodal_video_avi_roundtrip(spark):
     """The video path writes REAL RIFF/AVI containers and parses them
