@@ -83,6 +83,10 @@ BENCH_EXCLUDE = {
     # Streaming query (3 micro-batches probing the banded phash index,
     # one mid-stream compaction) inside the builder
     "stream_phash_verify",
+    # builds a versioned snapshot table (4 fenced appends + a
+    # compaction + a fenced replay) inside the builder — a correctness
+    # probe of the incremental-changes reader, not a timed op
+    "snapshot_cdc_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

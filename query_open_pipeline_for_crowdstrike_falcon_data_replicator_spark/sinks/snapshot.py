@@ -59,8 +59,10 @@ import json
 import posixpath
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .txn import _fs, _jpath, _list_files, _qualified, _read_text
 
@@ -168,6 +170,85 @@ def read_snapshot(
     if not files:
         raise FileNotFoundError(f"no snapshot at {path} (version={version})")
     return spark.read.parquet(*[posixpath.join(path, f) for f in files])
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """Incremental (CDC-style) read: the rows APPENDED after
+    ``from_version`` up to and including ``to_version`` (default: the
+    current version), each tagged with the version of the commit that
+    introduced it.
+
+    This is how a downstream consumer (a training job, an index
+    maintainer) follows the table without rescanning it: the plan reads
+    ONLY the data files the append commits in the window introduced —
+    O(delta), never O(table).  Because data files are immutable and a
+    manifest is an exact file list, "files in v but not in v-1" IS the
+    rows committed at v; no diff of row contents is ever computed.
+
+    Version kinds inside the window:
+
+    * **append** — contributes its added files, tagged with its version.
+    * **compaction** (``compacted_from`` in the manifest) — rewrites
+      existing rows into fewer files and adds none; contributes nothing,
+      and the file baseline resets to its output so the NEXT append
+      diffs against the compacted list.
+    * **plain overwrite** — replaces the table; "changes since" has no
+      append-grain meaning across it, so this raises ``ValueError`` and
+      the caller re-baselines (re-reads the full snapshot and resumes
+      from the overwrite version).  This mirrors the ANN drift-rebuild
+      protocol, where consumers re-sync after a retrain overwrite.
+
+    ``from_version=0`` means "since table creation".  A window whose
+    appends were all vacuumed away fails at read time (retention
+    governs how far back consumers may lag).  An empty window returns
+    an empty DataFrame with the table's schema plus ``version_col``.
+    """
+    fs, _ = _fs(spark, path)
+    if to_version is None:
+        to_version = current_version(spark, path)
+        if to_version is None:
+            raise FileNotFoundError(f"no snapshot at {path}")
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got "
+            f"{from_version}..{to_version}"
+        )
+    prev: set[str] = (
+        set(_load_manifest(spark, fs, path, from_version)["files"])
+        if from_version > 0
+        else set()
+    )
+    added: list[tuple[int, list[str]]] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = _load_manifest(spark, fs, path, v)
+        if "compacted_from" in m:
+            prev = set(m["files"])
+            continue
+        if m["mode"] != "append":
+            raise ValueError(
+                f"{path} v{v} is a full overwrite; incremental reads "
+                f"across it are undefined — re-baseline from v{v}"
+            )
+        new = [f for f in m["files"] if f not in prev]
+        prev = set(m["files"])
+        if new:
+            added.append((v, new))
+    if not added:
+        base = read_snapshot(spark, path, to_version).limit(0)
+        return base.withColumn(version_col, F.lit(None).cast("long"))
+    parts = [
+        spark.read.parquet(
+            *[posixpath.join(path, f) for f in new]
+        ).withColumn(version_col, F.lit(v).cast("long"))
+        for v, new in added
+    ]
+    return reduce(DataFrame.unionByName, parts)
 
 
 def _footer_cluster_stats(

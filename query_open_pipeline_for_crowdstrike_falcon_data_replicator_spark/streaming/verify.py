@@ -1569,6 +1569,93 @@ JOIN assign bb ON p.doc_b = bb.doc_id
 """
 
 
+def snapshot_cdc_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the incremental-changes reader
+    (``sinks/snapshot.snapshot_changes`` — the CDC surface downstream
+    consumers follow a snapshot table with, reading O(delta) files
+    instead of rescanning the table).
+
+    Build: the documents corpus lands as four ``doc_id % 4`` append
+    commits under per-writer txn fences (versions 1/2/4/5), with a
+    COMPACTION between batches 1 and 2 (version 3, rewrites everything
+    committed so far into one file) and a crash-replay of batch 2
+    (fenced — commits no version).  Probe: a consumer checkpointed at
+    version 1 asks for everything since.
+
+    The DuckDB oracle derives each row's commit version straight from
+    the ``doc_id % 4`` batch algebra — a hash-match therefore proves,
+    end-to-end under the driver's vanilla session: batch 0's rows are
+    absent (before the checkpoint), the compaction re-emitted NOTHING
+    despite rewriting every earlier row, the replayed append
+    double-counted nothing, and appends landing after the compaction
+    diff against the compacted file list (versions 4/5 intact).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the O(delta) plan claim — a consumer's read
+    touches no checkpointed file — is pinned by
+    ``test_snapshot_changes_incremental_read`` via ``inputFiles``.
+
+    Reference parity: the reference has no changes API; consumers
+    re-list S3 prefixes (README.md:48 delegates querying to Athena
+    over the whole lake).  This is the beyond-reference incremental
+    path for the same consumers."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sinks.snapshot import (
+        compact_snapshot,
+        snapshot_changes,
+        write_snapshot,
+    )
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        tbl = os.path.join(stage, "tbl")
+        for k in range(4):
+            batch = docs.filter(F.col("doc_id") % 4 == k).select("doc_id")
+            v = write_snapshot(
+                spark, batch.repartition(2), tbl,
+                txn_app="cdc", txn_version=k,
+            )
+            if v is None:
+                raise RuntimeError(f"batch {k} unexpectedly fenced")
+            if k == 1:
+                compact_snapshot(spark, tbl, target_files=1)
+            if k == 2 and (
+                write_snapshot(
+                    spark, batch, tbl, txn_app="cdc", txn_version=2
+                )
+                is not None
+            ):
+                raise RuntimeError("replayed batch 2 was not fenced")
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_snapcdc_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return snapshot_changes(
+        spark, os.path.join(base, "tbl"), from_version=1
+    ).select("doc_id", F.col("_commit_version").alias("commit_version"))
+
+
+SNAPSHOT_CDC_VERIFY_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5 END
+            AS BIGINT) AS commit_version
+FROM documents
+WHERE doc_id % 4 <> 0
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1586,4 +1673,5 @@ STREAMING_QUERIES: dict[
     "stream_lm_verify": (stream_lm_verify, _stream_lm_oracle_sql()),
     "stream_export_verify": (stream_export_verify, _stream_export_oracle_sql()),
     "stream_phash_verify": (stream_phash_verify, _stream_phash_oracle_sql()),
+    "snapshot_cdc_verify": (snapshot_cdc_verify, SNAPSHOT_CDC_VERIFY_SQL),
 }

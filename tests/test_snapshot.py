@@ -446,3 +446,86 @@ def test_stage_files_stats_from_parquet_footers(spark, tmp_path, monkeypatch):
         assert manifest["stats"] == scan_stats(
             path, manifest["files"], manifest["cluster_col"]
         )
+
+
+def test_snapshot_changes_incremental_read(spark, tmp_path):
+    """snapshot_changes reads ONLY the files the append commits in the
+    window introduced (O(delta), asserted via inputFiles), tags each row
+    with its commit version, skips compaction rewrites, stays correct
+    for appends landing AFTER a compaction, and returns an empty
+    schema-stable frame for an empty window."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 5).repartition(2), path)     # v1
+    write_snapshot(spark, spark.range(5, 8).repartition(1), path)     # v2
+    compact_snapshot(spark, path, target_files=1)                     # v3
+    write_snapshot(spark, spark.range(8, 10).repartition(1), path)    # v4
+
+    # since creation: every row exactly once, versioned by its append
+    # (compaction's rewrite of rows 0..7 must NOT re-emit them)
+    all_ch = snapshot_changes(spark, path, 0)
+    got = {(r.id, r._commit_version) for r in all_ch.collect()}
+    want = (
+        {(i, 1) for i in range(5)}
+        | {(i, 2) for i in range(5, 8)}
+        | {(i, 4) for i in range(8, 10)}
+    )
+    assert got == want
+
+    # a consumer checkpointed at v1 sees only v2 and v4's rows, and the
+    # plan touches none of v1's files even though v3 rewrote everything
+    tail = snapshot_changes(spark, path, 1)
+    assert {(r.id, r._commit_version) for r in tail.collect()} == {
+        (5, 2), (6, 2), (7, 2), (8, 4), (9, 4)
+    }
+    v1_files = {posixpath.basename(f) for f in snapshot_files(spark, path, 1)}
+    read_files = {posixpath.basename(f) for f in tail.inputFiles()}
+    assert not read_files & v1_files
+
+    # checkpoint AT the compaction: the next append diffs against the
+    # compacted file list, not the pre-compaction one
+    post = snapshot_changes(spark, path, 3)
+    assert {(r.id, r._commit_version) for r in post.collect()} == {
+        (8, 4), (9, 4)
+    }
+
+    # empty window: no rows, table schema + version column intact
+    empty = snapshot_changes(spark, path, 4, 4)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "_commit_version"]
+
+
+def test_snapshot_changes_overwrite_and_replay_fences(spark, tmp_path):
+    """A plain overwrite inside the window raises (consumers must
+    re-baseline); a fenced txn replay adds no version so the change
+    feed never double-counts; from > to is rejected."""
+    import pytest as _pytest
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 4), path, txn_app="w", txn_version=0)
+    # replayed micro-batch: fenced, so the feed since 0 is still 4 rows
+    assert (
+        write_snapshot(spark, spark.range(0, 4), path, txn_app="w", txn_version=0)
+        is None
+    )
+    assert snapshot_changes(spark, path, 0).count() == 4
+
+    write_snapshot(spark, spark.range(100, 102), path, mode="overwrite")  # v2
+    with _pytest.raises(ValueError, match="re-baseline"):
+        snapshot_changes(spark, path, 0)
+    # re-baselined at the overwrite: subsequent appends flow again
+    write_snapshot(spark, spark.range(102, 104), path)                    # v3
+    assert {(r.id, r._commit_version) for r in
+            snapshot_changes(spark, path, 2).collect()} == {
+        (102, 3), (103, 3)
+    }
+
+    with _pytest.raises(ValueError, match="from_version"):
+        snapshot_changes(spark, path, 5, 3)
