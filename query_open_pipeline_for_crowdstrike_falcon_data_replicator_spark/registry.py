@@ -87,6 +87,9 @@ BENCH_EXCLUDE = {
     # compaction + a fenced replay) inside the builder — a correctness
     # probe of the incremental-changes reader, not a timed op
     "snapshot_cdc_verify",
+    # builds a clustered table + a file-grain DELETE inside the builder
+    # — a correctness probe of delete_from_snapshot, not a timed op
+    "snapshot_delete_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

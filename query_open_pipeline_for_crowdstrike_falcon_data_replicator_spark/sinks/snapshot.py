@@ -230,6 +230,12 @@ def snapshot_changes(
         if "compacted_from" in m:
             prev = set(m["files"])
             continue
+        if "deleted_from" in m:
+            raise ValueError(
+                f"{path} v{v} deleted rows ({m.get('predicate')!r}); an "
+                f"append-grain change feed cannot express removals — "
+                f"re-baseline from v{v}"
+            )
         if m["mode"] != "append":
             raise ValueError(
                 f"{path} v{v} is a full overwrite; incremental reads "
@@ -249,6 +255,94 @@ def snapshot_changes(
         for v, new in added
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    cluster_range: tuple | None = None,
+) -> int | None:
+    """Row-level delete (the right-to-be-forgotten path): commit a new
+    version with every row matching ``predicate`` removed, rewriting
+    ONLY the files that hold matching rows — copy-on-write at file
+    grain, the Delta/Iceberg DELETE strategy.
+
+    Plan: (1) candidate files — all of them, unless the table is
+    clustered and ``cluster_range=(lo, hi)`` bounds the predicate on
+    the cluster column, in which case the manifest's per-file [min,
+    max] prunes candidates WITHOUT touching data (a doc_id-range
+    takedown on a doc_id-clustered corpus opens only the overlapping
+    files); (2) one column-pruned scan of the candidates finds the
+    files with >= 1 match (parquet row-group stats make non-matching
+    candidates footer-cheap); (3) matching files are rewritten with
+    only their surviving rows, non-matching files are carried into the
+    new manifest UNTOUCHED — their data, their stats.  A predicate
+    matching nothing commits nothing and returns None.
+
+    Delete semantics are SQL DELETE's: a row is removed iff the
+    predicate is TRUE; FALSE and NULL rows survive.
+
+    Older versions still see the deleted rows until ``vacuum_snapshots``
+    reaps them — retention is the compliance clock, exactly Delta's
+    ``VACUUM`` contract.  ``snapshot_changes`` refuses to cross a
+    delete commit (removals have no append-grain representation);
+    consumers re-baseline, as with overwrites.
+
+    ``predicate`` is a SQL expression string, so the operation is
+    oracle-replayable verbatim on any engine."""
+    fs, _ = _fs(spark, path)
+    version = current_version(spark, path)
+    if version is None:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    manifest = _load_manifest(spark, fs, path, version)
+    files = manifest["files"]
+    stats = manifest.get("stats", {})
+    cluster_col = manifest.get("cluster_col")
+    candidates = files
+    if cluster_range is not None and cluster_col is not None and stats:
+        lo, hi = cluster_range
+        candidates = [
+            f
+            for f in files
+            if (rng := stats.get(f)) is None
+            or rng[0] is None
+            or rng[1] is None
+            or (rng[0] <= hi and lo <= rng[1])
+        ]
+    if not candidates:
+        return None
+    pred = F.expr(predicate)
+    scan = spark.read.parquet(*[posixpath.join(path, f) for f in candidates])
+    hit_uris = [
+        r.f
+        for r in scan.filter(pred)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()  # bounded by the manifest's file count
+    ]
+    # input_file_name() yields absolute URIs; manifest paths are
+    # root-relative data/<token>/part-*.parquet — unique as suffixes
+    hit = [f for f in files if any(u.endswith(f) for u in hit_uris)]
+    if not hit:
+        return None
+    survivors = spark.read.parquet(
+        *[posixpath.join(path, f) for f in hit]
+    ).filter(~F.coalesce(pred, F.lit(False)))
+    new_files, new_stats = _stage_files(spark, fs, survivors, path, cluster_col)
+    kept = [f for f in files if f not in set(hit)]
+    kept_stats = {f: s for f, s in stats.items() if f in set(kept)}
+    kept_stats.update(new_stats or {})
+    return _commit(
+        spark,
+        fs,
+        path,
+        kept + new_files,
+        mode="overwrite",
+        meta={"deleted_from": version, "predicate": predicate},
+        stats=kept_stats,
+        cluster_col=cluster_col,
+    )
 
 
 def _footer_cluster_stats(

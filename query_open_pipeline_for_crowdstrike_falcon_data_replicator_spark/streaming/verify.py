@@ -1656,6 +1656,101 @@ WHERE doc_id % 4 <> 0
 """
 
 
+def snapshot_delete_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of row-level DELETE
+    (``sinks/snapshot.delete_from_snapshot`` — the right-to-be-forgotten
+    path: copy-on-write at file grain, candidates pruned manifest-level
+    on the cluster stats).
+
+    Build: documents split at max(doc_id)//2 into two doc_id-CLUSTERED
+    appends, then ``DELETE WHERE doc_id % 7 = 3 AND doc_id <= mid``
+    with ``cluster_range=(0, mid)``.  The builder RAISES unless every
+    upper-half file rode into the post-delete manifest byte-identical
+    (path and stats unchanged) — so a green row also certifies the
+    file-grain rewrite claim, not just the surviving row set.  Probe:
+    the final snapshot read back.
+
+    The DuckDB oracle replays the delete as a WHERE NOT(...) over
+    documents, deriving the same mid from max(doc_id)//2 — predicate
+    strings are plain SQL precisely so deletes replay verbatim on any
+    engine (compliance audit: prove the lake state equals
+    source-minus-predicate).
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); at 100 TB the manifest prune opens only the files
+    whose [min, max] overlaps the takedown range, and untouched files
+    are never read, rewritten, or re-statted."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sinks.snapshot import (
+        _load_manifest,
+        delete_from_snapshot,
+        read_snapshot,
+        snapshot_files,
+        write_snapshot,
+    )
+    from ..sinks.txn import _fs
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        tbl = os.path.join(stage, "tbl")
+        mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        for lo_half in (True, False):
+            cond = (
+                F.col("doc_id") <= mid if lo_half else F.col("doc_id") > mid
+            )
+            write_snapshot(
+                spark,
+                docs.filter(cond).select("doc_id"),
+                tbl,
+                cluster_col="doc_id",
+            )
+        before = set(snapshot_files(spark, tbl))
+        fs, _ = _fs(spark, tbl)
+        stats_before = _load_manifest(spark, fs, tbl, 2)["stats"]
+        high = {f for f, rng in stats_before.items() if rng[0] > mid}
+        v = delete_from_snapshot(
+            spark,
+            tbl,
+            f"doc_id % 7 = 3 AND doc_id <= {mid}",
+            cluster_range=(0, mid),
+        )
+        if v is None:
+            raise RuntimeError("delete matched nothing; fixture broken")
+        manifest = _load_manifest(spark, fs, tbl, v)
+        after = set(manifest["files"])
+        if not high <= after:
+            raise RuntimeError("an upper-half file was rewritten")
+        if any(manifest["stats"][f] != stats_before[f] for f in high):
+            raise RuntimeError("an upper-half file's stats changed")
+        if not (before - after):
+            raise RuntimeError("no file was rewritten; delete was a no-op")
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_snapdel_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "tbl")).select("doc_id")
+
+
+SNAPSHOT_DELETE_VERIFY_SQL = """
+SELECT doc_id
+FROM documents
+WHERE NOT (doc_id % 7 = 3
+           AND doc_id <= (SELECT max(doc_id) // 2 FROM documents))
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1674,4 +1769,5 @@ STREAMING_QUERIES: dict[
     "stream_export_verify": (stream_export_verify, _stream_export_oracle_sql()),
     "stream_phash_verify": (stream_phash_verify, _stream_phash_oracle_sql()),
     "snapshot_cdc_verify": (snapshot_cdc_verify, SNAPSHOT_CDC_VERIFY_SQL),
+    "snapshot_delete_verify": (snapshot_delete_verify, SNAPSHOT_DELETE_VERIFY_SQL),
 }

@@ -529,3 +529,95 @@ def test_snapshot_changes_overwrite_and_replay_fences(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="from_version"):
         snapshot_changes(spark, path, 5, 3)
+
+
+def test_delete_from_snapshot_rewrites_only_hit_files(spark, tmp_path):
+    """DELETE is copy-on-write at FILE grain: files without matching
+    rows ride into the new manifest untouched (same path, same stats);
+    only hit files are rewritten; time travel still sees the deleted
+    rows; NULL-predicate rows survive (SQL DELETE semantics); a
+    no-match predicate commits nothing."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+        delete_from_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two clustered appends with disjoint id ranges -> per-file stats
+    write_snapshot(
+        spark,
+        spark.range(0, 10).withColumn("k", F.col("id")),
+        path,
+        cluster_col="k",
+    )
+    write_snapshot(
+        spark,
+        spark.range(100, 110).withColumn("k", F.col("id")),
+        path,
+        cluster_col="k",
+    )
+    before = set(snapshot_files(spark, path))
+    fs, _ = _fs(spark, path)
+    stats_before = _load_manifest(spark, fs, path, 2)["stats"]
+
+    v = delete_from_snapshot(spark, path, "id IN (3, 7)", cluster_range=(0, 50))
+    assert v == 3
+    after = set(snapshot_files(spark, path))
+    untouched = before & after
+    # every file of the second append survived verbatim, stats intact
+    low_files = {f for f in before if stats_before[f][1] <= 50}
+    assert before - after == low_files  # only low-range files rewritten
+    manifest = _load_manifest(spark, fs, path, 3)
+    for f in untouched:
+        assert manifest["stats"][f] == stats_before[f]
+    assert manifest["deleted_from"] == 2
+    assert _ids(read_snapshot(spark, path)) == [
+        i for i in range(10) if i not in (3, 7)
+    ] + list(range(100, 110))
+    # time travel: pre-delete version still whole (until vacuum)
+    assert len(_ids(read_snapshot(spark, path, version=2))) == 20
+
+    # no-match: no commit, no version
+    assert delete_from_snapshot(spark, path, "id = 99999") is None
+    assert current_version(spark, path) == 3
+
+    # NULL predicate rows survive: delete on a nullable column
+    p2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, s string"
+        ),
+        p2,
+    )
+    delete_from_snapshot(spark, p2, "s = 'a'")
+    assert _ids(read_snapshot(spark, p2)) == [2, 3]
+
+
+def test_delete_breaks_change_feed_and_prunes_candidates(spark, tmp_path):
+    """snapshot_changes refuses to cross a delete commit (removals have
+    no append-grain form) but a consumer re-baselined AT the delete
+    version flows again (appends after the delete are readable)."""
+    import pytest as _pytest
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        delete_from_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark, spark.range(0, 8).withColumn("k", F.col("id")), path,
+        cluster_col="k",
+    )
+    v = delete_from_snapshot(spark, path, "id = 2", cluster_range=(2, 2))
+    with _pytest.raises(ValueError, match="re-baseline"):
+        snapshot_changes(spark, path, 0)
+    write_snapshot(
+        spark, spark.range(8, 10).withColumn("k", F.col("id")), path,
+        cluster_col="k",
+    )
+    assert {(r.id, r._commit_version) for r in
+            snapshot_changes(spark, path, v).collect()} == {
+        (8, v + 1), (9, v + 1)
+    }
