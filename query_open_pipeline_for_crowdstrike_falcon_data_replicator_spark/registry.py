@@ -90,6 +90,9 @@ BENCH_EXCLUDE = {
     # builds a clustered table + a file-grain DELETE inside the builder
     # — a correctness probe of delete_from_snapshot, not a timed op
     "snapshot_delete_verify",
+    # builds an evolved-schema table (+ compaction) inside the builder
+    # — a correctness probe of additive schema evolution, not a timed op
+    "snapshot_schema_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

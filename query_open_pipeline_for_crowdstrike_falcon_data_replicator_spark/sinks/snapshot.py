@@ -111,6 +111,45 @@ def _load_manifest(spark: SparkSession, fs, path: str, version: int) -> dict:
     return json.loads(text)  # raises ValueError on a torn half-written file
 
 
+def _merge_schemas(prev: dict | None, new: dict | None) -> dict | None:
+    """Additive schema evolution at the manifest level (the Delta/Iceberg
+    model: schema is TABLE metadata, so readers never pay a
+    footer-per-file mergeSchema pass at plan time).
+
+    An append may ADD columns (recorded nullable — pre-evolution files
+    surface NULL for them); it may not change an existing column's type
+    (silent cross-file cast hazards) — that raises.  Field order is the
+    first-seen order, so established readers keep their column
+    positions."""
+    if new is None:
+        return prev
+    if prev is None:
+        return new
+    by_name = {f["name"]: f for f in prev["fields"]}
+    fields = [dict(f) for f in prev["fields"]]
+    for f in new["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            fields.append({**f, "nullable": True})
+        elif have["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution is additive: column {f['name']!r} "
+                f"changed type {have['type']!r} -> {f['type']!r}"
+            )
+    return {**prev, "fields": fields}
+
+
+def _manifest_schema(manifest: dict):
+    """The manifest's recorded read schema as a StructType, or None for
+    tables created before schemas rode the manifest."""
+    raw = manifest.get("schema")
+    if raw is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(raw)
+
+
 def _create_exclusive(spark: SparkSession, fs, path: str, text: str) -> bool:
     """Atomic put-if-absent: ``create(overwrite=False)`` throws if the
     destination exists (atomically on HDFS and local FS — no
@@ -166,10 +205,23 @@ def read_snapshot(
 
     The returned DataFrame is pinned: concurrent appends, compactions,
     and (retention permitting) vacuums do not change what it reads."""
-    files = snapshot_files(spark, path, version)
+    fs, _ = _fs(spark, path)
+    if version is None:
+        version = current_version(spark, path)
+    if version is None:
+        raise FileNotFoundError(f"no snapshot at {path} (version=None)")
+    manifest = _load_manifest(spark, fs, path, version)
+    files = manifest["files"]
     if not files:
         raise FileNotFoundError(f"no snapshot at {path} (version={version})")
-    return spark.read.parquet(*[posixpath.join(path, f) for f in files])
+    reader = spark.read
+    schema = _manifest_schema(manifest)
+    if schema is not None:
+        # the manifest's schema governs the read: files written before a
+        # column was added surface NULL for it, with zero footer reads
+        # at plan time (no mergeSchema pass)
+        reader = reader.schema(schema)
+    return reader.parquet(*[posixpath.join(path, f) for f in files])
 
 
 def snapshot_changes(
@@ -244,17 +296,23 @@ def snapshot_changes(
         new = [f for f in m["files"] if f not in prev]
         prev = set(m["files"])
         if new:
-            added.append((v, new))
+            added.append((v, new, _manifest_schema(m)))
     if not added:
         base = read_snapshot(spark, path, to_version).limit(0)
         return base.withColumn(version_col, F.lit(None).cast("long"))
-    parts = [
-        spark.read.parquet(
-            *[posixpath.join(path, f) for f in new]
-        ).withColumn(version_col, F.lit(v).cast("long"))
-        for v, new in added
-    ]
-    return reduce(DataFrame.unionByName, parts)
+    parts = []
+    for v, new, schema in added:
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        parts.append(
+            reader.parquet(
+                *[posixpath.join(path, f) for f in new]
+            ).withColumn(version_col, F.lit(v).cast("long"))
+        )
+    # schema evolution inside the window: pre-evolution versions surface
+    # NULL for later-added columns
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
 
 
 def delete_from_snapshot(
@@ -313,7 +371,9 @@ def delete_from_snapshot(
     if not candidates:
         return None
     pred = F.expr(predicate)
-    scan = spark.read.parquet(*[posixpath.join(path, f) for f in candidates])
+    schema = _manifest_schema(manifest)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    scan = reader.parquet(*[posixpath.join(path, f) for f in candidates])
     hit_uris = [
         r.f
         for r in scan.filter(pred)
@@ -326,7 +386,7 @@ def delete_from_snapshot(
     hit = [f for f in files if any(u.endswith(f) for u in hit_uris)]
     if not hit:
         return None
-    survivors = spark.read.parquet(
+    survivors = reader.parquet(
         *[posixpath.join(path, f) for f in hit]
     ).filter(~F.coalesce(pred, F.lit(False)))
     new_files, new_stats = _stage_files(spark, fs, survivors, path, cluster_col)
@@ -342,6 +402,7 @@ def delete_from_snapshot(
         meta={"deleted_from": version, "predicate": predicate},
         stats=kept_stats,
         cluster_col=cluster_col,
+        schema=manifest.get("schema"),
     )
 
 
@@ -503,6 +564,7 @@ def _commit(
     txn_version: int | None = None,
     stats: dict | None = None,
     cluster_col: str | None = None,
+    schema: dict | None = None,
 ) -> int | None:
     """Optimistically commit a new manifest; retry on version conflicts.
 
@@ -555,6 +617,18 @@ def _commit(
             if prev is not None and mode == "append"
             else None
         )
+        # schema rides the manifest (merged additively on append; reset
+        # on overwrite, which replaces every file).  A pre-schema table
+        # never starts recording one via APPEND: its old files' extra
+        # columns would silently vanish under an explicit-schema read
+        if mode == "append" and prev is not None:
+            new_schema = (
+                None
+                if prev_manifest.get("schema") is None
+                else _merge_schemas(prev_manifest.get("schema"), schema)
+            )
+        else:
+            new_schema = schema
         manifest = {
             "version": version,
             "mode": mode,
@@ -567,6 +641,7 @@ def _commit(
                 if (cluster_col or prev_cluster)
                 else {}
             ),
+            **({"schema": new_schema} if new_schema is not None else {}),
             **(meta or {}),
         }
         final = _manifest_path(path, version)
@@ -599,7 +674,14 @@ def write_snapshot(
     ``cluster_col`` stages the files range-partitioned + sorted by that
     column and records per-file [min, max] in the manifest — the layout
     ``read_snapshot_pruned`` prunes against (the streaming dedup
-    indexes' probe path)."""
+    indexes' probe path).
+
+    The DataFrame's schema rides the manifest, and appends may evolve it
+    ADDITIVELY: new columns are recorded nullable, and readers of any
+    version see that version's schema — pre-evolution files surface
+    NULL for later-added columns, with no footer-merge pass at plan
+    time.  Changing an existing column's type raises (see
+    ``_merge_schemas``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_app is not None and txn_version is None:
@@ -614,6 +696,7 @@ def write_snapshot(
         spark, fs, path, new_files, mode=mode,
         txn_app=txn_app, txn_version=txn_version,
         stats=stats, cluster_col=cluster_col,
+        schema=df.schema.jsonValue(),
     )
 
 
@@ -665,7 +748,9 @@ def read_snapshot_pruned(
             keep.append(f)
     if not keep:
         return None
-    return spark.read.parquet(*[posixpath.join(path, f) for f in keep])
+    schema = _manifest_schema(manifest)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*[posixpath.join(path, f) for f in keep])
 
 
 def compact_snapshot(
@@ -705,7 +790,11 @@ def compact_snapshot(
             for f in files
         )
         target_files = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(*[posixpath.join(path, f) for f in files])
+    reader = spark.read
+    schema = _manifest_schema(manifest)
+    if schema is not None:
+        reader = reader.schema(schema)  # evolution-aware union read
+    df = reader.parquet(*[posixpath.join(path, f) for f in files])
     if transform is not None:
         df = transform(df)
     if cluster_col is not None:
@@ -726,6 +815,7 @@ def compact_snapshot(
         meta={"compacted_from": version},
         stats=stats,
         cluster_col=cluster_col,
+        schema=df.schema.jsonValue() if schema is not None else None,
     )
 
 

@@ -1751,6 +1751,82 @@ WHERE NOT (doc_id % 7 = 3
 """
 
 
+def snapshot_schema_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of ADDITIVE SCHEMA EVOLUTION on snapshot
+    tables (``sinks/snapshot._merge_schemas``): the schema is table
+    metadata riding the manifest, so readers never pay a
+    footer-per-file mergeSchema pass, and files written before a column
+    existed surface NULL for it.
+
+    Build: the even-doc_id half lands as version 1 with (doc_id) only;
+    the odd half lands as version 2 having grown a ``lang`` column
+    (derived from doc_id % 3); version 3 COMPACTS the table — the
+    evolution-aware union read + schema carry-through, inside the
+    hash-matched path.  Probe: the final snapshot read back.
+
+    A hash-match proves, under the driver's vanilla session: the merged
+    schema governs the read (pre-evolution rows carry NULL lang, not a
+    schema error and not a dropped column), and compaction rewrote the
+    mixed-schema file set without losing either the column or the
+    NULLs.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the design point is plan-time O(1) schema
+    resolution at any file count."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sinks.snapshot import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        tbl = os.path.join(stage, "tbl")
+        write_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+            tbl,
+        )
+        write_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id",
+                F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string"))
+                .alias("lang"),
+            ),
+            tbl,
+        )
+        compact_snapshot(spark, tbl, target_files=1)
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_snapschema_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "tbl")).select(
+        "doc_id", "lang"
+    )
+
+
+SNAPSHOT_SCHEMA_VERIFY_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1
+            THEN 'l' || CAST(doc_id % 3 AS VARCHAR) END AS lang
+FROM documents
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1770,4 +1846,5 @@ STREAMING_QUERIES: dict[
     "stream_phash_verify": (stream_phash_verify, _stream_phash_oracle_sql()),
     "snapshot_cdc_verify": (snapshot_cdc_verify, SNAPSHOT_CDC_VERIFY_SQL),
     "snapshot_delete_verify": (snapshot_delete_verify, SNAPSHOT_DELETE_VERIFY_SQL),
+    "snapshot_schema_verify": (snapshot_schema_verify, SNAPSHOT_SCHEMA_VERIFY_SQL),
 }

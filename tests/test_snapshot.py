@@ -621,3 +621,92 @@ def test_delete_breaks_change_feed_and_prunes_candidates(spark, tmp_path):
             snapshot_changes(spark, path, v).collect()} == {
         (8, v + 1), (9, v + 1)
     }
+
+
+def test_snapshot_schema_evolution_additive(spark, tmp_path):
+    """Appends may ADD columns: the merged schema rides the manifest,
+    readers of any version see THAT version's schema (pre-evolution
+    files surface NULL for later columns, no footer-merge at plan
+    time), compaction and DELETE carry the schema through, the change
+    feed unions across the evolution, and a type change raises."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        compact_snapshot,
+        delete_from_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 3), path)                      # v1
+    write_snapshot(
+        spark,
+        spark.range(3, 5).withColumn("lang", F.lit("en")),
+        path,
+    )                                                                   # v2
+    cur = read_snapshot(spark, path)
+    assert cur.columns == ["id", "lang"]
+    assert {(r.id, r.lang) for r in cur.collect()} == {
+        (0, None), (1, None), (2, None), (3, "en"), (4, "en")
+    }
+    # time travel: v1 readers see v1's schema — no phantom column
+    assert read_snapshot(spark, path, version=1).columns == ["id"]
+
+    # change feed across the evolution: pre-evolution rows NULL-filled
+    feed = snapshot_changes(spark, path, 0)
+    assert {(r.id, r.lang, r._commit_version) for r in feed.collect()} == {
+        (0, None, 1), (1, None, 1), (2, None, 1), (3, "en", 2), (4, "en", 2)
+    }
+
+    # compaction and DELETE preserve the evolved schema
+    compact_snapshot(spark, path, target_files=1)                       # v3
+    delete_from_snapshot(spark, path, "id = 0")                         # v4
+    final = read_snapshot(spark, path)
+    assert final.columns == ["id", "lang"]
+    assert {(r.id, r.lang) for r in final.collect()} == {
+        (1, None), (2, None), (3, "en"), (4, "en")
+    }
+
+    # type changes are rejected, atomically (no version committed)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="additive"):
+        write_snapshot(
+            spark,
+            spark.range(9, 10).withColumn("lang", F.lit(7)),
+            path,
+        )
+    assert current_version(spark, path) == 4
+
+
+def test_snapshot_pre_schema_tables_stay_legacy(spark, tmp_path):
+    """A table whose manifests predate schema tracking must never start
+    recording one via append: its old files could hold columns the new
+    writer doesn't know about, and an explicit-schema read would
+    silently drop them.  (An overwrite replaces every file, so it MAY
+    start tracking.)"""
+    import json as _json
+    import os as _os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 3), path)
+    # simulate a legacy manifest: strip the recorded schema in place
+    mf = _os.path.join(path, "_snapshots", "v000000000001.json")
+    m = _json.load(open(mf))
+    del m["schema"]
+    with open(mf, "w") as f:
+        _json.dump(m, f)
+    # drop the Hadoop local-FS checksum sidecar the rewrite invalidated
+    crc = _os.path.join(path, "_snapshots", ".v000000000001.json.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    write_snapshot(spark, spark.range(3, 5), path)  # append: stays legacy
+    fs, _ = _fs(spark, path)
+    assert "schema" not in _load_manifest(spark, fs, path, 2)
+    assert _ids(read_snapshot(spark, path)) == list(range(5))
+
+    write_snapshot(spark, spark.range(7, 9), path, mode="overwrite")
+    assert "schema" in _load_manifest(spark, fs, path, 3)
