@@ -710,3 +710,66 @@ def test_snapshot_pre_schema_tables_stay_legacy(spark, tmp_path):
 
     write_snapshot(spark, spark.range(7, 9), path, mode="overwrite")
     assert "schema" in _load_manifest(spark, fs, path, 3)
+
+
+@pytest.mark.slow
+def test_snapshot_cdc_consumer_follow_soak(spark, tmp_path):
+    """SOAK the consumer protocol end-to-end: a writer commits 12
+    appends with a compaction every 4 versions while a CONSUMER thread
+    follows via snapshot_changes(checkpoint, current), checkpointing as
+    it goes.  Invariants: (a) the consumer's accumulated rows equal the
+    final table exactly — nothing lost at compaction boundaries,
+    nothing duplicated across poll windows; (b) each row's recorded
+    commit version is the version that introduced it; (c) the consumer
+    never errors (compaction commits are skippable mid-poll)."""
+    import threading
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    per_batch = 50
+    n_batches = 12
+
+    consumed: dict[int, int] = {}  # id -> commit version
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def consumer() -> None:
+        ckpt = 0
+        try:
+            while True:
+                cur = current_version(spark, path)
+                if cur is not None and cur > ckpt:
+                    rows = snapshot_changes(spark, path, ckpt, cur).collect()
+                    for r in rows:
+                        assert r.id not in consumed, f"dup {r.id}"
+                        consumed[r.id] = r._commit_version
+                    ckpt = cur
+                if done.is_set() and ckpt == current_version(spark, path):
+                    return
+        except BaseException as e:  # noqa: BLE001 - soak collects all
+            errors.append(e)
+
+    t = threading.Thread(target=consumer, daemon=True)
+    t.start()
+    expect_version: dict[int, int] = {}
+    v = 0
+    for b in range(n_batches):
+        v = write_snapshot(
+            spark,
+            spark.range(b * per_batch, (b + 1) * per_batch).repartition(2),
+            path,
+            txn_app="w",
+            txn_version=b,
+        )
+        for i in range(b * per_batch, (b + 1) * per_batch):
+            expect_version[i] = v
+        if (b + 1) % 4 == 0:
+            compact_snapshot(spark, path, target_files=1)
+    done.set()
+    t.join(120)
+    assert not t.is_alive(), "consumer wedged"
+    assert not errors, errors
+    assert consumed == expect_version
