@@ -93,6 +93,10 @@ BENCH_EXCLUDE = {
     # builds an evolved-schema table (+ compaction) inside the builder
     # — a correctness probe of additive schema evolution, not a timed op
     "snapshot_schema_verify",
+    # builds a clustered table + a fenced MERGE (with a replayed upsert)
+    # inside the builder — a correctness probe of merge_into_snapshot,
+    # not a timed op
+    "snapshot_merge_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

@@ -288,6 +288,12 @@ def snapshot_changes(
                 f"append-grain change feed cannot express removals — "
                 f"re-baseline from v{v}"
             )
+        if "merged_from" in m:
+            raise ValueError(
+                f"{path} v{v} upserted rows (merge on "
+                f"{m.get('merge_key')!r}); an append-grain change feed "
+                f"cannot express updates — re-baseline from v{v}"
+            )
         if m["mode"] != "append":
             raise ValueError(
                 f"{path} v{v} is a full overwrite; incremental reads "
@@ -312,6 +318,148 @@ def snapshot_changes(
     # NULL for later-added columns
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+# a merge source whose distinct key set fits under this cap prunes the
+# candidate files manifest-level (the SPAN_PRUNE_MAX_KEYS rationale:
+# past saturation every file range matches and pruning buys nothing,
+# so above the cap we skip the collect and scan all files column-pruned)
+MERGE_PRUNE_MAX_KEYS = 100_000
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str | list[str],
+    *,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
+    """MERGE (upsert) ``source`` into a snapshot table by ``key``:
+    target rows whose key appears in the source are REPLACED by the
+    source row, source rows with no target match are INSERTED — one
+    atomic new version, the Delta ``MERGE INTO`` / Hudi upsert verb.
+
+    Copy-on-write at FILE grain, like ``delete_from_snapshot``: only
+    files holding a matched key are rewritten (their unmatched rows
+    survive alongside the full source); every other file rides into
+    the new manifest untouched.  When the table is CLUSTERED on the
+    merge key and the source's distinct keys fit under
+    ``MERGE_PRUNE_MAX_KEYS``, candidate files are pruned manifest-level
+    against the per-file [min, max] BEFORE any data is read — a
+    trickle upsert into a doc_id-clustered corpus opens ~batch-sized
+    file counts, not the table.
+
+    The source must be key-unique (duplicate source keys make the
+    result order-dependent; that raises).  Duplicate TARGET keys are
+    legal and all their rows are replaced by the one source row —
+    merge is therefore also the key-dedup repair verb.  Source columns
+    may extend the table's schema (additive evolution, as with
+    appends).  ``txn_app``/``txn_version`` give streamed upserts the
+    same exactly-once fence as ``write_snapshot``.
+
+    ``snapshot_changes`` refuses to cross a merge commit (updates have
+    no append-grain form); consumers re-baseline."""
+    keys = [key] if isinstance(key, str) else list(key)
+    fs, _ = _fs(spark, path)
+    version = current_version(spark, path)
+    if version is None:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    if txn_app is not None and txn_version is None:
+        raise ValueError("txn_app requires txn_version")
+    if txn_app is not None and last_txn_version(spark, path, txn_app) >= int(
+        txn_version or 0
+    ):
+        return None  # cheap pre-check; _commit re-checks under the race
+    manifest = _load_manifest(spark, fs, path, version)
+    files = manifest["files"]
+    stats = manifest.get("stats", {})
+    cluster_col = manifest.get("cluster_col")
+    schema = _manifest_schema(manifest)
+    if (
+        source.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            f"merge source has duplicate keys on {keys}; the result "
+            f"would be order-dependent"
+        )
+    candidates = files
+    if len(keys) == 1 and keys[0] == cluster_col and stats:
+        import bisect
+
+        rows = (
+            source.select(cluster_col)
+            .distinct()
+            .limit(MERGE_PRUNE_MAX_KEYS + 1)
+            .collect()
+        )
+        if len(rows) <= MERGE_PRUNE_MAX_KEYS:
+            # NULL keys never equality-match a target row, so dropping
+            # them from the prune set is exact (read_snapshot_pruned's
+            # argument verbatim)
+            ks = sorted(r[0] for r in rows if r[0] is not None)
+            candidates = []
+            for f in files:
+                rng = stats.get(f)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    candidates.append(f)
+                    continue
+                i = bisect.bisect_left(ks, rng[0])
+                if i < len(ks) and ks[i] <= rng[1]:
+                    candidates.append(f)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    src_keys = source.select(*keys).distinct()
+    hit: list[str] = []
+    if candidates:
+        scan = reader.parquet(
+            *[posixpath.join(path, f) for f in candidates]
+        ).withColumn(
+            # pinned AT SCAN TIME: after a shuffled join input_file_name()
+            # evaluates on post-exchange rows and returns ''
+            "_src_file", F.input_file_name()
+        )
+        hit_uris = [
+            r._src_file
+            for r in scan.join(src_keys, keys, "left_semi")
+            .select("_src_file")
+            .distinct()
+            .collect()  # bounded by the manifest's file count
+        ]
+        hit = [f for f in files if any(u.endswith(f) for u in hit_uris)]
+    if hit:
+        survivors = reader.parquet(
+            *[posixpath.join(path, f) for f in hit]
+        ).join(src_keys, keys, "left_anti")
+        staged_df = survivors.unionByName(source, allowMissingColumns=True)
+    else:
+        staged_df = source  # pure insert
+    new_files, new_stats = _stage_files(spark, fs, staged_df, path, cluster_col)
+    kept = [f for f in files if f not in set(hit)]
+    kept_stats = {f: s for f, s in stats.items() if f in set(kept)}
+    kept_stats.update(new_stats or {})
+    merged_schema = (
+        _merge_schemas(manifest.get("schema"), source.schema.jsonValue())
+        if manifest.get("schema") is not None
+        else None  # pre-schema tables stay legacy (see _commit)
+    )
+    return _commit(
+        spark,
+        fs,
+        path,
+        kept + new_files,
+        mode="overwrite",
+        meta={"merged_from": version, "merge_key": keys},
+        txn_app=txn_app,
+        txn_version=txn_version,
+        stats=kept_stats,
+        cluster_col=cluster_col,
+        schema=merged_schema,
     )
 
 

@@ -1827,6 +1827,87 @@ FROM documents
 """
 
 
+def snapshot_merge_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of MERGE / upsert
+    (``sinks/snapshot.merge_into_snapshot``): the even-doc_id half of
+    documents lands as version 1 tagged ``base``; a source of every
+    doc_id % 3 = 0 row tagged ``merged`` merges by doc_id — evens
+    divisible by 3 are UPDATED in place, odds divisible by 3 are
+    INSERTED, everything else survives untouched, in one atomic
+    version (fenced: the builder replays the merge and RAISES unless
+    the replay is a no-op).  Probe: the final snapshot read back.
+
+    The DuckDB oracle derives the same state from the doc_id algebra —
+    a hash-match proves matched-key replacement, unmatched insertion,
+    survivor retention, and exactly-once under replay, end-to-end
+    under the driver's vanilla session.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the file-grain rewrite + manifest-level candidate
+    pruning claims are pinned by
+    ``test_merge_into_snapshot_upsert_file_grain``."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sinks.snapshot import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        tbl = os.path.join(stage, "tbl")
+        write_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", F.lit("base").alias("tag")
+            ),
+            tbl,
+            cluster_col="doc_id",
+        )
+        src = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.lit("merged").alias("tag")
+        )
+        v = merge_into_snapshot(
+            spark, tbl, src, "doc_id", txn_app="m", txn_version=0
+        )
+        if v is None:
+            raise RuntimeError("merge unexpectedly fenced; fixture broken")
+        if (
+            merge_into_snapshot(
+                spark, tbl, src, "doc_id", txn_app="m", txn_version=0
+            )
+            is not None
+        ):
+            raise RuntimeError("replayed merge was not fenced")
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_snapmerge_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(spark, os.path.join(base, "tbl")).select(
+        "doc_id", "tag"
+    )
+
+
+SNAPSHOT_MERGE_VERIFY_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'merged' ELSE 'base' END AS tag
+FROM documents
+WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1847,4 +1928,5 @@ STREAMING_QUERIES: dict[
     "snapshot_cdc_verify": (snapshot_cdc_verify, SNAPSHOT_CDC_VERIFY_SQL),
     "snapshot_delete_verify": (snapshot_delete_verify, SNAPSHOT_DELETE_VERIFY_SQL),
     "snapshot_schema_verify": (snapshot_schema_verify, SNAPSHOT_SCHEMA_VERIFY_SQL),
+    "snapshot_merge_verify": (snapshot_merge_verify, SNAPSHOT_MERGE_VERIFY_SQL),
 }

@@ -773,3 +773,114 @@ def test_snapshot_cdc_consumer_follow_soak(spark, tmp_path):
     assert not t.is_alive(), "consumer wedged"
     assert not errors, errors
     assert consumed == expect_version
+
+
+def test_merge_into_snapshot_upsert_file_grain(spark, tmp_path):
+    """MERGE replaces matched keys and inserts the rest in ONE version;
+    only files holding a matched key are rewritten (disjoint-range
+    clustered appends -> the untouched range's files survive verbatim,
+    stats intact, pruned manifest-level before any read); duplicate
+    TARGET keys collapse to the one source row; duplicate SOURCE keys
+    raise; the txn fence makes replays no-ops."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+        merge_into_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark,
+        spark.range(0, 10).select(
+            F.col("id"), F.lit("base").alias("tag")
+        ),
+        path,
+        cluster_col="id",
+    )
+    write_snapshot(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id"), F.lit("base").alias("tag")
+        ),
+        path,
+        cluster_col="id",
+    )
+    # a duplicate-key target row: id 3 appears twice pre-merge
+    write_snapshot(
+        spark,
+        spark.range(3, 4).select(F.col("id"), F.lit("dup").alias("tag")),
+        path,
+        cluster_col="id",
+    )
+    fs, _ = _fs(spark, path)
+    before = set(snapshot_files(spark, path))
+    stats_before = _load_manifest(spark, fs, path, 3)["stats"]
+    high = {f for f, rng in stats_before.items() if rng[0] >= 100}
+
+    src = spark.createDataFrame(
+        [(3, "merged"), (7, "merged"), (50, "merged")], "id long, tag string"
+    )
+    v = merge_into_snapshot(spark, path, src, "id", txn_app="m", txn_version=0)
+    assert v == 4
+    manifest = _load_manifest(spark, fs, path, 4)
+    after = set(manifest["files"])
+    # the 100..110 range holds no merge key: its files untouched
+    assert high <= after
+    for f in high:
+        assert manifest["stats"][f] == stats_before[f]
+    got = {(r.id, r.tag) for r in read_snapshot(spark, path).collect()}
+    want = {(i, "base") for i in range(10) if i not in (3, 7)}
+    want |= {(i, "base") for i in range(100, 110)}
+    want |= {(3, "merged"), (7, "merged"), (50, "merged")}
+    assert got == want  # id 3's two rows collapsed to one merged row
+
+    # replayed micro-batch: fenced
+    assert (
+        merge_into_snapshot(spark, path, src, "id", txn_app="m", txn_version=0)
+        is None
+    )
+    assert current_version(spark, path) == 4
+
+    # duplicate SOURCE keys are rejected before any commit
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into_snapshot(spark, path, bad, "id")
+    assert current_version(spark, path) == 4
+
+
+def test_merge_schema_evolution_and_change_feed(spark, tmp_path):
+    """A merge source may ADD columns (recorded nullable; pre-merge
+    rows surface NULL); the change feed refuses to cross a merge and
+    flows again from a re-baseline."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        merge_into_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark,
+        spark.range(0, 4).select(F.col("id"), F.lit("base").alias("tag")),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(2, "merged", "en"), (9, "merged", "fr")],
+        "id long, tag string, lang string",
+    )
+    v = merge_into_snapshot(spark, path, src, "id")
+    got = {(r.id, r.tag, r.lang) for r in read_snapshot(spark, path).collect()}
+    assert got == {
+        (0, "base", None), (1, "base", None), (3, "base", None),
+        (2, "merged", "en"), (9, "merged", "fr"),
+    }
+    with pytest.raises(ValueError, match="re-baseline"):
+        snapshot_changes(spark, path, 0)
+    write_snapshot(spark, spark.range(20, 22).select(
+        F.col("id"), F.lit("base").alias("tag"),
+        F.lit(None).cast("string").alias("lang"),
+    ), path)
+    assert {(r.id, r._commit_version) for r in
+            snapshot_changes(spark, path, v).collect()} == {
+        (20, v + 1), (21, v + 1)
+    }
