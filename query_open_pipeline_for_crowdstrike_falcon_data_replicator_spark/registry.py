@@ -97,6 +97,10 @@ BENCH_EXCLUDE = {
     # inside the builder — a correctness probe of merge_into_snapshot,
     # not a timed op
     "snapshot_merge_verify",
+    # runs MERGE ingestion as a Structured Streaming query (3
+    # micro-batches upserting the entities table, one mid-stream
+    # compaction) inside the builder
+    "stream_upsert_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

@@ -1908,6 +1908,92 @@ WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
 """
 
 
+def stream_upsert_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of streamed MERGE ingestion
+    (``streaming/upsert.py``): three NDJSON drops arrive as
+    micro-batches (availableNow, one file per batch), batch b carrying
+    the LATEST state (tag = b) of every document with
+    ``doc_id % 3 = b OR doc_id % 5 = b`` — so most documents are
+    re-upserted across batches and the entities table must converge to
+    last-writer-wins, one row per key, with a mid-stream compaction
+    (``compact_every=2``) inside the hash-matched path.
+
+    The DuckDB oracle derives the final state from the batch algebra:
+    every doc's last writer is ``greatest(doc_id % 3, doc_id % 5 if it
+    is a batch id else -1)``.  A hash-match proves matched-key
+    replacement across micro-batches, insert-on-first-sight, the
+    exactly-once fence (a replayed batch would double nothing — it is
+    a fenced no-op by txn mark), and compaction content-neutrality,
+    end-to-end under the driver's vanilla session.
+
+    Scale shape: fixture-scale by construction (a correctness probe,
+    BENCH_EXCLUDEd); the per-batch operators carry their own 100 TB
+    design (file-grain merge rewrite + manifest-stats candidate
+    pruning on the key-clustered table)."""
+    from ..sinks.artifacts import corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+    from .upsert import ENTITIES_TABLE, run_upsert_stream
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        src = os.path.join(stage, "src")
+        t0 = 1_000_000_000
+        for b in range(3):
+            cond = (F.col("doc_id") % 3 == b) | (F.col("doc_id") % 5 == b)
+            d = os.path.join(src, f"b{b}")
+            docs.filter(cond).select(
+                "doc_id", F.lit(b).cast("long").alias("tag")
+            ).repartition(1).write.mode("overwrite").json(d)
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if name.startswith("_"):
+                    os.remove(p)
+                else:
+                    os.utime(p, (t0 + b, t0 + b))
+        q = run_upsert_stream(
+            spark,
+            os.path.join(src, "b*"),
+            os.path.join(stage, "out"),
+            os.path.join(stage, "ckpt"),
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "stream_upsert_verify: stream did not drain within 600s; "
+                "snapshot is partial, refusing to read it back"
+            )
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_streamupsert_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    return read_snapshot(
+        spark, os.path.join(base, "out", ENTITIES_TABLE)
+    ).select("doc_id", "tag")
+
+
+STREAM_UPSERT_VERIFY_SQL = """
+SELECT doc_id,
+       CAST(greatest(doc_id % 3,
+                     CASE WHEN doc_id % 5 <= 2 THEN doc_id % 5
+                          ELSE -1 END) AS BIGINT) AS tag
+FROM documents
+"""
+
+
 STREAMING_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
@@ -1929,4 +2015,5 @@ STREAMING_QUERIES: dict[
     "snapshot_delete_verify": (snapshot_delete_verify, SNAPSHOT_DELETE_VERIFY_SQL),
     "snapshot_schema_verify": (snapshot_schema_verify, SNAPSHOT_SCHEMA_VERIFY_SQL),
     "snapshot_merge_verify": (snapshot_merge_verify, SNAPSHOT_MERGE_VERIFY_SQL),
+    "stream_upsert_verify": (stream_upsert_verify, STREAM_UPSERT_VERIFY_SQL),
 }

@@ -621,3 +621,41 @@ def test_ewma_sink_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 20
     assert append_batch_exactly_once(df, out, 2) is True
     assert spark.read.parquet(out).count() == 30
+
+
+def test_upsert_stream_replay_fenced_last_writer_wins(spark, tmp_path):
+    """The streamed MERGE twin's foreachBatch body, driven directly:
+    batch 0 creates the key-clustered table, later batches upsert
+    (matched keys replaced, new keys inserted), a crash-replayed batch
+    is a fenced no-op (same final state, no extra version), and the
+    final table is one row per key, last-writer-wins."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        current_version,
+        read_snapshot,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.streaming.upsert import (
+        ENTITIES_TABLE,
+        apply_upsert_batch,
+    )
+
+    out = str(tmp_path / "out")
+    tbl = f"{out}/{ENTITIES_TABLE}"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, tag long")
+
+    b0 = batch([(1, 0), (2, 0), (3, 0)])
+    b1 = batch([(2, 1), (4, 1)])       # updates 2, inserts 4
+    b2 = batch([(1, 2), (4, 2), (5, 2)])
+
+    apply_upsert_batch(spark, b0, out, 0, txn_app="t")
+    # crash replay of batch 0 AFTER its commit: fenced, no new version
+    apply_upsert_batch(spark, b0, out, 0, txn_app="t")
+    assert current_version(spark, tbl) == 1
+    apply_upsert_batch(spark, b1, out, 1, txn_app="t")
+    apply_upsert_batch(spark, b1, out, 1, txn_app="t")  # replay mid-stream
+    assert current_version(spark, tbl) == 2
+    apply_upsert_batch(spark, b2, out, 2, txn_app="t")
+
+    got = {(r.doc_id, r.tag) for r in read_snapshot(spark, tbl).collect()}
+    assert got == {(1, 2), (2, 1), (3, 0), (4, 2), (5, 2)}
