@@ -390,6 +390,7 @@ def merge_into_snapshot(
             f"would be order-dependent"
         )
     candidates = files
+    proven_small = False  # true only when the collect BOUNDED the keys
     if len(keys) == 1 and keys[0] == cluster_col and stats:
         import bisect
 
@@ -400,6 +401,7 @@ def merge_into_snapshot(
             .collect()
         )
         if len(rows) <= MERGE_PRUNE_MAX_KEYS:
+            proven_small = True
             # NULL keys never equality-match a target row, so dropping
             # them from the prune set is exact (read_snapshot_pruned's
             # argument verbatim)
@@ -414,7 +416,17 @@ def merge_into_snapshot(
                 if i < len(ks) and ks[i] <= rng[1]:
                     candidates.append(f)
     reader = spark.read if schema is None else spark.read.schema(schema)
+    # src_keys is a DERIVED table: Catalyst's post-distinct size estimate
+    # can be far off, and a misestimated plan-time broadcast of a bulk
+    # source OOMs (the LM count-join lesson).  Broadcast ONLY when the
+    # prune-collect has PROVEN the key set small; otherwise ride a
+    # spillable shuffled join
     src_keys = source.select(*keys).distinct()
+    src_keys = (
+        F.broadcast(src_keys)
+        if proven_small
+        else src_keys.hint("shuffle_hash")
+    )
     hit: list[str] = []
     if candidates:
         scan = reader.parquet(
