@@ -1132,6 +1132,103 @@ FROM c
 
 
 # --------------------------------------------------------------------- #
+# deterministic corpus shuffle into training shards
+# --------------------------------------------------------------------- #
+# Training wants the corpus in pseudo-random order, resumable and
+# reproducible across re-runs (a seed, not rand()), WITHOUT a global
+# sort: assign every doc a 60-bit md5 key (seeded), shard on its low
+# bits, and derive the intra-shard position from the key's order.  The
+# scale shape is the repo's histogram-rank decomposition yet again: the
+# position is (docs in this shard with a smaller high-bits bucket) —
+# a prefix sum over the BOUNDED (shard, bucket) histogram — plus a
+# row_number inside the (shard, bucket) slice, so no window partition
+# ever exceeds ~corpus / (SHARDS * BUCKETS) rows and no doc-grain
+# global sort exists in the plan.  Because bucket IS the key's high
+# bits, (bucket, key) order == key order, making the decomposition
+# EXACT against the oracle's one-window form.
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "shuf1:"
+_SHUFFLE_BUCKET_SHIFT = 48  # top 12 of 60 bits -> 4096 buckets/shard
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic shuffle: every document gets a training
+    shard and a dense intra-shard position (0-based, ordered by the
+    seeded md5 key) — the reproducible global data order a training
+    run consumes, computed without sorting the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        k.alias("k"),
+        (k % N_SHUFFLE_SHARDS).alias("shard"),
+        F.shiftright(k, _SHUFFLE_BUCKET_SHIFT).alias("bucket"),
+    )
+    # histogram grain: <= SHARDS * 4096 rows; the shard_h rename keeps
+    # its (bounded, shard-only) prefix-sum window distinguishable from
+    # doc-grain windows in the plan pin
+    hist = (
+        keyed.groupBy("shard", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("shard").alias("shard_h"),
+            F.col("bucket").alias("bucket_h"),
+            "c",
+        )
+    )
+    off_w = (
+        Window.partitionBy("shard_h")
+        .orderBy("bucket_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "shard_h",
+        "bucket_h",
+        F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"),
+    )
+    intra_w = Window.partitionBy("shard", "bucket").orderBy("k", "doc_id")
+    return (
+        keyed.join(
+            offsets.hint("shuffle_hash"),
+            (F.col("shard") == F.col("shard_h"))
+            & (F.col("bucket") == F.col("bucket_h")),
+        )
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            (F.col("off") + F.row_number().over(intra_w) - 1)
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(key % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {N_SHUFFLE_SHARDS}
+                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
+# --------------------------------------------------------------------- #
 # hashed linear quality model (fastText-style scoring, JVM-side)
 # --------------------------------------------------------------------- #
 # Production corpora replace heuristic gates with a trained quality
@@ -3780,6 +3877,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
+    "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),

@@ -985,3 +985,39 @@ def test_ppl_filter_plan_no_per_lang_corpus_window(spark, sf_dir):
     assert rn_specs, plan[:1500]
     for ln in rn_specs:
         assert "_bucket#" in ln, ln
+
+
+def test_shuffle_shards_plan_no_corpus_sort(spark, sf_dir):
+    """corpus_shuffle_shards: the intra-shard position decomposes into
+    a prefix sum over the bounded (shard, bucket) histogram plus a
+    row_number inside the (shard, bucket) slice — no doc-grain window
+    is ever partitioned by shard alone (a shard is corpus/16, one task
+    otherwise), and the derived offsets table attaches shuffle_hash."""
+    import re
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_shuffle_shards,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_shuffle_shards(spark, sf_dir))
+    release_tracked_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    # every DOC-GRAIN hashpartitioning on shard also carries bucket: the
+    # row_number slice is (shard, bucket), never a whole shard.  The
+    # histogram's own prefix-sum window rides the renamed shard_h and is
+    # bounded by construction
+    shard_only = [
+        m
+        for m in re.findall(r"hashpartitioning\(shard#\d+L?[,)][^)]*\)", plan)
+        if "bucket#" not in m
+    ]
+    assert not shard_only, shard_only
+    assert "hashpartitioning(shard_h" in plan, plan[:1500]
+    assert "hashpartitioning(shard" in plan, plan[:1500]
+    # the histogram collapses map-side before any Sort/Window
+    assert "partial_count" in plan, plan[:1500]
