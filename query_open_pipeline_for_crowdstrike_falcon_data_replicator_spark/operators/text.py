@@ -1132,6 +1132,148 @@ FROM c
 
 
 # --------------------------------------------------------------------- #
+# complement-pairing packing analysis (no doc splitting)
+# --------------------------------------------------------------------- #
+# ``corpus_pack_sequences`` concat-chunks: zero padding, but documents
+# split across sequence boundaries.  The standard no-split alternative
+# pairs the rank-i longest document with the rank-(N+1-i) shortest
+# (sorted complement pairing) and pays padding instead of splits.  This
+# operator computes that pairing's exact outcome — per (len_a, len_b)
+# class: pair count, sequences emitted, padding paid — WITHOUT a
+# doc-grain global sort: length-rank intervals come from a prefix sum
+# over the BOUNDED length histogram, and the pairing of rank i with
+# N+1-i maps each length interval onto a REVERSED partner interval, so
+# pair counts are interval intersections at histogram grain.  Within a
+# length tie every doc is interchangeable (same length -> same partner
+# length), which is exactly why the class-grain form is EXACT against
+# the doc-grain oracle.
+#
+# Pair policy: la + lb <= PACK_SEQ_LEN -> one sequence, padding
+# L - la - lb; else the pair cannot share a sequence and each doc packs
+# alone -> two sequences, padding 2L - la - lb (clamped at 0 for
+# oversize docs).  N odd leaves the middle rank as a singleton row
+# (len_b NULL).
+
+
+def corpus_pack_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-complement packing analysis: for each (len_a, len_b)
+    pairing class, how many pairs form, how many training sequences
+    they emit, and the padding they pay — the concat-chunk
+    alternative's exact cost sheet, at histogram grain."""
+    from pyspark.sql import Window
+
+    L = PACK_SEQ_LEN
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(_tokens()).cast("long").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("c"))
+    )
+    w_desc = (
+        Window.orderBy(F.col("n").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # bounded grid: one row per distinct length; the global window is
+    # over the histogram, never doc rows (the percentile precedent)
+    iv = hist.select(
+        "n",
+        "c",
+        (F.sum("c").over(w_desc) - F.col("c") + 1).alias("s"),
+        F.sum("c").over(w_desc).alias("e"),
+    )
+    iv = tracked_persist(iv)
+    # bounded scalar collect (the model-state precedent): one number,
+    # derived from the histogram, never doc rows
+    N = int(iv.agg(F.max("e")).collect()[0][0] or 0)
+    a = iv.select(F.col("n").alias("len_a"), "s", "e")
+    b = iv.select(
+        F.col("n").alias("len_b"),
+        (F.lit(N) + 1 - F.col("e")).alias("rs"),
+        (F.lit(N) + 1 - F.col("s")).alias("re"),
+    )
+    lo = F.greatest(F.col("s"), F.col("rs"), F.lit(1))
+    hi = F.least(F.col("e"), F.col("re"), F.lit(N // 2))
+    pairs = (
+        a.join(F.broadcast(b), lo <= hi)  # bounded-grid interval join
+        .select(
+            "len_a",
+            "len_b",
+            (hi - lo + 1).alias("n_pairs"),
+            F.when(F.col("len_a") + F.col("len_b") <= L, 1)
+            .otherwise(2)
+            .alias("seqs"),
+        )
+        .select(
+            "len_a",
+            "len_b",
+            "n_pairs",
+            (F.col("n_pairs") * F.col("seqs")).cast("long").alias("n_seqs"),
+            (
+                F.col("n_pairs")
+                * F.greatest(
+                    F.lit(0),
+                    F.lit(L) * F.col("seqs") - F.col("len_a") - F.col("len_b"),
+                )
+            ).cast("long").alias("padding"),
+        )
+    )
+    mid = (
+        iv.filter(
+            F.lit(N % 2 == 1)
+            & (F.col("s") <= (N + 1) // 2)
+            & (F.lit((N + 1) // 2) <= F.col("e"))
+        )
+        .select(
+            F.col("n").alias("len_a"),
+            F.lit(None).cast("long").alias("len_b"),
+            F.lit(1).cast("long").alias("n_pairs"),
+            F.lit(1).cast("long").alias("n_seqs"),
+            F.greatest(F.lit(0), F.lit(L) - F.col("n"))
+            .cast("long")
+            .alias("padding"),
+        )
+    )
+    return pairs.select(
+        "len_a", "len_b", F.col("n_pairs").cast("long").alias("n_pairs"),
+        "n_seqs", "padding",
+    ).unionByName(mid)
+
+
+CORPUS_PACK_PAIRING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+  FROM documents
+),
+r AS (
+  -- DuckDB identifiers are case-insensitive: the corpus-size alias
+  -- must not be spelled "N" or it silently resolves to the length
+  -- column n inside every downstream expression
+  SELECT n, doc_id,
+         row_number() OVER (ORDER BY n DESC, doc_id) AS rk,
+         count(*) OVER () AS total_docs
+  FROM t
+),
+p AS (
+  SELECT a.n AS len_a, b.n AS len_b,
+         CASE WHEN a.n + b.n <= {PACK_SEQ_LEN} THEN 1 ELSE 2 END AS seqs
+  FROM r a JOIN r b ON b.rk = a.total_docs + 1 - a.rk AND a.rk < b.rk
+)
+SELECT len_a, len_b,
+       count(*) AS n_pairs,
+       CAST(sum(seqs) AS BIGINT) AS n_seqs,
+       CAST(sum(greatest(0, {PACK_SEQ_LEN} * seqs - len_a - len_b))
+            AS BIGINT) AS padding
+FROM p
+GROUP BY 1, 2
+UNION ALL
+SELECT n, CAST(NULL AS BIGINT), 1, 1,
+       greatest(0, {PACK_SEQ_LEN} - n)
+FROM r WHERE rk = total_docs + 1 - rk
+"""
+
+
+# --------------------------------------------------------------------- #
 # deterministic corpus shuffle into training shards
 # --------------------------------------------------------------------- #
 # Training wants the corpus in pseudo-random order, resumable and
@@ -3878,6 +4020,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "text_winnow": (text_winnow, TEXT_WINNOW_SQL),
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SQL),
+    "corpus_pack_pairing": (corpus_pack_pairing, CORPUS_PACK_PAIRING_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),

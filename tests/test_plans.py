@@ -1021,3 +1021,33 @@ def test_shuffle_shards_plan_no_corpus_sort(spark, sf_dir):
     assert "hashpartitioning(shard" in plan, plan[:1500]
     # the histogram collapses map-side before any Sort/Window
     assert "partial_count" in plan, plan[:1500]
+
+
+def test_pack_pairing_plan_histogram_grain(spark, sf_dir):
+    """corpus_pack_pairing: doc rows collapse to the length histogram
+    through a map-side partial count BEFORE any Sort/Window/Join; the
+    interval-intersection join runs over the bounded histogram grids
+    (a deliberate nested-loop over <=V^2 length classes, never doc
+    rows)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_pack_pairing,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    plan = _formatted(corpus_pack_pairing(spark, sf_dir))
+    release_tracked_caches()
+    # doc rows reach the histogram via partial_count (map-side combine)
+    assert "partial_count" in plan, plan[:1500]
+    # no doc-grain shuffle: every Exchange partitions on the length
+    # value n (histogram grain) or is the broadcast of a bounded grid
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^)#]*)", plan)
+    for kind, args in exchanges:
+        assert (
+            kind in ("SinglePartition", "rangepartitioning")
+            or "n#" in args
+            or kind == "hashpartitioning" and args.startswith("n")
+        ), (kind, args)
