@@ -1067,3 +1067,121 @@ def vacuum_snapshots(
     for v in drop:
         fs.delete(_jpath(spark, _manifest_path(path, v)), False)
     return {"manifests_deleted": len(drop), "files_deleted": files_deleted}
+
+
+def snapshot_fsck(
+    spark: SparkSession, path: str, *, strict: bool = False
+) -> dict:
+    """Integrity audit (fsck) for a snapshot table — the operational
+    check a fleet runs before trusting a table after an incident
+    (interrupted writers, partial restores, manual file surgery).
+
+    Checks, cheapest first, all metadata-only except the footer pass:
+
+    * **manifests** — every version slot parses; torn (half-written)
+      manifests are reported (they are reaped by writers, skipped by
+      readers — a torn HEAD means the last commit died mid-write).
+    * **files** — every file the current manifest references exists
+      and is non-empty; a missing referenced file is data loss
+      (vacuum'd too aggressively, or external deletion).
+    * **txn monotonicity** — per-writer high-water marks never move
+      backwards across kept versions (a regression means manifest
+      tampering or a restore mixing table generations).
+    * **stats vs footers** — for a clustered table, each referenced
+      file's recorded [min, max] is re-derived from its parquet FOOTER
+      (no data pages read) and must match exactly: wrong stats make
+      pruned reads silently DROP rows, the worst failure mode this
+      module can have.
+    * **orphans** — data files referenced by no kept manifest: normal
+      churn awaiting vacuum (crashed writers, superseded versions),
+      reported with their total bytes so retention policy has a number.
+
+    Returns a report dict; ``strict=True`` raises ``IOError`` on any
+    integrity error (torn head, missing file, stats mismatch, txn
+    regression).  Orphans are never an error — they are vacuum's job."""
+    fs, _ = _fs(spark, path)
+    report: dict = {
+        "versions": [],
+        "torn_manifests": [],
+        "missing_files": [],
+        "empty_files": [],
+        "stats_mismatches": [],
+        "txn_regressions": [],
+        "orphan_files": 0,
+        "orphan_bytes": 0,
+    }
+    manifests: dict[int, dict] = {}
+    for v in _versions(spark, fs, path):
+        try:
+            manifests[v] = _load_manifest(spark, fs, path, v)
+            report["versions"].append(v)
+        except ValueError:
+            report["torn_manifests"].append(v)
+    if not manifests:
+        report["errors"] = ["no readable manifest"]
+        if strict:
+            raise IOError(f"fsck {path}: no readable manifest")
+        return report
+    head = max(manifests)
+    current = manifests[head]
+    prefix = _qualified(spark, fs, path).rstrip("/") + "/"
+
+    referenced_all: set[str] = set()
+    for m in manifests.values():
+        referenced_all.update(m["files"])
+    for f in current["files"]:
+        p = _jpath(spark, posixpath.join(path, f))
+        if not fs.exists(p):
+            report["missing_files"].append(f)
+        elif fs.getFileStatus(p).getLen() == 0:
+            report["empty_files"].append(f)
+
+    marks: dict[str, int] = {}
+    for v in sorted(manifests):
+        for app, mark in manifests[v].get("txn", {}).items():
+            if int(mark) < marks.get(app, -1):
+                report["txn_regressions"].append(
+                    {"version": v, "app": app, "mark": int(mark),
+                     "prev": marks[app]}
+                )
+            marks[app] = max(marks.get(app, -1), int(mark))
+
+    cluster_col = current.get("cluster_col")
+    stats = current.get("stats", {})
+    if cluster_col and stats:
+        live = [
+            (f, prefix + f)
+            for f in current["files"]
+            if f in stats and f not in set(report["missing_files"])
+        ]
+        footer = _footer_cluster_stats(live, cluster_col)
+        if footer is not None:
+            for f, rng in footer.items():
+                if list(stats[f]) != list(rng):
+                    report["stats_mismatches"].append(
+                        {"file": f, "manifest": stats[f], "footer": rng}
+                    )
+
+    data_root = posixpath.join(path, _DATA_DIR)
+    if fs.exists(_jpath(spark, data_root)):
+        it = fs.listFiles(_jpath(spark, data_root), True)
+        while it.hasNext():
+            st = it.next()
+            if not st.isFile() or st.getPath().getName().startswith("_"):
+                continue
+            rel = st.getPath().toString()[len(prefix):]
+            if rel not in referenced_all:
+                report["orphan_files"] += 1
+                report["orphan_bytes"] += st.getLen()
+
+    errors = []
+    if report["torn_manifests"] and max(report["torn_manifests"]) > head:
+        errors.append(f"torn manifest at head v{max(report['torn_manifests'])}")
+    for key in ("missing_files", "empty_files", "stats_mismatches",
+                "txn_regressions"):
+        if report[key]:
+            errors.append(f"{len(report[key])} {key}")
+    report["errors"] = errors
+    if strict and errors:
+        raise IOError(f"fsck {path}: " + "; ".join(errors))
+    return report

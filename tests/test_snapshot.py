@@ -884,3 +884,76 @@ def test_merge_schema_evolution_and_change_feed(spark, tmp_path):
             snapshot_changes(spark, path, v).collect()} == {
         (20, v + 1), (21, v + 1)
     }
+
+
+def test_snapshot_fsck_clean_and_detects_damage(spark, tmp_path):
+    """fsck on a healthy clustered table reports no errors (and counts
+    the crashed-writer orphan as vacuum work, not damage); deleting a
+    referenced data file, corrupting recorded stats, and regressing a
+    txn mark are each detected; strict mode raises."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        snapshot_fsck,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark, spark.range(0, 10).withColumn("k", F.col("id")), path,
+        cluster_col="k", txn_app="w", txn_version=0,
+    )
+    write_snapshot(
+        spark, spark.range(10, 20).withColumn("k", F.col("id")), path,
+        cluster_col="k", txn_app="w", txn_version=1,
+    )
+    # a crashed writer's orphan: staged, never committed
+    spark.range(100, 110).repartition(1).write.parquet(
+        posixpath.join(path, "data", "deadbeef0000")
+    )
+    rep = snapshot_fsck(spark, path, strict=True)  # strict: must not raise
+    assert rep["errors"] == []
+    assert rep["orphan_files"] >= 1 and rep["orphan_bytes"] > 0
+    assert rep["versions"] == [1, 2]
+
+    # damage 1: delete a referenced data file
+    victim = snapshot_files(spark, path)[0]
+    _os.remove(posixpath.join(path, victim))
+    rep = snapshot_fsck(spark, path)
+    assert rep["missing_files"] == [victim]
+    with pytest.raises(IOError, match="missing_files"):
+        snapshot_fsck(spark, path, strict=True)
+    # restore by rewriting the table fresh for the next damage case
+    write_snapshot(
+        spark, spark.range(0, 20).withColumn("k", F.col("id")), path,
+        mode="overwrite", cluster_col="k",
+    )
+    assert snapshot_fsck(spark, path)["errors"] == []
+
+    # damage 2: tamper the recorded stats (the failure mode that makes
+    # pruned reads silently drop rows)
+    mf = sorted(glob.glob(posixpath.join(path, "_snapshots", "v*.json")))[-1]
+    m = _json.load(open(mf))
+    f0 = m["files"][0]
+    m["stats"][f0] = [m["stats"][f0][0] + 1000, m["stats"][f0][1] + 1000]
+    with open(mf, "w") as fh:
+        _json.dump(m, fh)
+    crc = posixpath.join(
+        path, "_snapshots", "." + _os.path.basename(mf) + ".crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    rep = snapshot_fsck(spark, path)
+    assert [x["file"] for x in rep["stats_mismatches"]] == [f0]
+
+    # damage 3: txn regression across versions (manifest tampering /
+    # mixed-generation restore)
+    m["stats"][f0] = [m["stats"][f0][0] - 1000, m["stats"][f0][1] - 1000]
+    m["txn"] = {"w": 0}  # earlier manifests recorded w: 1
+    with open(mf, "w") as fh:
+        _json.dump(m, fh)
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    rep = snapshot_fsck(spark, path)
+    assert rep["txn_regressions"], rep
