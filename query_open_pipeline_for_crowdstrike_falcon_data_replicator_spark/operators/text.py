@@ -1159,7 +1159,15 @@ def corpus_pack_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-complement packing analysis: for each (len_a, len_b)
     pairing class, how many pairs form, how many training sequences
     they emit, and the padding they pay — the concat-chunk
-    alternative's exact cost sheet, at histogram grain."""
+    alternative's exact cost sheet, at histogram grain.
+
+    Scale bound: the interval-intersection join is O(V^2) over V
+    DISTINCT length values — the op's domain is packing analysis of a
+    context-length-bounded corpus (chunker/packer output, V <=
+    PACK_SEQ_LEN distinct values, so V^2 <= 4M bounded class pairs),
+    not raw web documents of unbounded length.  Raw corpora go through
+    ``corpus_chunk_overlap`` first, which is also what makes the
+    question this operator answers well-posed."""
     from pyspark.sql import Window
 
     L = PACK_SEQ_LEN
