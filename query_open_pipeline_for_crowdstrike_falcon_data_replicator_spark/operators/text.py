@@ -1379,6 +1379,183 @@ FROM k
 
 
 # --------------------------------------------------------------------- #
+# tar-shard export (WebDataset-style training delivery)
+# --------------------------------------------------------------------- #
+# The standard delivery format for large-scale training corpora is a
+# set of tar shards streamed sequentially by the data loader
+# (WebDataset / tarfile-based pipelines): pseudo-random GLOBAL order,
+# bounded shard size, deterministic member placement.  This composes
+# the repo's own parts: ``corpus_shuffle_shards`` supplies the seeded
+# (shard, position) order; each (shard, chunk-of-TAR_SHARD_DOCS) group
+# writes ONE tar via ``applyInPandas`` — group memory is bounded by
+# the chunk, not the shard, which is what makes the export
+# 100 TB-shaped (a shard is corpus/16; a chunk is TAR_SHARD_DOCS
+# docs).  Tars are byte-deterministic (fixed mtime/uid/gid/mode,
+# members in position order), so replays overwrite identical bytes.
+TAR_SHARD_DOCS = 1000
+
+TAR_EXPORT_SCHEMA = "shard long, chunk long, path string, n_members long"
+
+TAR_READBACK_SCHEMA = (
+    "doc_id long, shard long, member_idx long, n_bytes long"
+)
+
+
+def _tar_write_batch(out_dir: str):
+    """applyInPandas body factory: one (shard, chunk) group -> one tar."""
+
+    def write(pdf):
+        import io
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        shard = int(pdf["shard"].iloc[0])
+        chunk = int(pdf["pos"].iloc[0]) // TAR_SHARD_DOCS
+        path = os.path.join(out_dir, f"shard{shard:03d}-{chunk:05d}.tar")
+        tmp = path + ".tmp"
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                payload = str(row["text"]).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(row['doc_id'])}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(payload))
+        os.replace(tmp, path)  # atomic publish; replay-idempotent
+        return pd.DataFrame(
+            [(shard, chunk, path, len(pdf))],
+            columns=["shard", "chunk", "path", "n_members"],
+        )
+
+    return write
+
+
+def export_tar_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Export the documents corpus as deterministic tar shards in the
+    seeded shuffle order; returns one row per tar written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    order = corpus_shuffle_shards(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = order.join(docs, "doc_id").withColumn(
+        "chunk", F.floor(F.col("pos") / TAR_SHARD_DOCS)
+    )
+    return staged.groupBy("shard", "chunk").applyInPandas(
+        _tar_write_batch(out_dir), TAR_EXPORT_SCHEMA
+    )
+
+
+def _tar_read_batch(batches):
+    """mapInPandas body: (path) rows -> one row per tar member with its
+    placement and byte length, through the real stdlib tar parse."""
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path in pdf["path"]:
+            shard = int(os.path.basename(path)[5:8])
+            with tarfile.open(path, "r") as tar:
+                for idx, member in enumerate(tar.getmembers()):
+                    rows.append(
+                        (
+                            int(member.name[:-4]),
+                            shard,
+                            idx,
+                            int(member.size),
+                        )
+                    )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "shard", "member_idx", "n_bytes"]
+        )
+
+
+def corpus_export_tar_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled probe of the tar-shard export: write the corpus
+    as tar shards in seeded shuffle order (ONE build per corpus), then
+    read every tar back through the stdlib parse and emit each
+    member's (doc_id, shard, member_idx, n_bytes).
+
+    The DuckDB oracle re-derives placement from the shuffle algebra
+    (md5 key -> shard, row_number -> position -> member index within
+    the TAR_SHARD_DOCS chunk) and the byte length from octet_length —
+    a hash-match therefore proves, end-to-end under the driver's
+    vanilla session: every document landed in exactly its assigned
+    tar, at exactly its assigned member slot, with byte-exact content,
+    and no member is missing or duplicated across the whole shard set.
+
+    Scale shape: group memory is bounded by TAR_SHARD_DOCS (the chunk,
+    not the shard); placement comes from `corpus_shuffle_shards`'s
+    histogram-grain rank (plan-pinned separately); the read-back is a
+    bounded fixture probe (BENCH_EXCLUDEd)."""
+    import os
+    import tempfile
+
+    from ..sinks.artifacts import build_once, corpus_fingerprint
+    from ..sources.tables import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs)
+
+    def _build(stage: str) -> None:
+        out = os.path.join(stage, "tars")
+        n_tars = export_tar_shards(spark, sf_dir, out).count()
+        if n_tars == 0:
+            raise RuntimeError("tar export wrote nothing; fixture broken")
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+            f.write(fp)
+
+    base = build_once(
+        os.path.join(
+            tempfile.gettempdir(),
+            "qopcfdr_tarexport_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}",
+        ),
+        "_COMPLETE",
+        _build,
+    )
+    out = os.path.join(base, "tars")
+    paths = spark.createDataFrame(
+        [(os.path.join(out, n),) for n in sorted(os.listdir(out))],
+        "path string",
+    )
+    return paths.repartition(8).mapInPandas(
+        _tar_read_batch, TAR_READBACK_SCHEMA
+    )
+
+
+CORPUS_EXPORT_TAR_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(key % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+         row_number() OVER (PARTITION BY key % {N_SHUFFLE_SHARDS}
+                            ORDER BY key, doc_id) - 1 AS pos
+  FROM k
+)
+SELECT d.doc_id, r.shard,
+       CAST(r.pos % {TAR_SHARD_DOCS} AS BIGINT) AS member_idx,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+FROM documents d JOIN r USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------- #
 # hashed linear quality model (fastText-style scoring, JVM-side)
 # --------------------------------------------------------------------- #
 # Production corpora replace heuristic gates with a trained quality
@@ -4029,6 +4206,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_pack_sequences": (corpus_pack_sequences, CORPUS_PACK_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SQL),
     "corpus_pack_pairing": (corpus_pack_pairing, CORPUS_PACK_PAIRING_SQL),
+    "corpus_export_tar_verify": (corpus_export_tar_verify, CORPUS_EXPORT_TAR_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),

@@ -101,6 +101,9 @@ BENCH_EXCLUDE = {
     # micro-batches upserting the entities table, one mid-stream
     # compaction) inside the builder
     "stream_upsert_verify",
+    # writes the corpus as tar shards inside the builder, then parses
+    # every tar back — a correctness probe of the export, not a timed op
+    "corpus_export_tar_verify",
     # algorithm twin of dedup_cluster on the O(log n)-round star path:
     # its per-round fixed-point checks are many small jobs whose local
     # overhead would swamp the timing; wall-clock evidence is the chain

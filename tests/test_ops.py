@@ -2794,3 +2794,36 @@ def test_multimodal_video_avi_roundtrip(spark):
 
     with _p.raises(ValueError):
         _parse_avi(b"RIFX" + b"\x00" * 64)
+
+
+def test_export_tar_shards_deterministic_bytes(spark, tmp_path):
+    """Two exports of the same corpus produce byte-identical tar
+    shards (fixed mtime/uid/gid/mode, members in position order) — the
+    property that makes replays idempotent and shard sets diffable."""
+    import hashlib
+    import os
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        export_tar_shards,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    outs = []
+    for d in ("a", "b"):
+        out = str(tmp_path / d)
+        rows = export_tar_shards(spark, sf, out).collect()
+        assert rows and all(r.n_members > 0 for r in rows)
+        release_tracked_caches()
+        outs.append(out)
+
+    def digest(out):
+        return {
+            n: hashlib.md5(open(os.path.join(out, n), "rb").read()).hexdigest()
+            for n in sorted(os.listdir(out))
+        }
+
+    d_a, d_b = digest(outs[0]), digest(outs[1])
+    assert d_a == d_b and len(d_a) >= 16  # one tar per non-empty shard chunk
