@@ -111,6 +111,25 @@ def _load_manifest(spark: SparkSession, fs, path: str, version: int) -> dict:
     return json.loads(text)  # raises ValueError on a torn half-written file
 
 
+def _type_shape(t):
+    """A type's json with every nullability flag and metadata stripped,
+    recursively — the shape two batches must agree on.  Nullability is
+    NOT part of the comparison: a stream's batches routinely disagree
+    on nested nullable/containsNull (a literal-built struct is
+    non-null where the parquet round-trip of the same struct is
+    nullable), and Spark treats the flags as advisory on read anyway."""
+    if isinstance(t, dict):
+        return {
+            k: _type_shape(v)
+            for k, v in t.items()
+            if k
+            not in ("nullable", "containsNull", "valueContainsNull", "metadata")
+        }
+    if isinstance(t, list):
+        return [_type_shape(x) for x in t]
+    return t
+
+
 def _merge_schemas(prev: dict | None, new: dict | None) -> dict | None:
     """Additive schema evolution at the manifest level (the Delta/Iceberg
     model: schema is TABLE metadata, so readers never pay a
@@ -118,9 +137,11 @@ def _merge_schemas(prev: dict | None, new: dict | None) -> dict | None:
 
     An append may ADD columns (recorded nullable — pre-evolution files
     surface NULL for them); it may not change an existing column's type
-    (silent cross-file cast hazards) — that raises.  Field order is the
-    first-seen order, so established readers keep their column
-    positions."""
+    (silent cross-file cast hazards) — that raises.  Types are compared
+    by SHAPE (see ``_type_shape``): nullability flags differing between
+    batches is normal, not evolution.  The first-seen type json is what
+    stays recorded, and field order is the first-seen order, so
+    established readers keep their column positions."""
     if new is None:
         return prev
     if prev is None:
@@ -131,7 +152,7 @@ def _merge_schemas(prev: dict | None, new: dict | None) -> dict | None:
         have = by_name.get(f["name"])
         if have is None:
             fields.append({**f, "nullable": True})
-        elif have["type"] != f["type"]:
+        elif _type_shape(have["type"]) != _type_shape(f["type"]):
             raise ValueError(
                 f"schema evolution is additive: column {f['name']!r} "
                 f"changed type {have['type']!r} -> {f['type']!r}"

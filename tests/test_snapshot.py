@@ -957,3 +957,36 @@ def test_snapshot_fsck_clean_and_detects_damage(spark, tmp_path):
         _os.remove(crc)
     rep = snapshot_fsck(spark, path)
     assert rep["txn_regressions"], rep
+
+
+def test_schema_merge_tolerates_nullability_drift(spark, tmp_path):
+    """Two batches of the same nested shape that disagree only on
+    nullable/containsNull flags (a literal-built struct vs its parquet
+    round-trip — every streamed OCSF batch does this) must append
+    cleanly; an actual nested TYPE change still raises."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    strict = spark.createDataFrame(
+        [(1, ("a", ["x"]))],
+        "id long, meta struct<name: string, tags: array<string>>",
+    )
+    write_snapshot(spark, strict, path)
+    # round-trip through parquet flips nested nullability to True
+    loose = read_snapshot(spark, path)
+    assert write_snapshot(spark, loose, path) == 2  # must NOT raise
+    assert read_snapshot(spark, path).count() == 2
+    fs, _ = _fs(spark, path)
+    assert "schema" in _load_manifest(spark, fs, path, 2)
+
+    # a real nested type change is still rejected
+    import pytest as _pytest
+
+    changed = spark.createDataFrame(
+        [(3, (7, ["x"]))],
+        "id long, meta struct<name: bigint, tags: array<string>>",
+    )
+    with _pytest.raises(ValueError, match="additive"):
+        write_snapshot(spark, changed, path)
