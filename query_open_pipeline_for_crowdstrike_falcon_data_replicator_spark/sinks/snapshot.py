@@ -357,11 +357,21 @@ def merge_into_snapshot(
     *,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    delete_col: str | None = None,
 ) -> int | None:
     """MERGE (upsert) ``source`` into a snapshot table by ``key``:
     target rows whose key appears in the source are REPLACED by the
     source row, source rows with no target match are INSERTED — one
     atomic new version, the Delta ``MERGE INTO`` / Hudi upsert verb.
+
+    ``delete_col`` names a boolean column marking TOMBSTONES — the
+    CDC-apply form (replaying an upstream database's change stream:
+    upserts and deletes arrive interleaved in one batch).  A tombstone
+    row's key participates in matching like any other (its matched
+    target rows are removed via the same file-grain rewrite) but the
+    row itself is NOT inserted, and the marker column never enters the
+    table.  A tombstone for a key the table doesn't hold is a no-op,
+    as in SQL DELETE.
 
     Copy-on-write at FILE grain, like ``delete_from_snapshot``: only
     files holding a matched key are rewritten (their unmatched rows
@@ -384,6 +394,8 @@ def merge_into_snapshot(
     ``snapshot_changes`` refuses to cross a merge commit (updates have
     no append-grain form); consumers re-baseline."""
     keys = [key] if isinstance(key, str) else list(key)
+    if delete_col is not None and delete_col in keys:
+        raise ValueError(f"delete_col {delete_col!r} cannot be a merge key")
     fs, _ = _fs(spark, path)
     version = current_version(spark, path)
     if version is None:
@@ -465,19 +477,26 @@ def merge_into_snapshot(
             .collect()  # bounded by the manifest's file count
         ]
         hit = [f for f in files if any(u.endswith(f) for u in hit_uris)]
+    live = source
+    if delete_col is not None:
+        # tombstones match (and thereby delete) but are never inserted,
+        # and the marker column never enters the table
+        live = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     if hit:
         survivors = reader.parquet(
             *[posixpath.join(path, f) for f in hit]
         ).join(src_keys, keys, "left_anti")
-        staged_df = survivors.unionByName(source, allowMissingColumns=True)
+        staged_df = survivors.unionByName(live, allowMissingColumns=True)
     else:
-        staged_df = source  # pure insert
+        staged_df = live  # pure insert
     new_files, new_stats = _stage_files(spark, fs, staged_df, path, cluster_col)
     kept = [f for f in files if f not in set(hit)]
     kept_stats = {f: s for f, s in stats.items() if f in set(kept)}
     kept_stats.update(new_stats or {})
     merged_schema = (
-        _merge_schemas(manifest.get("schema"), source.schema.jsonValue())
+        _merge_schemas(manifest.get("schema"), live.schema.jsonValue())
         if manifest.get("schema") is not None
         else None  # pre-schema tables stay legacy (see _commit)
     )

@@ -990,3 +990,45 @@ def test_schema_merge_tolerates_nullability_drift(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="additive"):
         write_snapshot(spark, changed, path)
+
+
+def test_merge_tombstones_apply_cdc_batch(spark, tmp_path):
+    """MERGE with delete_col applies a CDC batch atomically: tombstoned
+    keys are removed (ALL their rows, via the same file-grain rewrite),
+    live rows update/insert, the marker column never enters the table
+    or its recorded schema, and a tombstone for an absent key is a
+    no-op."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        _load_manifest,
+        merge_into_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        path,
+        cluster_col="id",
+    )
+    cdc = spark.createDataFrame(
+        [
+            (2, "b2", False),   # update
+            (3, None, True),    # delete
+            (4, "d", False),    # insert
+            (99, None, True),   # delete of absent key: no-op
+        ],
+        "id long, v string, is_deleted boolean",
+    )
+    v = merge_into_snapshot(spark, path, cdc, "id", delete_col="is_deleted")
+    got = {(r.id, r.v) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b2"), (4, "d")}
+    df = read_snapshot(spark, path)
+    assert "is_deleted" not in df.columns
+    fs, _ = _fs(spark, path)
+    schema = _load_manifest(spark, fs, path, v)["schema"]
+    assert [f["name"] for f in schema["fields"]] == ["id", "v"]
+
+    with pytest.raises(ValueError, match="cannot be a merge key"):
+        merge_into_snapshot(spark, path, cdc, "is_deleted", delete_col="is_deleted")
