@@ -1479,6 +1479,54 @@ def _tar_read_batch(batches):
         )
 
 
+def _tar_read_docs_batch(batches):
+    """mapInPandas body: (path) rows -> (doc_id, shard, pos, text) per
+    member — the consumer half (a data loader's view of the shard set)."""
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path in pdf["path"]:
+            base = os.path.basename(path)
+            shard = int(base[5:8])
+            chunk = int(base[9:14])
+            with tarfile.open(path, "r") as tar:
+                for idx, member in enumerate(tar.getmembers()):
+                    rows.append(
+                        (
+                            int(member.name[:-4]),
+                            shard,
+                            chunk * TAR_SHARD_DOCS + idx,
+                            tar.extractfile(member).read().decode("utf-8"),
+                        )
+                    )
+        yield pd.DataFrame(rows, columns=["doc_id", "shard", "pos", "text"])
+
+
+def read_tar_shards(spark: SparkSession, tar_dir: str) -> DataFrame:
+    """Plan a read over an ``export_tar_shards`` output directory:
+    (doc_id, shard, pos, text), one row per tar member, positions
+    reconstructed from the shard/chunk naming — the loader-side
+    inverse, closing the export round-trip.  Paths parallelize across
+    the cluster; each task streams its tars sequentially (exactly the
+    WebDataset access pattern: a 100 TB run hands each worker a slice
+    of the shard list)."""
+    import os
+
+    names = sorted(n for n in os.listdir(tar_dir) if n.endswith(".tar"))
+    if not names:
+        raise FileNotFoundError(f"no tar shards under {tar_dir}")
+    paths = spark.createDataFrame(
+        [(os.path.join(tar_dir, n),) for n in names], "path string"
+    )
+    return paths.repartition(min(len(names), 32)).mapInPandas(
+        _tar_read_docs_batch, "doc_id long, shard long, pos long, text string"
+    )
+
+
 def corpus_export_tar_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-oracled probe of the tar-shard export: write the corpus
     as tar shards in seeded shuffle order (ONE build per corpus), then

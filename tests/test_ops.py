@@ -2827,3 +2827,43 @@ def test_export_tar_shards_deterministic_bytes(spark, tmp_path):
 
     d_a, d_b = digest(outs[0]), digest(outs[1])
     assert d_a == d_b and len(d_a) >= 16  # one tar per non-empty shard chunk
+
+
+def test_read_tar_shards_roundtrip(spark, tmp_path):
+    """export_tar_shards -> read_tar_shards is a lossless round-trip:
+    every (doc_id, text) comes back exactly once with the position the
+    shuffle assigned it (the loader-side inverse)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        corpus_shuffle_shards,
+        export_tar_shards,
+        read_tar_shards,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tars")
+    export_tar_shards(spark, sf, out).collect()
+    release_tracked_caches()
+
+    got = {
+        r.doc_id: (r.shard, r.pos, r.text)
+        for r in read_tar_shards(spark, out).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    order = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle_shards(spark, sf).collect()
+    }
+    release_tracked_caches()
+    assert set(got) == set(docs)
+    for d, (shard, pos, text) in got.items():
+        assert text == docs[d]
+        assert (shard, pos) == order[d]
