@@ -1032,3 +1032,88 @@ def test_merge_tombstones_apply_cdc_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cannot be a merge key"):
         merge_into_snapshot(spark, path, cdc, "is_deleted", delete_col="is_deleted")
+
+
+@pytest.mark.slow
+def test_snapshot_model_based_verb_sequences(spark, tmp_path):
+    """Model-based check of the whole verb set: three seeded random
+    sequences of append / merge (with tombstones) / delete / compact /
+    vacuum run against both the table and a dict model; after EVERY op
+    the table must equal the model exactly.  This is the storage
+    layer's equivalent of the oracle sweep — it explores verb
+    interleavings no hand-written test enumerates (merge after
+    compact, delete of a just-merged key, vacuum mid-sequence)."""
+    import random
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot import (
+        compact_snapshot,
+        delete_from_snapshot,
+        merge_into_snapshot,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"tbl{seed}")
+        model: dict[int, int] = {}
+        next_id = 0
+
+        def fresh(n):
+            nonlocal next_id
+            rows = [(next_id + i, rng.randrange(1000)) for i in range(n)]
+            next_id += n
+            return rows
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "id long, v long")
+
+        # seed the table
+        rows = fresh(20)
+        write_snapshot(spark, df_of(rows), path, cluster_col="id")
+        model.update(dict(rows))
+
+        for step in range(14):
+            op = rng.choice(["append", "merge", "delete", "compact", "vacuum"])
+            if op == "append":
+                rows = fresh(rng.randrange(1, 8))
+                write_snapshot(spark, df_of(rows), path, cluster_col="id")
+                model.update(dict(rows))
+            elif op == "merge":
+                upd = [
+                    (k, rng.randrange(1000), False)
+                    for k in rng.sample(sorted(model), min(3, len(model)))
+                ]
+                ins = [(i, v, False) for i, v in fresh(rng.randrange(0, 3))]
+                dels = [
+                    (k, 0, True)
+                    for k in rng.sample(sorted(model), min(2, len(model)))
+                    if (k, rng.random()) and all(k != u[0] for u in upd)
+                ]
+                batch = upd + ins + dels
+                if not batch:
+                    continue
+                merge_into_snapshot(
+                    spark,
+                    path,
+                    spark.createDataFrame(
+                        batch, "id long, v long, is_deleted boolean"
+                    ),
+                    "id",
+                    delete_col="is_deleted",
+                )
+                for k, v, dead in batch:
+                    if dead:
+                        model.pop(k, None)
+                    else:
+                        model[k] = v
+            elif op == "delete":
+                m = rng.randrange(2, 6)
+                delete_from_snapshot(spark, path, f"id % {m} = 0")
+                model = {k: v for k, v in model.items() if k % m != 0}
+            elif op == "compact":
+                compact_snapshot(spark, path, target_files=2)
+            else:
+                vacuum_snapshots(spark, path, keep_last=2, min_age_seconds=0)
+            got = {
+                (r.id, r.v) for r in read_snapshot(spark, path).collect()
+            }
+            assert got == set(model.items()), (seed, step, op)
