@@ -358,6 +358,7 @@ def merge_into_snapshot(
     txn_app: str | None = None,
     txn_version: int | None = None,
     delete_col: str | None = None,
+    _retries: int = 3,
 ) -> int | None:
     """MERGE (upsert) ``source`` into a snapshot table by ``key``:
     target rows whose key appears in the source are REPLACED by the
@@ -500,19 +501,32 @@ def merge_into_snapshot(
         if manifest.get("schema") is not None
         else None  # pre-schema tables stay legacy (see _commit)
     )
-    return _commit(
-        spark,
-        fs,
-        path,
-        kept + new_files,
-        mode="overwrite",
-        meta={"merged_from": version, "merge_key": keys},
-        txn_app=txn_app,
-        txn_version=txn_version,
-        stats=kept_stats,
-        cluster_col=cluster_col,
-        schema=merged_schema,
-    )
+    try:
+        return _commit(
+            spark,
+            fs,
+            path,
+            kept + new_files,
+            mode="overwrite",
+            meta={"merged_from": version, "merge_key": keys},
+            txn_app=txn_app,
+            txn_version=txn_version,
+            stats=kept_stats,
+            cluster_col=cluster_col,
+            schema=merged_schema,
+            expected_prev=version,
+        )
+    except SnapshotConflictError:
+        # a concurrent commit landed between our manifest read and our
+        # commit; blindly taking the next slot would drop its rows —
+        # re-derive the whole merge against the new head
+        if _retries <= 0:
+            raise
+        return merge_into_snapshot(
+            spark, path, source, key,
+            txn_app=txn_app, txn_version=txn_version,
+            delete_col=delete_col, _retries=_retries - 1,
+        )
 
 
 def delete_from_snapshot(
@@ -520,6 +534,7 @@ def delete_from_snapshot(
     path: str,
     predicate: str,
     cluster_range: tuple | None = None,
+    _retries: int = 3,
 ) -> int | None:
     """Row-level delete (the right-to-be-forgotten path): commit a new
     version with every row matching ``predicate`` removed, rewriting
@@ -593,17 +608,26 @@ def delete_from_snapshot(
     kept = [f for f in files if f not in set(hit)]
     kept_stats = {f: s for f, s in stats.items() if f in set(kept)}
     kept_stats.update(new_stats or {})
-    return _commit(
-        spark,
-        fs,
-        path,
-        kept + new_files,
-        mode="overwrite",
-        meta={"deleted_from": version, "predicate": predicate},
-        stats=kept_stats,
-        cluster_col=cluster_col,
-        schema=manifest.get("schema"),
-    )
+    try:
+        return _commit(
+            spark,
+            fs,
+            path,
+            kept + new_files,
+            mode="overwrite",
+            meta={"deleted_from": version, "predicate": predicate},
+            stats=kept_stats,
+            cluster_col=cluster_col,
+            schema=manifest.get("schema"),
+            expected_prev=version,
+        )
+    except SnapshotConflictError:
+        # see merge_into_snapshot: re-derive against the new head
+        if _retries <= 0:
+            raise
+        return delete_from_snapshot(
+            spark, path, predicate, cluster_range, _retries=_retries - 1
+        )
 
 
 def _footer_cluster_stats(
@@ -752,6 +776,12 @@ def last_txn_version(spark: SparkSession, path: str, txn_app: str) -> int:
     return int(_load_manifest(spark, fs, path, v).get("txn", {}).get(txn_app, -1))
 
 
+class SnapshotConflictError(Exception):
+    """A read-modify-write commit found the table advanced past the
+    version it derived its output from; the caller must re-derive
+    against the new head (Delta's concurrent-modification model)."""
+
+
 def _commit(
     spark: SparkSession,
     fs,
@@ -765,11 +795,21 @@ def _commit(
     stats: dict | None = None,
     cluster_col: str | None = None,
     schema: dict | None = None,
+    expected_prev: int | None = None,
 ) -> int | None:
     """Optimistically commit a new manifest; retry on version conflicts.
 
     Each attempt re-reads the latest version so a lost race against a
     concurrent append still produces the correct merged file list.
+
+    ``expected_prev`` is the conflict fence for READ-MODIFY-WRITE
+    commits (compaction, DELETE, MERGE): their output file list was
+    derived from a specific version, so blindly taking the next slot
+    after a concurrent append would silently DROP that append's rows
+    from the table.  When the head has moved past ``expected_prev``,
+    the commit raises ``SnapshotConflictError`` instead, and the
+    caller re-derives from the new head.  Plain appends never need it:
+    their merge-with-latest retry is already correct.
 
     With ``txn_app``/``txn_version`` the commit is IDEMPOTENT per writer:
     each manifest carries forward a ``txn`` map of per-writer high-water
@@ -784,6 +824,11 @@ def _commit(
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(spark, fs, path)
         prev = vs[-1] if vs else None
+        if expected_prev is not None and (prev or 0) != expected_prev:
+            raise SnapshotConflictError(
+                f"{path}: derived from v{expected_prev} but head is "
+                f"v{prev or 0}; re-derive against the new head"
+            )
         prev_txn: dict = {}
         if prev is not None:
             try:
@@ -960,6 +1005,7 @@ def compact_snapshot(
     target_files: int = 0,
     target_file_bytes: int = 128 * 1024 * 1024,
     transform=None,
+    _retries: int = 3,
 ) -> int:
     """Rewrite the current snapshot into ~``target_files`` larger files
     and commit the result as a new version.  No reader is disturbed:
@@ -1006,17 +1052,29 @@ def compact_snapshot(
         )
     else:
         new_files, stats = _stage_files(spark, fs, df.repartition(target_files), path)
-    return _commit(
-        spark,
-        fs,
-        path,
-        new_files,
-        mode="overwrite",
-        meta={"compacted_from": version},
-        stats=stats,
-        cluster_col=cluster_col,
-        schema=df.schema.jsonValue() if schema is not None else None,
-    )
+    try:
+        return _commit(
+            spark,
+            fs,
+            path,
+            new_files,
+            mode="overwrite",
+            meta={"compacted_from": version},
+            stats=stats,
+            cluster_col=cluster_col,
+            schema=df.schema.jsonValue() if schema is not None else None,
+            expected_prev=version,
+        )
+    except SnapshotConflictError:
+        # a concurrent append landed mid-compaction; committing our
+        # pre-append file list would drop its rows — recompact the head
+        if _retries <= 0:
+            raise
+        return compact_snapshot(
+            spark, path, target_files=target_files,
+            target_file_bytes=target_file_bytes, transform=transform,
+            _retries=_retries - 1,
+        )
 
 
 def register_snapshot_tables(

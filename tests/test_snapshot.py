@@ -1117,3 +1117,68 @@ def test_snapshot_model_based_verb_sequences(spark, tmp_path):
                 (r.id, r.v) for r in read_snapshot(spark, path).collect()
             }
             assert got == set(model.items()), (seed, step, op)
+
+
+def test_rmw_commits_never_drop_concurrent_appends(spark, tmp_path, monkeypatch):
+    """The lost-append anomaly: a read-modify-write commit (compaction,
+    DELETE, MERGE) derives its output from version V; if an append
+    lands at V+1 before the RMW commits, taking the next slot would
+    silently drop the append's rows.  The expected_prev fence turns
+    that into a re-derive: an interloper append injected between an
+    RMW's staging and its commit must survive into the final table."""
+    import query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.sinks.snapshot as snap
+
+    # --- compaction vs append -----------------------------------------
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(0, 10), path)
+
+    orig_stage = snap._stage_files
+    armed = {"on": True}
+
+    def stage_with_interloper(spark_, fs_, df_, path_, *a, **k):
+        out = orig_stage(spark_, fs_, df_, path_, *a, **k)
+        if armed["on"]:
+            armed["on"] = False  # the interloper's own write passes through
+            write_snapshot(spark_, spark_.range(100, 105), path_)
+        return out
+
+    monkeypatch.setattr(snap, "_stage_files", stage_with_interloper)
+    v = compact_snapshot(spark, path, target_files=1)
+    # base 1, interloper 2, re-derived compaction 3 (the conflicted
+    # attempt takes no version slot)
+    assert v == 3
+    assert _ids(read_snapshot(spark, path)) == list(range(10)) + list(
+        range(100, 105)
+    )
+
+    # --- DELETE vs append: interloper's non-matching rows survive -----
+    interloper_range = {"lo": 200, "hi": 205}
+
+    def stage_with_ranged_interloper(spark_, fs_, df_, path_, *a, **k):
+        out = orig_stage(spark_, fs_, df_, path_, *a, **k)
+        if armed["on"]:
+            armed["on"] = False
+            write_snapshot(
+                spark_,
+                spark_.range(interloper_range["lo"], interloper_range["hi"]),
+                path_,
+            )
+        return out
+
+    monkeypatch.setattr(snap, "_stage_files", stage_with_ranged_interloper)
+    armed["on"] = True
+    snap.delete_from_snapshot(spark, path, "id >= 100 AND id < 200")
+    assert _ids(read_snapshot(spark, path)) == list(range(10)) + list(
+        range(200, 205)
+    )
+
+    # --- MERGE vs append: interloper's rows survive the upsert --------
+    interloper_range["lo"], interloper_range["hi"] = 300, 303
+    armed["on"] = True
+    src = spark.range(0, 2).select(
+        F.col("id"), F.lit(1).alias("extra")
+    ).drop("extra").selectExpr("id")
+    snap.merge_into_snapshot(spark, path, src, "id")
+    assert _ids(read_snapshot(spark, path)) == list(range(10)) + list(
+        range(200, 205)
+    ) + list(range(300, 303))
