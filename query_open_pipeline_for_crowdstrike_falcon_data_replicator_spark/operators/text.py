@@ -1378,6 +1378,104 @@ FROM k
 """
 
 
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-shard dataset card: for each shard the seeded
+    shuffle assigns (``corpus_shuffle_shards``), the doc count, token
+    sum, byte sum, distinct languages and sources, and the dominant
+    source's share in per-mille — the metadata manifest a training run
+    reads to budget workers and audit mixture balance per shard.  One
+    shuffle-grain join, then a shard-grain aggregate (16 groups);
+    mixture share via a (shard, source) sub-aggregate joined back at
+    bounded grain."""
+    order = corpus_shuffle_shards(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    j = tracked_persist(order.join(docs, "doc_id"))
+    per_source = j.groupBy("shard", "source").agg(
+        F.count("*").alias("src_docs")
+    )
+    from pyspark.sql import Window
+
+    top = per_source.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.col("src_docs").desc(), F.col("source")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    agg = j.groupBy("shard").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_bytes").alias("bytes"),
+        F.count_distinct("lang").alias("langs"),
+        F.count_distinct("source").alias("sources"),
+    )
+    return (
+        agg.join(F.broadcast(top.select("shard", "source", "src_docs")), "shard")
+        .select(
+            "shard",
+            "docs",
+            "tokens",
+            "bytes",
+            "langs",
+            "sources",
+            F.col("source").alias("top_source"),
+            # integer `div`: exact and engine-portable on non-negatives
+            # (the micro-units rule), unlike a double divide + cast
+            F.expr("(src_docs * 1000) div docs").alias("top_source_permille"),
+        )
+    )
+
+
+CORPUS_SHARD_STATS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS key
+  FROM documents
+),
+j AS (
+  SELECT d.doc_id,
+         CAST(k.key % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+         d.lang, d.source,
+         CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+  FROM documents d JOIN k USING (doc_id)
+),
+per_source AS (
+  SELECT shard, source, count(*) AS src_docs
+  FROM j GROUP BY 1, 2
+),
+top AS (
+  SELECT shard, source, src_docs
+  FROM (SELECT *, row_number() OVER (PARTITION BY shard
+                                     ORDER BY src_docs DESC, source) AS rk
+        FROM per_source)
+  WHERE rk = 1
+)
+SELECT a.shard,
+       CAST(a.docs AS BIGINT) AS docs,
+       CAST(a.tokens AS BIGINT) AS tokens,
+       CAST(a.bytes AS BIGINT) AS bytes,
+       CAST(a.langs AS BIGINT) AS langs,
+       CAST(a.sources AS BIGINT) AS sources,
+       t.source AS top_source,
+       CAST(t.src_docs * 1000 // a.docs AS BIGINT) AS top_source_permille
+FROM (SELECT shard, count(*) AS docs, sum(n_tokens) AS tokens,
+             sum(n_bytes) AS bytes,
+             count(DISTINCT lang) AS langs,
+             count(DISTINCT source) AS sources
+      FROM j GROUP BY 1) a
+JOIN top t USING (shard)
+"""
+
+
 # --------------------------------------------------------------------- #
 # tar-shard export (WebDataset-style training delivery)
 # --------------------------------------------------------------------- #
@@ -4255,6 +4353,7 @@ TEXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_shuffle_shards": (corpus_shuffle_shards, CORPUS_SHUFFLE_SQL),
     "corpus_pack_pairing": (corpus_pack_pairing, CORPUS_PACK_PAIRING_SQL),
     "corpus_export_tar_verify": (corpus_export_tar_verify, CORPUS_EXPORT_TAR_SQL),
+    "corpus_shard_stats": (corpus_shard_stats, CORPUS_SHARD_STATS_SQL),
     "text_quality_model": (text_quality_model, TEXT_QUALITY_MODEL_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "text_ppl_filter": (text_ppl_filter, TEXT_PPL_FILTER_SQL),
