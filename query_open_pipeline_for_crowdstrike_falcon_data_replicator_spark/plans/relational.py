@@ -388,6 +388,90 @@ GROUP BY 1, 2
 """
 
 
+def events_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beaconing detection — the security analytic the reference's FDR
+    lake exists to serve (C2 implants call home on a timer; REGULAR
+    inter-arrival cadence distinguishes them from human activity).
+
+    Per (user_id, event_type) channel: inter-arrival gaps via a lag
+    window (per-entity partitions — natural keys, never the corpus),
+    then integer-exact regularity metrics: mean gap by integer div
+    over the span, jitter = max_gap - min_gap, and jitter as per-mille
+    of the mean (the micro-units rule — no doubles, no stddev
+    summation-order hazards cross-engine).  A channel with >= 5 events
+    and jitter <= 250 per-mille of its mean flags as a beacon
+    candidate.  Channels with one event have no cadence and are
+    excluded.
+
+    Reference parity: the reference normalizes FDR events so Athena
+    users can hunt exactly this (README.md:48 delegates the query
+    layer); here it is a native operator."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("tsec"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("tsec", "event_id")
+    gap = (F.col("tsec") - F.lag("tsec").over(w)).alias("gap")
+    gaps = ev.select("user_id", "event_type", "tsec", gap).filter(
+        F.col("gap").isNotNull()
+    )
+    agg = gaps.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.sum("gap").alias("span_s"),
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )
+    mean_gap = F.expr("span_s div (n_events - 1)")
+    jitter_pm = F.expr(
+        "((max_gap_s - min_gap_s) * 1000) div greatest(span_s div (n_events - 1), 1)"
+    )
+    return agg.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        mean_gap.alias("mean_gap_s"),
+        jitter_pm.alias("jitter_permille"),
+        (
+            (F.col("n_events") >= 5)
+            & (jitter_pm <= 250)
+        ).alias("is_beacon"),
+    )
+
+
+EVENTS_BEACONING_SQL = """
+WITH ep AS (
+  SELECT user_id, event_type, event_id,
+         datediff('second', TIMESTAMP '1970-01-01', ts) AS tsec
+  FROM events
+),
+g AS (
+  SELECT user_id, event_type,
+         tsec - lag(tsec) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tsec, event_id) AS gap
+  FROM ep
+),
+agg AS (
+  SELECT user_id, event_type,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(sum(gap) AS BIGINT) AS span_s,
+         min(gap) AS min_gap_s, max(gap) AS max_gap_s
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id, event_type, n_events,
+       CAST(span_s // (n_events - 1) AS BIGINT) AS mean_gap_s,
+       CAST(((max_gap_s - min_gap_s) * 1000)
+            // greatest(span_s // (n_events - 1), 1) AS BIGINT)
+         AS jitter_permille,
+       (n_events >= 5 AND
+        ((max_gap_s - min_gap_s) * 1000)
+          // greatest(span_s // (n_events - 1), 1) <= 250) AS is_beacon
+FROM agg
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-minute inactivity gap) via gaps-and-islands —
     the batch equivalent of a session window in Structured Streaming."""
@@ -1547,6 +1631,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "set_ops_nations": (set_ops_nations, SETOPS_SQL),
     "events_daily_agg": (events_daily_agg, EVENTS_DAILY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
+    "events_beaconing": (events_beaconing, EVENTS_BEACONING_SQL),
     "events_session_window": (events_session_window, EVENTS_SESSION_WINDOW_SQL),
     "events_pivot_daily": (events_pivot_daily, EVENTS_PIVOT_SQL),
     "events_hypertable_rollup": (events_hypertable_rollup, EVENTS_HYPERTABLE_SQL),

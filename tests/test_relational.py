@@ -216,3 +216,46 @@ def test_cusum_planted_sustained_shift(spark, tmp_path):
     # far below its threshold): CUSUM catches what EWMA cannot
     ew = events_ewma_anomaly(spark, str(tmp_path)).collect()
     assert sum(r.is_spike for r in ew) == 0
+
+
+def test_events_beaconing_planted_cadence(spark, tmp_path):
+    """A planted 60s-cadence channel (2s jitter) flags as a beacon; a
+    human-irregular channel with the same event count does not; a
+    2-event channel is reported but cannot flag (n_events >= 5)."""
+    import datetime as dt
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.plans.relational import (
+        events_beaconing,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # beacon: 10 calls, 60s +/- 2s (jitter 4s of mean ~60s = 66 permille)
+    t = 0
+    for i in range(10):
+        rows.append((eid, base + dt.timedelta(seconds=t), 1, "c2", 0.0, None))
+        eid += 1
+        t += 60 + (2 if i % 2 else -2)
+    # human: 10 events, gaps 5..1280s doubling (jitter >> mean)
+    t = 0
+    for i in range(10):
+        rows.append((eid, base + dt.timedelta(seconds=t), 2, "web", 0.0, None))
+        eid += 1
+        t += 5 * (2 ** i)
+    # two-event channel: no cadence claim possible
+    rows.append((eid, base, 3, "x", 0.0, None))
+    rows.append((eid + 1, base + dt.timedelta(seconds=60), 3, "x", 0.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.is_beacon)
+        for r in events_beaconing(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, "c2")] == (10, True)
+    assert got[(2, "web")] == (10, False)
+    assert got[(3, "x")] == (2, False)
