@@ -472,6 +472,61 @@ FROM agg
 """
 
 
+def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen (new-behavior) detection, the hunting primitive next
+    to beaconing: the FIRST occurrence of each event_type per user,
+    with the user's age in seconds at that moment (0 = part of the
+    user's very first activity — baseline behavior; large = a NEW
+    behavior appearing on an established account, the interesting
+    case).  One aggregate per (user, type) plus a broadcast-scale
+    per-user first-activity attach; integer seconds throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("tsec"),
+    )
+    first_pair = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("tsec", "event_id")).alias("f")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("f.tsec").alias("first_tsec"),
+        F.col("f.event_id").alias("first_event_id"),
+    )
+    user_birth = ev.groupBy("user_id").agg(F.min("tsec").alias("birth"))
+    return (
+        first_pair.join(user_birth.hint("shuffle_hash"), "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            "first_event_id",
+            (F.col("first_tsec") - F.col("birth")).alias("user_age_s"),
+        )
+    )
+
+
+EVENTS_FIRST_SEEN_SQL = """
+WITH ep AS (
+  SELECT user_id, event_type, event_id,
+         datediff('second', TIMESTAMP '1970-01-01', ts) AS tsec
+  FROM events
+),
+fp AS (
+  SELECT user_id, event_type, first_tsec, first_event_id FROM (
+    SELECT user_id, event_type, tsec AS first_tsec,
+           event_id AS first_event_id,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY tsec, event_id) AS rk
+    FROM ep) WHERE rk = 1
+),
+b AS (SELECT user_id, min(tsec) AS birth FROM ep GROUP BY 1)
+SELECT fp.user_id, fp.event_type, fp.first_event_id,
+       CAST(fp.first_tsec - b.birth AS BIGINT) AS user_age_s
+FROM fp JOIN b USING (user_id)
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-minute inactivity gap) via gaps-and-islands —
     the batch equivalent of a session window in Structured Streaming."""
@@ -1632,6 +1687,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "events_daily_agg": (events_daily_agg, EVENTS_DAILY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSION_SQL),
     "events_beaconing": (events_beaconing, EVENTS_BEACONING_SQL),
+    "events_first_seen": (events_first_seen, EVENTS_FIRST_SEEN_SQL),
     "events_session_window": (events_session_window, EVENTS_SESSION_WINDOW_SQL),
     "events_pivot_daily": (events_pivot_daily, EVENTS_PIVOT_SQL),
     "events_hypertable_rollup": (events_hypertable_rollup, EVENTS_HYPERTABLE_SQL),
