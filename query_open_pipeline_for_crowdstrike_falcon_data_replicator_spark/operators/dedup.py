@@ -1027,10 +1027,12 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
        hash with a SHUFFLE_HASH hint (derived corpus-scale table — the
        broadcast-estimate trap documented on dedup_substring);
     4. covered token positions explode (x K amplification on REMOVED
-       occurrences only) -> distinct (doc, pos);
-    5. rebuild: corpus-token posexplode, anti-join removed positions on
-       (doc, pos) — both sides partition on doc_id — then one ordered
-       re-aggregation per doc.  Per-doc state never exceeds token count.
+       occurrences only) -> ONE per-doc position set (collect_set);
+    5. rebuild IN-ARRAY: join the position sets back to the token arrays
+       on doc_id (one corpus-scale exchange) and filter each array with
+       array_except over its position sequence — O(n) per doc, no
+       token-grain posexplode, no per-doc sort-aggregate.  Per-doc state
+       never exceeds token count.
 
     Within-document repeats are NOT removed (ndocs counts distinct docs);
     that is ``text_repetition``'s job.  Output: (doc_id, n_tokens,
@@ -1062,9 +1064,14 @@ def span_removal_from(tok_df: DataFrame) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("w", "owner")
     )
-    # NOTE: no distinct() on the covered positions — left_anti ignores
-    # duplicate keys, and deduplicating here would cost a corpus x K
-    # scale exchange + aggregate for nothing
+    # covered positions collapse to ONE per-doc set (collect_set dedups
+    # overlapping windows); per-doc state is bounded by the token count —
+    # the same bound the old token-grain rebuild already paid, but the
+    # shuffle now carries removed-position ints only, never the corpus's
+    # tokens.  (The previous shape posexploded EVERY token, anti-joined on
+    # (doc_id, p) and re-sorted each doc with array_sort(collect_list) —
+    # two extra corpus-scale exchanges plus a corpus-wide sort-aggregate,
+    # all replaced by the in-array rebuild below.)
     removed = (
         occ.join(winners.hint("shuffle_hash"), "w")
         .filter(F.col("doc_id") != F.col("owner"))
@@ -1074,28 +1081,25 @@ def span_removal_from(tok_df: DataFrame) -> DataFrame:
                 F.sequence(F.col("s"), F.col("s") + (SUBSTRING_K - 1))
             ).alias("p"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("rm"))
     )
-    toks_pos = base.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = toks_pos.join(removed.hint("shuffle_hash"), ["doc_id", "p"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("cleaned_text"),
+    # in-array rebuild, O(n) per doc: array_except keeps first-array order
+    # (ascending positions) and hashes rm once — NOT array_contains per
+    # token, which would be O(n * |rm|) on heavily-duplicated docs
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.col("n")),
+        F.coalesce(F.col("rm").cast("array<long>"), F.array().cast("array<long>")),
     )
-    return base.select("doc_id", "n").join(cleaned, "doc_id", "left").select(
-        "doc_id",
-        F.col("n").alias("n_tokens"),
-        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    kept_toks = F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p.cast("int")))
+    return (
+        base.join(removed.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.size(kept_pos).cast("long")).alias("n_removed"),
+            F.concat_ws(" ", kept_toks).alias("cleaned_text"),
+        )
     )
 
 

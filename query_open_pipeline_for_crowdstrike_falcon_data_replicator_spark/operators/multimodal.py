@@ -1430,7 +1430,11 @@ FRAME_SIG_SCHEMA = StructType([
 
 def frame_phash_batch(batches: Iterator) -> Iterator:
     """mapInPandas body: AVI bytes -> one 48-bit per-pixel aHash per
-    sampled frame, via the real chunk-tree parse."""
+    sampled frame, via the real chunk-tree parse.  The per-pixel bit
+    rule (pixel*len > total — integer-exact pixel mean > frame mean)
+    runs as one vectorized numpy compare+dot per frame instead of a
+    per-pixel Python loop (guide §4.2)."""
+    import numpy as np
     import pandas as pd
 
     for pdf in batches:
@@ -1438,13 +1442,13 @@ def frame_phash_batch(batches: Iterator) -> Iterator:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             _w, _h, n, _usec, frames = _parse_avi(bytes(payload))
             for idx in range(0, n, FRAME_SAMPLE_EVERY):
-                fr = frames[idx]
-                total = sum(fr)
-                bits = 0
-                for i, v in enumerate(fr):
-                    # integer-exact: pixel mean > frame mean
-                    if v * len(fr) > total:
-                        bits |= 1 << i
+                fr = np.frombuffer(bytes(frames[idx]), dtype=np.uint8).astype(
+                    np.int64
+                )
+                weights = np.left_shift(
+                    np.int64(1), np.arange(len(fr), dtype=np.int64)
+                )
+                bits = int(((fr * len(fr) > fr.sum()) * weights).sum())
                 rows.append((int(doc_id), idx, bits))
         yield pd.DataFrame(rows, columns=["doc_id", "f", "fh"])
 
@@ -1459,21 +1463,26 @@ def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
     avi = ids.repartition("doc_id").mapInPandas(
         synth_avi_batch, VIDEO_PAYLOAD_SCHEMA
     )
-    sigs = tracked_persist(
-        avi.mapInPandas(frame_phash_batch, FRAME_SIG_SCHEMA)
+    sigs = avi.mapInPandas(frame_phash_batch, FRAME_SIG_SCHEMA)
+    # per-video membership counts FIRST (one exchange on (doc_id, fh)),
+    # then the boilerplate cut at class grain: over the collapsed
+    # membership rows count(*) IS count(DISTINCT doc_id), so the df
+    # aggregate gets map-side partials (a plain count) instead of the
+    # two-exchange distinct-aggregate rewrite, and it runs over the
+    # collapsed grain, not every sampled frame
+    member0 = tracked_persist(
+        sigs.groupBy("doc_id", "fh").agg(F.count(F.lit(1)).alias("m"))
     )
-    # boilerplate cut at class grain, then per-video membership counts
     ok = (
-        sigs.groupBy("fh")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        member0.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= FRAME_DF_CAP)
         .select("fh")
     )
-    member = tracked_persist(
-        sigs.join(ok.hint("shuffle_hash"), "fh")
-        .groupBy("doc_id", "fh")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    member = tracked_persist(member0.join(ok.hint("shuffle_hash"), "fh"))
+    # banding reads the persisted member (ok itself is single-use: a
+    # third cache for it costs an extra build job at toy scale and buys
+    # nothing — the distinct below is cache-served)
     bands = member.select("fh").distinct().select(
         "fh",
         F.explode(
@@ -1634,26 +1643,28 @@ AUDIO_FP_SCHEMA = StructType([
 
 def audio_fp_batch(batches: Iterator) -> Iterator:
     """mapInPandas body: WAV bytes -> 48-bit sign fingerprint, via the
-    real stdlib ``wave`` parse."""
+    real stdlib ``wave`` parse.  Only the first AUDIO_FP_BITS frames are
+    read from the container (the fingerprint never looks past them), and
+    the sign-bit pack is one vectorized numpy dot per clip instead of a
+    per-sample Python loop (guide §4.2: batch-native work inside the
+    Arrow boundary)."""
     import io
-    import struct
     import wave
 
+    import numpy as np
     import pandas as pd
 
+    weights = np.left_shift(
+        np.int64(1), np.arange(AUDIO_FP_BITS, dtype=np.int64)
+    )
     for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        fhs = []
+        for payload in pdf["payload"]:
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                n = w.getnframes()
-                raw = w.readframes(n)
-            samples = struct.unpack(f"<{n}h", raw)[:AUDIO_FP_BITS]
-            bits = 0
-            for i, s in enumerate(samples):
-                if s >= 0:
-                    bits |= 1 << i
-            rows.append((int(doc_id), bits))
-        yield pd.DataFrame(rows, columns=["doc_id", "fh"])
+                raw = w.readframes(AUDIO_FP_BITS)
+            samples = np.frombuffer(raw, dtype="<i2")[:AUDIO_FP_BITS]
+            fhs.append(int(((samples >= 0) * weights[: len(samples)]).sum()))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "fh": fhs})
 
 
 def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
@@ -1664,15 +1675,21 @@ def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
         synth_wav_batch, AUDIO_PAYLOAD_SCHEMA
     )
     sigs = tracked_persist(wav.mapInPandas(audio_fp_batch, AUDIO_FP_SCHEMA))
+    # sigs carries exactly one row per doc_id, so count(*) per fh IS
+    # count(DISTINCT doc_id): the plain count keeps map-side partial
+    # aggregation and one exchange where the distinct-aggregate rewrite
+    # paid two
     ok = (
         sigs.groupBy("fh")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= AUDIO_FP_DF_CAP)
         .select("fh")
     )
     member = tracked_persist(
         sigs.join(ok.hint("shuffle_hash"), "fh").select("doc_id", "fh")
     )
+    # banding reads the persisted member (ok is single-use; the distinct
+    # below is cache-served)
     bands = member.select("fh").distinct().select(
         "fh",
         F.explode(
