@@ -166,14 +166,28 @@ def ocsf_normalize_100k(spark: SparkSession, _sf_dir: str) -> DataFrame:
         .alias("value")
     )
     classified = classify(parse_fdr_lines(lines), spark).persist()
+    # union the per-class envelope PROJECTIONS, then aggregate ONCE: the
+    # rows still flow through every normalizer's projection, but the 13
+    # per-branch aggregates (each a 2-exchange distinct-agg chain — 26
+    # tiny exchanges / 26 extra stages of pure scheduling latency) fold
+    # into one partial-aggregated shuffle pair over the unioned rows
     out = None
     for key, df in normalized_tables(classified).items():
-        part = df.groupBy("class_name", "class_uid").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct(F.date_format("time", "yyyyMMdd")).alias("n_event_days"),
-        ).withColumn("sink", F.lit(key))
+        part = df.select(
+            "class_name",
+            "class_uid",
+            F.date_format("time", "yyyyMMdd").alias("event_day"),
+            F.lit(key).alias("sink"),
+        )
         out = part if out is None else out.unionByName(part)
-    return out
+    return (
+        out.groupBy("class_name", "class_uid", "sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_day").alias("n_event_days"),
+        )
+        .select("class_name", "class_uid", "n_events", "n_event_days", "sink")
+    )
 
 
 N_ETL = 50_000  # at sf0.1; scaled down linearly for smaller sf dirs
