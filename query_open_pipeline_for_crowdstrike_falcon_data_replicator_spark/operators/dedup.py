@@ -978,10 +978,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = base.select("doc_id", F.explode_outer("wins").alias("w")).filter(
         F.col("w").isNotNull()
     )
+    # "occurs in >= 2 distinct docs" is exactly min(doc_id) < max(doc_id):
+    # plain min/max aggregates keep map-side partials in ONE exchange over
+    # the corpus x K postings where the count-distinct rewrite paid a
+    # second (doc-grain pre-distinct) exchange of the same postings
     dup_keys = (
         pos.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") < F.col("d1"))
         .select("w")
     )
     dup_per_doc = (
@@ -1055,13 +1059,14 @@ def span_removal_from(tok_df: DataFrame) -> DataFrame:
     occ = base.select(
         "doc_id", F.posexplode("wins").alias("p0", "w")
     ).select("doc_id", (F.col("p0") + 1).alias("s"), "w")
+    # ">= 2 distinct docs" == min(doc_id) < max(doc_id) (the dup_keys
+    # trick): the owner is the min anyway, so the max rides the same
+    # single-exchange map-side-partial aggregate and the two-exchange
+    # count-distinct rewrite over the corpus x K occurrences disappears
     winners = (
         occ.groupBy("w")
-        .agg(
-            F.countDistinct("doc_id").alias("ndocs"),
-            F.min("doc_id").alias("owner"),
-        )
-        .filter(F.col("ndocs") >= 2)
+        .agg(F.min("doc_id").alias("owner"), F.max("doc_id").alias("mx"))
+        .filter(F.col("owner") < F.col("mx"))
         .select("w", "owner")
     )
     # covered positions collapse to ONE per-doc set (collect_set dedups

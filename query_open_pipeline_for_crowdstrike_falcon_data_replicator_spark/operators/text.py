@@ -975,7 +975,12 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exhaustive window counting.  Same two-shuffle shape as
     dedup_substring (count by fingerprint, join back, per-doc agg)."""
     fp = tracked_persist(winnow_fingerprints(spark, sf_dir))
-    nd = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
+    # fingerprints_of array_distincts per doc before exploding, so fp is
+    # distinct on (doc_id, fp): count(*) IS count(DISTINCT doc_id), and
+    # the plain count keeps map-side partial aggregation in ONE exchange
+    # where the distinct-aggregate rewrite paid two over the corpus-scale
+    # fingerprint table
+    nd = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     # shuffle_hash: nd is derived, corpus-sized data — a plan-time size
     # estimate must never promote it to a broadcast (the dedup_substring
@@ -3978,11 +3983,18 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _closed,
     )
     entropy = F.round((F.log(n.cast("double")) - clogc / n) / F.log(F.lit(2.0)), 4)
+    # the flag derives from the ALIASED entropy column behind a second
+    # projection: inlining the fold expression into both output columns
+    # (the previous one-select form) made every row pay the O(L) run
+    # fold twice — CollapseProject declines to inline a non-cheap alias
+    # referenced more than once, so this stays a single evaluation
     return base.select(
+        "doc_id", n.alias("len_chars"), entropy.alias("entropy")
+    ).select(
         "doc_id",
-        n.alias("len_chars"),
-        entropy.alias("entropy"),
-        (entropy < ENTROPY_LOW_BITS).alias("is_low_entropy"),
+        "len_chars",
+        "entropy",
+        (F.col("entropy") < ENTROPY_LOW_BITS).alias("is_low_entropy"),
     )
 
 
