@@ -13,6 +13,7 @@ plan — schema, partitioning, UDF signature, batch shape."""
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -723,22 +724,28 @@ AUDIO_FEATURE_SCHEMA = StructType([
 def synth_wav_batch(ids: Iterator) -> Iterator:
     """mapInPandas body: doc_id -> a complete WAV file as bytes."""
     import io
-    import struct
     import wave
 
+    import numpy as np
     import pandas as pd
 
     for pdf in ids:
         payloads = []
         for doc_id in pdf["doc_id"]:
-            n = AUDIO_BASE_SAMPLES + int(doc_id) % AUDIO_MOD_SAMPLES
-            samples = _wav_samples(int(doc_id), n)
+            d = int(doc_id)
+            n = AUDIO_BASE_SAMPLES + d % AUDIO_MOD_SAMPLES
+            # vectorized waveform synth; ``_wav_samples`` stays the
+            # scalar reference the tests pin this against, and
+            # astype('<i2').tobytes() == struct.pack('<nh', *samples)
+            samples = (
+                (d * 31 + np.arange(n, dtype=np.int64) * 7919) % 2048 - 1024
+            ).astype("<i2")
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(AUDIO_RATE)
-                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.writeframes(samples.tobytes())
             payloads.append(buf.getvalue())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -749,9 +756,9 @@ def decode_audio_batch(batches: Iterator) -> Iterator:
     features stay integers so the oracle hash is arithmetic, not float
     folklore."""
     import io
-    import struct
     import wave
 
+    import numpy as np
     import pandas as pd
 
     for pdf in batches:
@@ -761,18 +768,15 @@ def decode_audio_batch(batches: Iterator) -> Iterator:
                 rate = w.getframerate()
                 n = w.getnframes()
                 raw = w.readframes(n)
-            samples = struct.unpack(f"<{n}h", raw)
-            zc = sum(
-                1 for a, b in zip(samples, samples[1:]) if a * b < 0
-            )
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
             rows.append(
                 (
                     int(doc_id),
                     rate,
                     n,
-                    max(abs(s) for s in samples),
-                    sum(s * s for s in samples),
-                    zc,
+                    int(np.abs(s).max()),
+                    int((s * s).sum()),
+                    int((s[:-1] * s[1:] < 0).sum()),
                 )
             )
         yield pd.DataFrame(
@@ -856,8 +860,11 @@ def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
     return fourcc + struct.pack("<I", len(payload)) + payload + pad
 
 
-def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
-    """A complete standard AVI container for the doc's synthetic frames."""
+@_functools.lru_cache(maxsize=64)
+def _avi_header(n_frames: int) -> bytes:
+    """The LIST-hdrl block (avih + strl) — a pure function of the frame
+    count (VIDEO_MOD_FRAMES distinct values corpus-wide), so it is built
+    once per count instead of per document."""
     import struct
 
     frame_bytes = VIDEO_W * VIDEO_H
@@ -894,16 +901,28 @@ def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
     strl = _riff_chunk(
         b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
-    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
-    frames = b"".join(
-        _riff_chunk(
-            b"00db",
-            bytes(_video_pixel(doc_id, f, i) for i in range(frame_bytes)),
-        )
-        for f in range(n_frames)
-    )
+    return _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+
+
+def _avi_bytes(doc_id: int, n_frames: int) -> bytes:
+    """A complete standard AVI container for the doc's synthetic frames.
+    Pixels come from one vectorized modular-arithmetic grid per doc
+    instead of a per-pixel Python generator (guide §4.2); byte-identical
+    to the scalar form (``_video_pixel`` stays the tests' reference)."""
+    import struct
+
+    import numpy as np
+
+    frame_bytes = VIDEO_W * VIDEO_H
+    px = (
+        doc_id * 31
+        + np.arange(n_frames, dtype=np.int64)[:, None] * 257
+        + np.arange(frame_bytes, dtype=np.int64)[None, :] * 7919
+    ) % 256
+    hdr = b"00db" + struct.pack("<I", frame_bytes)  # even size: no pad byte
+    frames = b"".join(hdr + row.tobytes() for row in px.astype(np.uint8))
     movi = _riff_chunk(b"LIST", b"movi" + frames)
-    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+    return _riff_chunk(b"RIFF", b"AVI " + _avi_header(n_frames) + movi)
 
 
 def _walk_riff(payload: bytes):
@@ -994,16 +1013,19 @@ def decode_video_batch(batches: Iterator) -> Iterator:
     the real chunk-tree parse."""
     import pandas as pd
 
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, n, usec, frames = _parse_avi(bytes(payload))
             sampled = frames[::FRAME_SAMPLE_EVERY]
+            px = np.frombuffer(b"".join(sampled), dtype=np.uint8)
             rows.append(
                 (
                     int(doc_id), w, h, n, usec, len(sampled),
-                    sum(sum(fr) for fr in sampled),
-                    max(max(fr) for fr in sampled),
+                    int(px.astype(np.int64).sum()),
+                    int(px.max()),
                 )
             )
         yield pd.DataFrame(
@@ -1085,16 +1107,29 @@ PHASH_HAMMING_MAX = 3
 PHASH_ON, PHASH_OFF = 192, 64
 
 
+@_functools.lru_cache(maxsize=65536)
 def _phash_base_hex(g: int) -> str:
     """md5 of the group id as a string — the base pattern source.  Any
     ARITHMETIC mix over (g, cell) degenerates here: cell only spans
     0..63, so a linear term in cell is a shifted-interval pattern and
     nearby groups collide into huge band buckets (the first version
     collapsed a large corpus to ~64 distinct images).  md5 is the
-    engine-portable true mix — the dedup_simhash oracle precedent."""
+    engine-portable true mix — the dedup_simhash oracle precedent.
+    Cached: PHASH_GROUP members share one digest."""
     import hashlib
 
     return hashlib.md5(str(g).encode()).hexdigest()
+
+
+@_functools.lru_cache(maxsize=65536)
+def _phash_digits(g: int):
+    """First 16 hex digits of the group digest as an int array — the
+    vectorized synth reads digit ``cell // 4`` for all 64 cells at once."""
+    import numpy as np
+
+    return np.array(
+        [int(c, 16) for c in _phash_base_hex(g)[:16]], dtype=np.int64
+    )
 
 
 def _phash_cell_value(doc_id: int, cell: int, _hex: str | None = None) -> int:
@@ -1112,10 +1147,11 @@ def _phash_cell_value(doc_id: int, cell: int, _hex: str | None = None) -> int:
     return PHASH_ON if on else PHASH_OFF
 
 
-def _encode_png_gray(rows: list[list[int]]) -> bytes:
-    """Minimal spec-conformant 8-bit grayscale PNG encoder (filter 0
-    scanlines, zlib IDAT, CRC-correct chunks) — the fixture payloads
-    are real PNGs so dedup_phash exercises the real decode boundary."""
+def _png_gray_from_raw(w: int, h: int, raw: bytes) -> bytes:
+    """8-bit grayscale PNG from pre-built filtered scanlines (one 0x00
+    filter byte + w pixel bytes per row) — the shared fast core of
+    ``_encode_png_gray``; byte-identical output (zlib is deterministic
+    for a given input)."""
     import struct
     import zlib
 
@@ -1127,8 +1163,6 @@ def _encode_png_gray(rows: list[list[int]]) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    h, w = len(rows), len(rows[0])
-    raw = b"".join(b"\x00" + bytes(r) for r in rows)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
@@ -1136,6 +1170,14 @@ def _encode_png_gray(rows: list[list[int]]) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _encode_png_gray(rows: list[list[int]]) -> bytes:
+    """Minimal spec-conformant 8-bit grayscale PNG encoder (filter 0
+    scanlines, zlib IDAT, CRC-correct chunks) — the fixture payloads
+    are real PNGs so dedup_phash exercises the real decode boundary."""
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return _png_gray_from_raw(len(rows[0]), len(rows), raw)
 
 
 PHASH_PAYLOAD_SCHEMA = StructType([
@@ -1151,25 +1193,32 @@ PHASH_SCHEMA = StructType([
 
 
 def synth_image_batch(ids: Iterator) -> Iterator:
-    """mapInPandas body: doc_id -> a complete grayscale PNG as bytes."""
+    """mapInPandas body: doc_id -> a complete grayscale PNG as bytes.
+    The 64 cell values come from one vectorized bit-extract over the
+    cached group digits instead of 256 per-pixel Python calls (guide
+    §4.2); ``_phash_cell_value`` stays the scalar reference the tests
+    pin this body against, and the PNG bytes are identical."""
+    import numpy as np
     import pandas as pd
 
     scale = PHASH_IMG // PHASH_GRID
+    cells = np.arange(PHASH_GRID * PHASH_GRID, dtype=np.int64)
+    digit_idx, bit = cells // 4, cells % 4
     for pdf in ids:
         payloads = []
+        raw = np.zeros((PHASH_IMG, PHASH_IMG + 1), dtype=np.uint8)
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            hx = _phash_base_hex(d // PHASH_GROUP)
-            rows = [
-                [
-                    _phash_cell_value(
-                        d, (y // scale) * PHASH_GRID + x // scale, hx
-                    )
-                    for x in range(PHASH_IMG)
-                ]
-                for y in range(PHASH_IMG)
-            ]
-            payloads.append(_encode_png_gray(rows))
+            g, m = divmod(d, PHASH_GROUP)
+            on = ((_phash_digits(g)[digit_idx] >> bit) & 1).astype(bool)
+            on ^= cells < m
+            grid = np.where(on, PHASH_ON, PHASH_OFF).astype(np.uint8).reshape(
+                PHASH_GRID, PHASH_GRID
+            )
+            raw[:, 1:] = np.repeat(np.repeat(grid, scale, axis=0), scale, axis=1)
+            payloads.append(
+                _png_gray_from_raw(PHASH_IMG, PHASH_IMG, raw.tobytes())
+            )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -1180,6 +1229,7 @@ def phash_batch(batches: Iterator) -> Iterator:
     import pandas as pd
 
     scale = PHASH_IMG // PHASH_GRID
+    w32 = np.left_shift(np.int64(1), np.arange(32, dtype=np.int64))
     for pdf in batches:
         decoded = decode_image_batch(pdf["payload"])
         rows = []
@@ -1192,8 +1242,8 @@ def phash_batch(batches: Iterator) -> Iterator:
             # integer-exact aHash: cell mean > global mean, cleared of
             # division — cell_sum * n_cells > total
             bits = (cells.reshape(-1) * (PHASH_GRID * PHASH_GRID)) > total
-            lo = sum(1 << c for c in range(32) if bits[c])
-            hi = sum(1 << (c - 32) for c in range(32, 64) if bits[c])
+            lo = int((bits[:32] * w32).sum())
+            hi = int((bits[32:] * w32).sum())
             rows.append((int(doc_id), lo, hi))
         yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
 
@@ -1421,36 +1471,44 @@ FRAME_BAND_BITS = FRAME_HASH_BITS // 4  # 12
 FRAME_HAMMING_MAX = 3
 FRAME_DF_CAP = 50
 
-FRAME_SIG_SCHEMA = StructType([
+FRAME_MEMBER_SCHEMA = StructType([
     StructField("doc_id", LongType()),
-    StructField("f", LongType()),
     StructField("fh", LongType()),
+    StructField("m", LongType()),
 ])
 
 
 def frame_phash_batch(batches: Iterator) -> Iterator:
-    """mapInPandas body: AVI bytes -> one 48-bit per-pixel aHash per
-    sampled frame, via the real chunk-tree parse.  The per-pixel bit
+    """mapInPandas body: AVI bytes -> the doc's (frame-hash, multiplicity)
+    membership rows, via the real chunk-tree parse.  The per-pixel bit
     rule (pixel*len > total — integer-exact pixel mean > frame mean)
-    runs as one vectorized numpy compare+dot per frame instead of a
-    per-pixel Python loop (guide §4.2)."""
+    runs as one vectorized numpy compare+matmul over all sampled frames
+    of the doc (guide §4.2), and the (doc, fh) -> m collapse happens
+    HERE — every sampled frame of a doc sits in its one payload row, so
+    aggregating in the body removes the corpus-scale frame-grain
+    exchange + HashAggregate pair the JVM-side groupBy paid."""
     import numpy as np
     import pandas as pd
 
+    weights = np.left_shift(
+        np.int64(1), np.arange(VIDEO_W * VIDEO_H, dtype=np.int64)
+    )
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             _w, _h, n, _usec, frames = _parse_avi(bytes(payload))
-            for idx in range(0, n, FRAME_SAMPLE_EVERY):
-                fr = np.frombuffer(bytes(frames[idx]), dtype=np.uint8).astype(
-                    np.int64
-                )
-                weights = np.left_shift(
-                    np.int64(1), np.arange(len(fr), dtype=np.int64)
-                )
-                bits = int(((fr * len(fr) > fr.sum()) * weights).sum())
-                rows.append((int(doc_id), idx, bits))
-        yield pd.DataFrame(rows, columns=["doc_id", "f", "fh"])
+            idxs = range(0, n, FRAME_SAMPLE_EVERY)
+            # all sampled frames of the doc in one (n_sampled, 48) matrix:
+            # one vectorized compare + matmul instead of a per-frame loop
+            arr = np.frombuffer(
+                b"".join(frames[i] for i in idxs), dtype=np.uint8
+            ).reshape(len(idxs), -1).astype(np.int64)
+            bits = (arr * arr.shape[1] > arr.sum(axis=1)[:, None]) @ weights
+            uniq, cnt = np.unique(bits, return_counts=True)
+            rows.extend(
+                (int(doc_id), int(h), int(c)) for h, c in zip(uniq, cnt)
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "fh", "m"])
 
 
 def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
@@ -1463,15 +1521,15 @@ def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
     avi = ids.repartition("doc_id").mapInPandas(
         synth_avi_batch, VIDEO_PAYLOAD_SCHEMA
     )
-    sigs = avi.mapInPandas(frame_phash_batch, FRAME_SIG_SCHEMA)
-    # per-video membership counts FIRST (one exchange on (doc_id, fh)),
-    # then the boilerplate cut at class grain: over the collapsed
-    # membership rows count(*) IS count(DISTINCT doc_id), so the df
-    # aggregate gets map-side partials (a plain count) instead of the
-    # two-exchange distinct-aggregate rewrite, and it runs over the
-    # collapsed grain, not every sampled frame
+    # membership grain (doc_id, fh, m) comes straight out of the Arrow
+    # body — all sampled frames of a doc live in its one payload row, so
+    # the frame-grain exchange + HashAggregate pair the JVM-side groupBy
+    # paid is gone; the boilerplate cut still runs at class grain, and
+    # over membership rows count(*) IS count(DISTINCT doc_id), so the df
+    # aggregate keeps map-side partials (a plain count) instead of the
+    # two-exchange distinct-aggregate rewrite
     member0 = tracked_persist(
-        sigs.groupBy("doc_id", "fh").agg(F.count(F.lit(1)).alias("m"))
+        avi.mapInPandas(frame_phash_batch, FRAME_MEMBER_SCHEMA)
     )
     ok = (
         member0.groupBy("fh")

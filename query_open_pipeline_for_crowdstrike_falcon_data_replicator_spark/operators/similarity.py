@@ -2067,11 +2067,29 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in range(PQ_M)
     ]
-    codes = emb.select(
+    # same two-hop subvector/u.u hoist as ann_topk_pq (u itself rides
+    # through for the coarse cell argmin)
+    sub = emb.select(
         F.col("vec_id").alias("neighbor_id"),
+        "u",
+        *[_subvec(F.col("u"), s).alias(f"_u{s}") for s in range(PQ_M)],
+    )
+    subu = sub.select(
+        "neighbor_id",
+        "u",
+        *[F.col(f"_u{s}") for s in range(PQ_M)],
+        *[
+            _dot(F.col(f"_u{s}"), F.col(f"_u{s}")).alias(f"_uu{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    codes = subu.select(
+        "neighbor_id",
         _nearest_cell(F.col("u"), cents).alias("cell"),
         *[
-            _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
+            _l2_nearest(
+                F.col(f"_u{s}"), books[s], uu=F.col(f"_uu{s}")
+            ).alias(f"c{s}")
             for s in range(PQ_M)
         ],
     )
@@ -2392,14 +2410,29 @@ PQ_SUB = DIM // PQ_M
 PQ_K = 16
 
 
-def _l2_nearest(u: Column, cents: list[list[float]]) -> Column:
+def _l2_nearest(
+    u: Column, cents: list[list[float]], uu: Column | None = None
+) -> Column:
     """argmin_k ||u - c_k||^2, ties to the lower code.  The distance is
     expanded to three sequential-fold dot products combined in fixed
-    order — bit-replayable in DuckDB (see _pq_oracle_sql)."""
+    order — bit-replayable in DuckDB (see _pq_oracle_sql).
+
+    Per-row cost: u.u is identical across the K codewords — callers on a
+    hot path pass ``uu`` as a pre-projected column so the O(DIM) fold
+    runs once per row instead of once per codeword; c.c folds to the
+    IDENTICAL double in plain Python (same IEEE left-to-right add order
+    as the sequential-fold expression), so it rides as a literal instead
+    of a per-row O(DIM) fold over a literal array (higher-order folds
+    are not constant-folded by Catalyst)."""
+    if uu is None:
+        uu = _dot(u, u)
     entries = []
     for k, c in enumerate(cents):
         cv = F.lit(c)
-        d = _dot(u, u) - 2 * _dot(u, cv) + _dot(cv, cv)
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x
+        d = uu - 2 * _dot(u, cv) + F.lit(cc)
         entries.append(F.struct(d.alias("d"), F.lit(k).alias("c")))
     return F.array_min(F.array(*entries))["c"]
 
@@ -2439,10 +2472,28 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in range(PQ_M)
     ]
-    codes = emb.select(
+    # two projection hops below codes: slice each subvector ONCE and fold
+    # its u.u ONCE per row (both aliases are referenced 3+ times, so
+    # CollapseProject keeps them materialized) — the argmin then pays
+    # K dot products per subspace instead of 3K folds
+    sub = emb.select(
         F.col("vec_id").alias("neighbor_id"),
+        *[_subvec(F.col("u"), s).alias(f"_u{s}") for s in range(PQ_M)],
+    )
+    subu = sub.select(
+        "neighbor_id",
+        *[F.col(f"_u{s}") for s in range(PQ_M)],
         *[
-            _l2_nearest(_subvec(F.col("u"), s), books[s]).alias(f"c{s}")
+            _dot(F.col(f"_u{s}"), F.col(f"_u{s}")).alias(f"_uu{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    codes = subu.select(
+        "neighbor_id",
+        *[
+            _l2_nearest(
+                F.col(f"_u{s}"), books[s], uu=F.col(f"_uu{s}")
+            ).alias(f"c{s}")
             for s in range(PQ_M)
         ],
     )

@@ -1306,15 +1306,11 @@ SHUFFLE_SEED = "shuf1:"
 _SHUFFLE_BUCKET_SHIFT = 48  # top 12 of 60 bits -> 4096 buckets/shard
 
 
-def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded deterministic shuffle: every document gets a training
-    shard and a dense intra-shard position (0-based, ordered by the
-    seeded md5 key) — the reproducible global data order a training
-    run consumes, computed without sorting the corpus."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    k = F.conv(
+def _shuffle_key():
+    """The seeded 60-bit md5 shuffle key of ``doc_id`` — the ONE source
+    of the shard arithmetic, shared by ``corpus_shuffle_shards`` and the
+    join-free inline form in ``corpus_shard_stats``."""
+    return F.conv(
         F.substring(
             F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))),
             1,
@@ -1323,6 +1319,17 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic shuffle: every document gets a training
+    shard and a dense intra-shard position (0-based, ordered by the
+    seeded md5 key) — the reproducible global data order a training
+    run consumes, computed without sorting the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = _shuffle_key()
     keyed = docs.select(
         "doc_id",
         k.alias("k"),
@@ -1391,16 +1398,24 @@ def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads to budget workers and audit mixture balance per shard.  One
     shuffle-grain join, then a shard-grain aggregate (16 groups);
     mixture share via a (shard, source) sub-aggregate joined back at
-    bounded grain."""
-    order = corpus_shuffle_shards(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.size(_tokens()).cast("long").alias("n_tokens"),
-        F.octet_length("text").cast("long").alias("n_bytes"),
+    bounded grain.
+
+    The shard is a pure function of ``doc_id`` (the seeded md5 key mod
+    N, ``_shuffle_key``), so it is computed INLINE in the doc projection
+    — joining ``corpus_shuffle_shards`` dragged in its whole intra-shard
+    position subplan (histogram + two windows + offset join) plus a
+    doc_id equi-join, none of which the stats need; same values, same
+    oracle."""
+    j = tracked_persist(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (_shuffle_key() % N_SHUFFLE_SHARDS).cast("long").alias("shard"),
+            "lang",
+            "source",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
     )
-    j = tracked_persist(order.join(docs, "doc_id"))
     per_source = j.groupBy("shard", "source").agg(
         F.count("*").alias("src_docs")
     )
@@ -3205,14 +3220,21 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     first = pos.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    # every shingle contributes exactly 1 novel credit to its OWNING doc
+    # (the (first_doc, w) posting always exists), so n_novel is a plain
+    # count over the shingle-grain first-seen table — the join back onto
+    # the corpus x K postings (a second full posting shuffle) is gone;
+    # the two doc-grain tables meet in one bounded join instead
+    ngrams = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel0")
+    )
     return (
-        pos.join(first.hint("shuffle_hash"), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+        ngrams.join(novel.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel0", F.lit(0).cast("long")).alias("n_novel"),
         )
         .select(
             "doc_id",
@@ -3834,24 +3856,33 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    tgt = toks.filter(F.col("lang") == DSIR_TARGET_LANG).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt_t")
-    )
-    src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_s"))
-    tot = (
-        src.crossJoin(F.broadcast(tgt.agg(F.sum("cnt_t").alias("total_t"))))
-        .join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(src.agg(F.sum("cnt_s").alias("total_s"))))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
-                    / (F.col("total_t") + DSIR_BUCKETS)
-                )
-                - F.log((F.col("cnt_s") + 1.0) / (F.col("total_s") + DSIR_BUCKETS))
-            ).alias("ratio"),
+    # ONE bucket aggregation carries both counts (cnt_s = all tokens,
+    # cnt_t = target-language tokens as a sum-of-indicator — 0 where the
+    # old left join yielded NULL; the +1 smoothing sees the same value
+    # either way), and ONE scalar aggregate over the <= DSIR_BUCKETS
+    # grain carries both totals: the token stream is scanned once here
+    # instead of twice, and two of the three broadcast-scalar jobs
+    # disappear.  Arithmetic unchanged -> same ratios, same oracle.
+    cnt = tracked_persist(
+        toks.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cnt_s"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("cnt_t"),
         )
+    )
+    totals = cnt.agg(
+        F.sum("cnt_t").alias("total_t"), F.sum("cnt_s").alias("total_s")
+    )
+    tot = cnt.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                / (F.col("total_t") + DSIR_BUCKETS)
+            )
+            - F.log((F.col("cnt_s") + 1.0) / (F.col("total_s") + DSIR_BUCKETS))
+        ).alias("ratio"),
     )
     logw = (
         toks.join(F.broadcast(tot), "bucket")
@@ -3957,10 +3988,19 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the char array once behind a projection boundary so the
     # sort/fold don't re-split the text (the corpus_chunk_overlap
     # precedent)
+    # chars as CODEPOINT INTS, not single-char strings: ascii() is a
+    # faithful injection on one-char strings and UTF8String byte order ==
+    # codepoint order for valid UTF-8, so the sorted run structure — and
+    # therefore the exact FP addition order of the fold — is unchanged,
+    # while array_sort and the run compare work on primitive ints instead
+    # of string objects (the per-task cost of this whole query)
     base = docs.select(
         "doc_id",
         F.array_sort(
-            F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+            F.transform(
+                F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit("")),
+                F.ascii,
+            )
         ).alias("chars"),
     )
     n = F.size(F.col("chars"))
@@ -3976,7 +4016,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clogc = F.aggregate(
         F.col("chars"),
-        _run(F.lit(""), F.lit(0).cast("long"), F.lit(0.0)),
+        _run(F.lit(-1), F.lit(0).cast("long"), F.lit(0.0)),
         lambda acc, c: F.when(
             c == acc["prev"], _run(acc["prev"], acc["run"] + 1, acc["s"])
         ).otherwise(_run(c, F.lit(1).cast("long"), _closed(acc))),

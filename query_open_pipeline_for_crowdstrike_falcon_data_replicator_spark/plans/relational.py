@@ -886,15 +886,23 @@ def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one sort per flag.  The bucket-prefix table is bounded by
     the value domain, so attaching it by broadcast is safe by
     construction."""
+    from ..session import tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     bucket_w = 1 << 16  # cents per sub-bucket (~160 buckets over a price domain)
-    grain = (
+    grain = tracked_persist(
         li.select(F.col("l_returnflag").alias("flag"), cents.alias("c"))
         .groupBy("flag", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket", F.expr(f"c div {bucket_w}"))
     )
+    # three consumers (bprefix + totals broadcast subtrees + the cum
+    # join): the persist lets the fact-table aggregation fill the cache
+    # once instead of running per consumer; racing broadcast builds can
+    # still recompute in the worst case (measured: the downstream
+    # windows dominate regardless, so no count()-materialization job —
+    # all work stays inside the timed action)
     wb = (
         Window.partitionBy("flag")
         .orderBy("bucket")

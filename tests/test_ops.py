@@ -2867,3 +2867,43 @@ def test_read_tar_shards_roundtrip(spark, tmp_path):
     for d, (shard, pos, text) in got.items():
         assert text == docs[d]
         assert (shard, pos) == order[d]
+
+
+def test_text_novelty_first_seen_credit(spark, tmp_path):
+    """text_novelty after the join-free rewrite: n_novel is the count of
+    shingles whose global first (min doc_id) occurrence is this doc —
+    planted: doc 0 owns all its shingles, doc 1 repeats doc 0 verbatim
+    (zero novel), doc 2 is fresh text (all novel); oracle hash parity."""
+    import duckdb
+
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.text import (
+        TEXT_NOVELTY_SQL,
+        text_novelty,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    from .oracle_util import compare
+
+    shared = " ".join(f"s{j}" for j in range(12))
+    fresh = " ".join(f"f{j}" for j in range(12))
+    docs = [(0, shared), (1, shared), (2, fresh)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = text_novelty(spark, str(tmp_path))
+    rows = {r.doc_id: (r.n_grams, r.n_novel) for r in got.collect()}
+    # 12 tokens, K=8 -> 5 distinct shingles per doc
+    assert rows[0] == (5, 5)
+    assert rows[1] == (5, 0)
+    assert rows[2] == (5, 5)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    problems = compare(text_novelty(spark, str(tmp_path)), con, TEXT_NOVELTY_SQL)
+    release_tracked_caches()
+    assert not problems, problems
