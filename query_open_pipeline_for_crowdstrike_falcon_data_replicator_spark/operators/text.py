@@ -979,19 +979,31 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct on (doc_id, fp): count(*) IS count(DISTINCT doc_id), and
     # the plain count keeps map-side partial aggregation in ONE exchange
     # where the distinct-aggregate rewrite paid two over the corpus-scale
-    # fingerprint table
-    nd = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
-    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-    # shuffle_hash: nd is derived, corpus-sized data — a plan-time size
-    # estimate must never promote it to a broadcast (the dedup_substring
-    # lesson: 36 MB estimated, multi-GiB built)
+    # fingerprint table.  A fingerprint with ndocs == 1 belongs to exactly
+    # ONE doc (its min owner), so n_shared_fp = n_fp - n_unique and the
+    # join BACK onto the corpus-scale fingerprint table (a second full
+    # posting shuffle, the old dedup_substring shape) disappears — the
+    # per-doc totals and the unique-owner counts meet at doc grain.
+    nd = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("ndocs"), F.min("doc_id").alias("owner")
+    )
+    nfp = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    uniq = (
+        nd.filter(F.col("ndocs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    n_shared = F.col("n_fp") - F.coalesce("n_unique", F.lit(0).cast("long"))
+    # shuffle_hash: both sides are derived doc-grain tables — a plan-time
+    # size estimate must never promote them to a broadcast (the
+    # dedup_substring lesson: 36 MB estimated, multi-GiB built)
     return (
-        fp.join(nd.hint("shuffle_hash"), "fp")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fp"),
-            shared.alias("n_shared_fp"),
-            F.round(shared * 1.0 / F.count(F.lit(1)), 6).alias("shared_frac"),
+        nfp.join(uniq.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            n_shared.alias("n_shared_fp"),
+            F.round(n_shared * 1.0 / F.col("n_fp"), 6).alias("shared_frac"),
         )
     )
 
