@@ -959,15 +959,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: windows explode from the tokenize projection (corpus x K
     amplification, but each row is an 8+32-byte pair); ONE groupBy on the
-    window hash computes distinct-doc counts (map-side partial over the
-    (hash, doc) pre-distinct); the >= 2-doc survivors join back against
-    the postings with a SHUFFLE_HASH hint — the survivor side is derived
-    data whose static size estimate Catalyst cannot trust (measured at
-    500k docs: estimated 36 MB, built a multi-GiB broadcast HashedRelation
-    and OOMed repeated runs), and it grows with corpus duplication, so it
-    must never ride a plan-time broadcast; both sides hash-partition on
-    the window hash instead.  Nothing is quadratic and no per-doc state
-    exceeds the token count."""
+    window hash is the only exchange the postings ever cross — min/max
+    doc_id decide ">= 2 distinct docs" and count(*) rides the same
+    map-side-partial aggregate, so the per-doc duplicated-position count
+    resolves by COMPLEMENT (n_dup = n_windows - positions of single-doc
+    windows) on the window-grain table, never by joining the survivors
+    back onto the corpus x K postings (the shape text_novelty/text_winnow
+    retired: the join-back re-shuffled every posting a second time).
+    Within-doc repeats of a single-doc window count as NOT duplicated in
+    both forms (distinct-docs == 1 regardless of multiplicity), which is
+    why the complement is exact.  Nothing is quadratic and no per-doc
+    state exceeds the token count."""
     base = tracked_persist(
         token_docs(spark, sf_dir).select(
             "doc_id",
@@ -980,24 +982,26 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # "occurs in >= 2 distinct docs" is exactly min(doc_id) < max(doc_id):
     # plain min/max aggregates keep map-side partials in ONE exchange over
-    # the corpus x K postings where the count-distinct rewrite paid a
-    # second (doc-grain pre-distinct) exchange of the same postings
-    dup_keys = (
+    # the corpus x K postings, and count(*) rides the same aggregate — a
+    # window with d0 == d1 lives in exactly one doc (its owner), so its
+    # position count credits that owner's NON-duplicated total and
+    # n_dup = n_windows - n_uniq, with no join back onto the postings
+    uniq_per_doc = (
         pos.groupBy("w")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") < F.col("d1"))
-        .select("w")
-    )
-    dup_per_doc = (
-        pos.join(dup_keys.hint("shuffle_hash"), "w")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(
+            F.min("doc_id").alias("d0"),
+            F.max("doc_id").alias("d1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("d0") == F.col("d1"))
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.sum("c").alias("n_uniq"))
     )
     n_windows = F.greatest(F.col("n") - (SUBSTRING_K - 1), F.lit(0).cast("long"))
-    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    n_dup = F.col("n_windows") - F.coalesce(F.col("n_uniq"), F.lit(0).cast("long"))
     return (
         base.select("doc_id", "n", n_windows.alias("n_windows"))
-        .join(dup_per_doc, "doc_id", "left")
+        .join(uniq_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_windows",

@@ -1780,6 +1780,12 @@ def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
         .distinct()
     )
     ma, mb = member.alias("ma"), member.alias("mb")
+    # No trailing distinct: each doc carries exactly ONE fh (member is
+    # doc-grain) and cand is distinct over (h_a, h_b) with h_a <= h_b, so
+    # an unordered doc pair materializes under exactly one class pair —
+    # h_a < h_b puts da and db in disjoint classes (one emission), and
+    # h_a == h_b is ordered by doc_id (one emission).  The old set-dedup
+    # exchange over the output pairs was a no-op.
     return (
         cand.join(ma, F.col("ma.fh") == F.col("h_a"))
         .join(mb.hint("shuffle_hash"), F.col("mb.fh") == F.col("h_b"))
@@ -1794,7 +1800,6 @@ def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
             F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
             "hamming",
         )
-        .distinct()
     )
 
 

@@ -581,6 +581,41 @@ def test_substring_dedup_flags_planted_boilerplate(spark):
     assert n_wins[4] == 0
 
 
+def test_substring_dedup_within_doc_repeat_not_duplicated(spark):
+    """The complement form (n_dup = n_windows - single-doc-window
+    positions) must agree with the definition on its one subtle case: a
+    window repeated WITHIN one doc but in no other doc is NOT duplicated
+    (distinct-docs == 1 regardless of multiplicity), while a cross-doc
+    window marks every position it covers in both docs."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        SUBSTRING_K,
+        dedup_substring,
+    )
+
+    span = " ".join(f"rep{i}" for i in range(SUBSTRING_K))
+    shared = " ".join(f"shared{i}" for i in range(SUBSTRING_K))
+    docs = [
+        # doc 1: the same K-token span twice, separated by unique filler —
+        # both occurrences live ONLY in doc 1, so n_dup must be 0
+        (1, span + " " + " ".join(f"fill{i}" for i in range(5)) + " " + span),
+        # docs 2/3: one K-token span shared verbatim across two docs —
+        # exactly one fully-internal window each, so n_dup = 1 each
+        (2, shared + " " + " ".join(f"x{i}" for i in range(5))),
+        (3, " ".join(f"y{i}" for i in range(5)) + " " + shared),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in dedup_substring(spark, td).collect()}
+    assert out[1].n_dup_windows == 0 and not out[1].flagged
+    assert out[2].n_dup_windows == 1
+    assert out[3].n_dup_windows == 1
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     """The winnowing guarantee: two docs sharing a run of >= w + k - 1
     tokens select at least one common fingerprint, even though each doc
