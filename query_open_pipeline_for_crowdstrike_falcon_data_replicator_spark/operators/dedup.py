@@ -800,6 +800,27 @@ SIMHASH_BANDS = 4  # 15 bits each; catches all pairs with hamming <= 3
 HAMMING_MAX = 3
 
 
+def first_agreeing_band(agrees: list[Column]) -> Column:
+    """Index of the FIRST true entry in per-band agreement predicates
+    (the last band is the fallback — callers only evaluate this on rows
+    whose join already matched SOME band, so a match exists).
+
+    The exactly-once-emission trick shared by every banded-Hamming
+    self-join (simhash / phash / audio / video / embedding near-dup): a
+    pair agreeing on several bands joins once per agreeing band, and the
+    classic fix is a trailing ``.distinct()`` — one full
+    HashAggregate+Exchange+HashAggregate over the candidate table.  When
+    both join sides carry the FULL signature anyway (they do, for the
+    Hamming distance), lower-band agreement is expressible in the join
+    itself: keep only the row whose band equals the first agreeing band
+    and every pair is emitted exactly once — the distinct becomes dead
+    weight and its exchange disappears."""
+    expr = F.when(agrees[0], F.lit(0))
+    for i in range(1, len(agrees) - 1):
+        expr = expr.when(agrees[i], F.lit(i))
+    return expr.otherwise(F.lit(len(agrees) - 1))
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash: per distinct token, a 60-bit md5-derived hash votes
     +1/-1 per bit position; the signature takes the majority sign.
@@ -868,13 +889,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bk.band", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(x)
+    # exactly-once emission via the first agreeing band (see
+    # first_agreeing_band): no trailing distinct, no pair-table exchange
+    agrees = [
+        F.shiftright(x, b15 * 15).bitwiseAND(F.lit((1 << 15) - 1)) == 0
+        for b15 in range(SIMHASH_BANDS)
+    ]
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -882,7 +911,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 
 from ..session import tracked_persist
 from ..sources.tables import load_table
+from .dedup import first_agreeing_band
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -1306,12 +1307,26 @@ def phash_pairs_from(ids: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     ham = phash_hamming()
+    # exactly-once emission via the first agreeing band over the (lo, hi)
+    # xor slices (see dedup.first_agreeing_band): bands 0/1 live in lo,
+    # 2/3 in hi, mirroring phash_bands' slicing — the trailing distinct
+    # and its pair-table exchange are gone
+    xlo = F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    xhi = F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    agrees = [
+        F.shiftright(xlo if bb < 2 else xhi, (bb % 2) * 16).bitwiseAND(
+            F.lit((1 << 16) - 1)
+        )
+        == 0
+        for bb in range(4)
+    ]
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1319,7 +1334,6 @@ def phash_pairs_from(ids: DataFrame) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .distinct()
     )
 
 
@@ -1556,7 +1570,18 @@ def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
         ).alias("bk"),
     ).select("fh", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.fh").bitwiseXOR(F.col("b.fh")))
+    x = F.col("a.fh").bitwiseXOR(F.col("b.fh"))
+    ham = F.bit_count(x)
+    # exactly-once emission via the first agreeing band (the identical
+    # class pair, fh == fh, agrees everywhere and survives at band 0
+    # only); the trailing distinct and its exchange are gone
+    agrees = [
+        F.shiftright(x, bb * FRAME_BAND_BITS).bitwiseAND(
+            F.lit((1 << FRAME_BAND_BITS) - 1)
+        )
+        == 0
+        for bb in range(4)
+    ]
     # h_a <= h_b keeps identical-frame classes as self-pairs (two
     # videos sharing the SAME class are the strongest match)
     cand = (
@@ -1564,7 +1589,8 @@ def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.fh") <= F.col("b.fh")),
+            & (F.col("a.fh") <= F.col("b.fh"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.fh").alias("h_a"),
@@ -1572,7 +1598,6 @@ def video_frame_pairs_from(ids: DataFrame) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= FRAME_HAMMING_MAX)
-        .distinct()
     )
     ma, mb = member.alias("ma"), member.alias("mb")
     expanded = (
@@ -1763,13 +1788,24 @@ def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
         ).alias("bk"),
     ).select("fh", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.fh").bitwiseXOR(F.col("b.fh")))
+    x = F.col("a.fh").bitwiseXOR(F.col("b.fh"))
+    ham = F.bit_count(x)
+    # exactly-once emission via the first agreeing band — the distinct
+    # and its class-pair exchange are gone (video_frame_pairs precedent)
+    agrees = [
+        F.shiftright(x, bb * AUDIO_FP_BAND_BITS).bitwiseAND(
+            F.lit((1 << AUDIO_FP_BAND_BITS) - 1)
+        )
+        == 0
+        for bb in range(4)
+    ]
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.fh") <= F.col("b.fh")),
+            & (F.col("a.fh") <= F.col("b.fh"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.fh").alias("h_a"),
@@ -1777,7 +1813,6 @@ def audio_fp_pairs_from(ids: DataFrame) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= AUDIO_FP_HAMMING_MAX)
-        .distinct()
     )
     ma, mb = member.alias("ma"), member.alias("mb")
     # No trailing distinct: each doc carries exactly ONE fh (member is

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..session import tracked_persist
 from ..sources.tables import load_table, spread
+from .dedup import first_agreeing_band
 
 TOP_K = 5
 N_QUERIES = 20  # vec_id < 20 form the query set
@@ -282,47 +283,78 @@ def _band_planes() -> list[list[list[float]]]:
     return out
 
 
-def _band_sigs(v: Column) -> Column:
-    """Array of (band, sig) structs: one NEARDUP_ROWS-bit hyperplane-sign
-    signature per band."""
-    entries = []
+def _packed_band_sig(v: Column) -> Column:
+    """All NEARDUP_BANDS x NEARDUP_ROWS hyperplane-sign bits packed into
+    ONE long — band b's NEARDUP_ROWS-bit signature occupies bits
+    [b*ROWS, (b+1)*ROWS).  Same 64 plane dots as the old per-band struct
+    array, but the single column rides the band self-join for free,
+    which is what lets the join test LOWER-band agreement and emit each
+    candidate pair exactly once (dedup.first_agreeing_band).  Bitwise OR
+    of disjoint one-bit terms (bit 63 via shiftleft — the literal would
+    overflow a signed long)."""
+    packed = F.lit(0).cast("long")
     for b, band in enumerate(_band_planes()):
-        sig = F.lit(0)
         for r, row in enumerate(band):
             plane = F.array(*[F.lit(x) for x in row])
-            sig = sig + F.when(_dot(v, plane) > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        entries.append(
-            F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
-        )
-    return F.array(*entries)
+            bit = F.when(
+                _dot(v, plane) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b * NEARDUP_ROWS + r),
+            ).otherwise(F.lit(0).cast("long"))
+            packed = packed.bitwiseOR(bit)
+    return packed
 
 
 def neardup_candidates(emb: DataFrame) -> DataFrame:
-    """Distinct candidate pairs sharing (label, band, signature) in at
-    least one band — the LSH blocking stage, no exact math yet."""
-    sigs = (
-        emb.select("vec_id", "label", F.explode(_band_sigs(F.col("v"))).alias("bs"))
-        .select(
-            "vec_id", "label",
-            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
-        )
+    """Candidate pairs sharing (label, band, signature) in at least one
+    band — the LSH blocking stage, no exact math yet.  The packed
+    signature (one long, 8 bytes) rides both sides of the band
+    self-join, so the join keeps only each pair's FIRST agreeing band
+    (dedup.first_agreeing_band): emission is exactly-once by
+    construction and the old trailing distinct — a full
+    HashAggregate+Exchange+HashAggregate over the candidate table — is
+    gone.  Band keys are bit-slices of the packed column, identical to
+    the old per-band struct signatures."""
+    mask = F.lit((1 << NEARDUP_ROWS) - 1)
+    base = emb.select(
+        "vec_id", "label", _packed_band_sig(F.col("v")).alias("psig")
     )
+    sigs = base.select(
+        "vec_id",
+        "label",
+        "psig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("psig", b * NEARDUP_ROWS)
+                    .bitwiseAND(mask)
+                    .alias("sig"),
+                )
+                for b in range(NEARDUP_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("vec_id", "label", "psig", "bs.band", "bs.sig")
     a = sigs.alias("a")
     b = sigs.alias("b")
+    x = F.col("a.psig").bitwiseXOR(F.col("b.psig"))
+    agrees = [
+        F.shiftright(x, bb * NEARDUP_ROWS).bitwiseAND(mask) == 0
+        for bb in range(NEARDUP_BANDS)
+    ]
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
         )
-        .distinct()
     )
 
 

@@ -2942,3 +2942,80 @@ def test_text_novelty_first_seen_credit(spark, tmp_path):
     problems = compare(text_novelty(spark, str(tmp_path)), con, TEXT_NOVELTY_SQL)
     release_tracked_caches()
     assert not problems, problems
+
+
+def test_banded_pair_joins_emit_exactly_once(spark, tmp_path):
+    """The first-agreeing-band join predicate replaced the trailing
+    ``.distinct()`` in every banded-Hamming self-join (r9 optimization):
+    a pair agreeing on SEVERAL bands — identical signatures agree on all
+    of them — must still surface exactly once.  Planted multi-band
+    agreement per family; video's cand grain is pinned separately by
+    ``test_dedup_video_frames_planted_shared_scene`` (its
+    n_frame_matches sum is multiplicity-sensitive)."""
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.dedup import (
+        dedup_simhash,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.operators.multimodal import (
+        PHASH_GROUP,
+        audio_fp_pairs_from,
+        dedup_phash,
+    )
+    from query_open_pipeline_for_crowdstrike_falcon_data_replicator_spark.session import (
+        release_tracked_caches,
+    )
+
+    def multiplicities(df, keys):
+        return (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .collect()
+        )
+
+    # --- simhash: identical texts -> identical 60-bit signatures ------
+    shared_a = " ".join(f"a{j}" for j in range(10))
+    shared_b = " ".join(f"b{j}" for j in range(10))
+    docs = [(0, shared_a), (1, shared_a), (2, shared_a), (3, shared_b), (4, shared_b)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = dedup_simhash(spark, str(tmp_path))
+    assert multiplicities(got, ["doc_a", "doc_b"]) == []
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got.collect()}
+    for key in [(0, 1), (0, 2), (1, 2), (3, 4)]:
+        assert pairs[key] == 0, (key, pairs)
+
+    # --- phash: within a PHASH_GROUP all toggled bits are low-order,
+    # so higher bands agree on every within-group pair -----------------
+    n = 4 * PHASH_GROUP
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = dedup_phash(spark, str(tmp_path))
+    assert multiplicities(got, ["doc_a", "doc_b"]) == []
+    assert got.count() == 4 * (PHASH_GROUP * (PHASH_GROUP - 1) // 2)
+    release_tracked_caches()
+
+    # --- audio: doc_ids 2048 apart share the fingerprint exactly
+    # (31*2048 = 0 mod 2048), agreeing on all four bands ---------------
+    ids = [(k * 2048,) for k in range(4)] + [(1,), (3,)]
+    got = audio_fp_pairs_from(spark.createDataFrame(ids, "doc_id long"))
+    assert multiplicities(got, ["doc_a", "doc_b"]) == []
+    same_class = {(r.doc_a, r.doc_b) for r in got.collect() if r.hamming == 0}
+    expected = {
+        (a * 2048, b * 2048) for a in range(4) for b in range(a + 1, 4)
+    }
+    assert expected <= same_class
+    release_tracked_caches()
+
+    # --- embedding near-dup: perturbed copies (cosine ~0.99+) agree on
+    # most of the 8 bands ----------------------------------------------
+    rows = _synthetic_clusters()
+    cand = neardup_candidates(_emb_df(spark, rows))
+    assert multiplicities(cand, ["vec_a", "vec_b"]) == []
+    got = {(r.vec_a, r.vec_b) for r in cand.collect()}
+    # every within-cluster pair of the 5 planted clusters must block
+    for c in range(5):
+        for a in range(6 * c, 6 * c + 6):
+            for b in range(a + 1, 6 * c + 6):
+                assert (a, b) in got, (a, b)
