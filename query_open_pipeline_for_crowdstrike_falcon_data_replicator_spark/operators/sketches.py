@@ -228,13 +228,22 @@ def cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily-merge is lossless.  CM over-counts under collisions (est >=
     true count, pinned in tests); both engines over-count identically."""
     daily = cm_daily_sketches(spark, sf_dir)
+    # merged sketch as a DENSE idx-ordered array, not a map:
+    # element_at on a 2048-entry MAP is a linear scan, and every
+    # candidate key paid d of them (8k comparisons/key); array indexing
+    # is O(1).  The daily arrays are dense by construction, so every
+    # idx 0..d*w-1 is present and the sorted collect is the identity
+    # layout the lookups expect.
     merged = (
         daily.select(F.posexplode("cm").alias("idx", "cnt"))
         .groupBy("idx")
         .agg(F.sum("cnt").alias("cnt"))
         .groupBy()
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("idx", "cnt"))).alias("cmm")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+                lambda s: s["cnt"],
+            ).alias("cma")
         )
     )
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
@@ -242,8 +251,10 @@ def cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.coalesce(
                 F.element_at(
-                    F.col("cmm"),
-                    (F.lit(j) * CM_W + _cm_bucket(F.col("user_id"), j)).cast("int"),
+                    F.col("cma"),
+                    (F.lit(j) * CM_W + _cm_bucket(F.col("user_id"), j) + 1).cast(
+                        "int"
+                    ),
                 ),
                 F.lit(0),
             )

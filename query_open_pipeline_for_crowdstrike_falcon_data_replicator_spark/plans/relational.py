@@ -1185,15 +1185,30 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.aggregate(
         F.col("l"), F.lit(0.0), lambda acc, s: acc + F.pow(F.lit(0.5), s["delta"])
     )
+    # materialize the two O(H) folds in their own projection: num/den
+    # feed BOTH ewma and the spike test, and higher-order folds are
+    # interpreted, not codegen'd — referenced twice they would evaluate
+    # twice per row (the text_entropy/PQ double-eval precedent;
+    # CollapseProject keeps non-cheap aliases that are referenced again)
     return (
         pairs.groupBy("event_type", "slot", "x")
         .agg(lst.alias("l"))
         .select(
             "event_type",
+            "slot",
+            "x",
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "event_type",
             (F.col("slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
             F.round("x", 4).alias("last_value"),
-            F.round(num / den, 4).alias("ewma"),
-            (F.round(F.abs(F.col("x") - num / den), 4) >= EWMA_SPIKE_ABS)
+            F.round(F.col("num") / F.col("den"), 4).alias("ewma"),
+            (
+                F.round(F.abs(F.col("x") - F.col("num") / F.col("den")), 4)
+                >= EWMA_SPIKE_ABS
+            )
             .cast("int")
             .alias("is_spike"),
         )
@@ -1337,20 +1352,26 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     upward level shift (EWMA flags single spikes; CUSUM accumulates
     small persistent drifts).
 
-    A recurrence with a max() nonlinearity has no windowed closed form,
-    so it folds SEQUENTIALLY over each type's slot-sorted series inside
-    one array aggregate (state bounded by the RESAMPLED grid, never the
-    raw feed; the unbounded-horizon streaming twin is the
-    applyInPandasWithState shape of streaming/ewma.py).
+    The max() recurrence has an exact PREFIX closed form: with
+    d_t = x_t - mu - k and P_t the running sum of d (P_0 = 0),
+    s_t = P_t - min(P_j for j <= t) — induction: max(0, s_{t-1} + d_t)
+    = max(0, P_t - m_{t-1}) = P_t - min(P_t, m_{t-1}) = P_t - m_t.  So
+    the detector is two running windows (sum, then min) over the
+    slot-sorted series, not a sequential array fold — the earlier fold
+    appended each step's state to its accumulator array (a full copy
+    per step: O(L^2) per type series, quadratic in the grid span where
+    the windows are linear).  State stays bounded by the RESAMPLED
+    grid, never the raw feed; the unbounded-horizon streaming twin is
+    the applyInPandasWithState shape of streaming/ewma.py.
 
     Cross-engine determinism: the ENTIRE recurrence runs in integer
     value-hundredths — x is quantized once (round(x*100)), mu is the
     rounded integer mean (integer sums are exact, so the distributed
-    average cannot drift), and every fold step is pure int64 arithmetic.
-    A float chain here would hit .xxxx5 half-way cases where Spark's
-    BigDecimal HALF_UP and C round() disagree after ~1000 steps (it did,
-    at sf0.01); integers make the DuckDB recursive-CTE replay exact by
-    construction."""
+    average cannot drift), and prefix sums / mins are pure int64
+    arithmetic, so the closed form is bit-identical to the fold and
+    the DuckDB recursive-CTE replay is exact by construction."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     slot = (F.unix_timestamp("ts") / RESAMPLE_SECONDS).cast("long")
     agg = (
@@ -1358,37 +1379,21 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "slot")
         .agg(F.round(F.max_by("value", "ts") * 100).cast("long").alias("xc"))
     )
-    g = agg.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("slot", "xc"))).alias("sv"),
-        F.round(F.avg("xc")).cast("long").alias("muc"),
+    # all three windows share the event_type partitioning: ONE exchange
+    wt = Window.partitionBy("event_type")
+    wrun = wt.orderBy("slot").rowsBetween(Window.unboundedPreceding, 0)
+    muc = F.round(F.avg("xc").over(wt)).cast("long")
+    prefixed = agg.withColumn("muc", muc).withColumn(
+        "p", F.sum(F.col("xc") - F.col("muc") - F.lit(CUSUM_SLACK_C)).over(wrun)
     )
-    acc0 = F.struct(
-        F.lit(0).cast("long").alias("cur"),
-        F.expr("CAST(array() AS array<bigint>)").alias("out"),
-    )
-    nxt = lambda acc, s: F.greatest(  # noqa: E731
-        F.lit(0).cast("long"),
-        acc["cur"] + s["xc"] - F.col("muc") - F.lit(CUSUM_SLACK_C),
-    )
-    folded = F.aggregate(
-        F.col("sv"),
-        acc0,
-        lambda acc, s: F.struct(
-            nxt(acc, s).alias("cur"),
-            F.concat(acc["out"], F.array(nxt(acc, s))).alias("out"),
-        ),
-    )["out"]
-    z = F.arrays_zip(F.col("sv"), F.col("cusums"))
-    return (
-        g.withColumn("cusums", folded)
-        .select("event_type", F.explode(z).alias("e"))
-        .select(
-            "event_type",
-            (F.col("e.sv.slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
-            (F.col("e.sv.xc") / 100.0).alias("last_value"),
-            (F.col("e.cusums") / 100.0).alias("cusum"),
-            (F.col("e.cusums") >= CUSUM_ALARM_C).cast("int").alias("alarm"),
-        )
+    # m_t = min(0, min P_j) — the 0 is P_0 (empty prefix)
+    s = F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wrun))
+    return prefixed.select(
+        "event_type",
+        (F.col("slot") * RESAMPLE_SECONDS).alias("slot_start_epoch"),
+        (F.col("xc") / 100.0).alias("last_value"),
+        (s / 100.0).alias("cusum"),
+        (s >= CUSUM_ALARM_C).cast("int").alias("alarm"),
     )
 
 
