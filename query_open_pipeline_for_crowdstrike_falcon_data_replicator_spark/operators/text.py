@@ -4101,16 +4101,48 @@ TFIDF_TOPK = 3
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_TOPK terms per document by tf-idf (idf = ln(N/df), no
     smoothing — df >= 1 by construction); scores rounded to 4 decimals
-    before ranking, ties break to the lexicographically lower term."""
+    before ranking, ties break to the lexicographically lower term.
+
+    Term frequencies are computed INSIDE each document row — sort the
+    token array, keep run starts, run length = gap to the next start
+    (the text_entropy run-length precedent; every lambda references
+    only materialized attribute columns, never a raw expression) — so
+    the corpus never pays the (doc_id, term) exchange the old groupBy
+    tf aggregate shuffled; the first corpus-scale exchange is the
+    term-keyed df/idf join."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(_tokens()).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    base = docs.select("doc_id", F.array_sort(_tokens()).alias("srt"))
+    # run starts: 1-based positions whose token differs from the one
+    # before (greatest() keeps the i-1 index legal under ANSI for i=1,
+    # where the first disjunct already decides)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("srt")),
+        lambda i: (i == F.lit(1))
+        | (
+            F.element_at(F.col("srt"), i)
+            != F.element_at(F.col("srt"), F.greatest(i - 1, F.lit(1)))
+        ),
     )
-    tf = tracked_persist(tf)
+    staged = base.select("doc_id", "srt", starts.alias("st"))
+    nxt = F.concat(
+        F.slice(F.col("st"), 2, F.size("st")),
+        F.array(F.size("srt") + 1),
+    )
+    tfs = F.zip_with(
+        F.col("st"),
+        nxt,
+        lambda s, n: F.struct(
+            F.element_at(F.col("srt"), s).alias("term"),
+            (n - s).cast("long").alias("tf"),
+        ),
+    )
+    tf = tracked_persist(
+        staged.select("doc_id", F.explode(tfs).alias("p")).select(
+            "doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+        )
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
