@@ -304,7 +304,9 @@ def _packed_band_sig(v: Column) -> Column:
     return packed
 
 
-def neardup_candidates(emb: DataFrame) -> DataFrame:
+def neardup_candidates(
+    emb: DataFrame, skip_same_shard: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs sharing (label, band, signature) in at least one
     band — the LSH blocking stage, no exact math yet.  The packed
     signature (one long, 8 bytes) rides both sides of the band
@@ -313,15 +315,25 @@ def neardup_candidates(emb: DataFrame) -> DataFrame:
     construction and the old trailing distinct — a full
     HashAggregate+Exchange+HashAggregate over the candidate table — is
     gone.  Band keys are bit-slices of the packed column, identical to
-    the old per-band struct signatures."""
+    the old per-band struct signatures.
+
+    ``skip_same_shard``: optional broadcast-sized (label, nsh) frame
+    (the triplet block-candidate sub-shard counts).  When given, pairs
+    whose members fall in the SAME vec_id-modulo sub-shard are dropped
+    IN the join — those pairs are exactly the ones the block branch
+    already enumerates, so the caller's union is disjoint by
+    construction and needs no cross-branch distinct."""
     mask = F.lit((1 << NEARDUP_ROWS) - 1)
     base = emb.select(
         "vec_id", "label", _packed_band_sig(F.col("v")).alias("psig")
     )
+    if skip_same_shard is not None:
+        base = base.join(F.broadcast(skip_same_shard), "label")
+    explode_cols = ["vec_id", "label", "psig"] + (
+        ["nsh"] if skip_same_shard is not None else []
+    )
     sigs = base.select(
-        "vec_id",
-        "label",
-        "psig",
+        *explode_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -333,7 +345,7 @@ def neardup_candidates(emb: DataFrame) -> DataFrame:
                 for b in range(NEARDUP_BANDS)
             ])
         ).alias("bs"),
-    ).select("vec_id", "label", "psig", "bs.band", "bs.sig")
+    ).select(*explode_cols, "bs.band", "bs.sig")
     a = sigs.alias("a")
     b = sigs.alias("b")
     x = F.col("a.psig").bitwiseXOR(F.col("b.psig"))
@@ -341,20 +353,22 @@ def neardup_candidates(emb: DataFrame) -> DataFrame:
         F.shiftright(x, bb * NEARDUP_ROWS).bitwiseAND(mask) == 0
         for bb in range(NEARDUP_BANDS)
     ]
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.band") == first_agreeing_band(agrees)),
+    cond = (
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.col("a.band") == first_agreeing_band(agrees))
+    )
+    if skip_same_shard is not None:
+        cond = cond & (
+            F.pmod(F.col("a.vec_id"), F.col("a.nsh"))
+            != F.pmod(F.col("b.vec_id"), F.col("b.nsh"))
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-        )
+    return a.join(b, cond).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
     )
 
 
@@ -539,16 +553,26 @@ TRIPLET_BLOCK_CAP = 1000  # max label-block size paired exhaustively; a
 # shards, bounding the within-block pair work at ~CAP^2 per shard
 
 
-def _triplet_block_candidates(emb: DataFrame) -> DataFrame:
+def _triplet_nsh(emb: DataFrame) -> DataFrame:
+    """Per-label sub-shard count (label, nsh) for the capped block
+    pairing — broadcast-sized by the label domain."""
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    nsh = ((F.col("n") + TRIPLET_BLOCK_CAP - 1) / TRIPLET_BLOCK_CAP).cast("long")
+    return cnt.select("label", nsh.alias("nsh"))
+
+
+def _triplet_block_candidates(
+    emb: DataFrame, nsh_df: DataFrame | None = None
+) -> DataFrame:
     """Capped within-label candidate pairs: labels up to
     TRIPLET_BLOCK_CAP members pair exhaustively (one shard — exact);
     larger labels pair within deterministic vec_id-modulo sub-shards, so
     a skewed label (10% of a 100 TB corpus) costs ceil(n/CAP) * CAP^2
     pairs instead of n^2.  The label-count table is domain-bounded —
     broadcast by construction."""
-    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    nsh = ((F.col("n") + TRIPLET_BLOCK_CAP - 1) / TRIPLET_BLOCK_CAP).cast("long")
-    sharded = emb.join(F.broadcast(cnt.select("label", nsh.alias("nsh"))), "label").select(
+    if nsh_df is None:
+        nsh_df = _triplet_nsh(emb)
+    sharded = emb.join(F.broadcast(nsh_df), "label").select(
         "vec_id", "label", F.pmod(F.col("vec_id"), F.col("nsh")).alias("shard")
     )
     a = sharded.alias("a")
@@ -634,10 +658,14 @@ def embedding_triplets_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embedded(spark, sf_dir)
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     )
-    candidates = (
-        _triplet_block_candidates(emb)
-        .unionByName(neardup_candidates(emb).drop("label"))
-        .distinct()
+    # the two branches are DISJOINT by construction: the LSH branch
+    # drops same-sub-shard pairs (exactly the block branch's output) in
+    # its join, and each branch emits every pair at most once, so the
+    # old cross-branch union distinct — one full candidate-table
+    # exchange — is gone.  Same candidate SET as before.
+    nsh_df = _triplet_nsh(emb)
+    candidates = _triplet_block_candidates(emb, nsh_df).unionByName(
+        neardup_candidates(emb, skip_same_shard=nsh_df).drop("label")
     )
     pairs = tracked_persist(_triplet_positive_pairs(emb, candidates))
     # materialize before the fan-out (same race as the exact form:
