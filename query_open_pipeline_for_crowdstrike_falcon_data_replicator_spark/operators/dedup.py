@@ -456,18 +456,40 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     never happens.  Verification is exact Jaccard on candidate pairs only."""
     profiles = tracked_persist(minhash_profiles(shingle_postings(spark, sf_dir)))
     is_new = F.col("doc_id") % 2 == 1
-    new_bands = lsh_bands(profiles.filter(is_new))
-    corpus_bands = lsh_bands(profiles.filter(~is_new))
+
+    # band rows that ALSO carry the full 16-key array (128 bytes): the
+    # corpus side streams from the cached profiles (no exchange pays the
+    # width) and the increment side is broadcast-small, so the join can
+    # keep only each pair's FIRST agreeing band (first_agreeing_band)
+    # and the old candidate-table distinct — the only exchange on this
+    # path, candidate-scale — disappears
+    def keyed_bands(signed: DataFrame) -> DataFrame:
+        keys = F.array(*[
+            F.xxhash64(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))
+            for b in range(BANDS)
+        ])
+        return signed.select("doc_id", keys.alias("keys")).select(
+            "doc_id", "keys", F.posexplode("keys").alias("band", "key")
+        )
+
+    new_bands = keyed_bands(profiles.filter(is_new))
+    corpus_bands = keyed_bands(profiles.filter(~is_new))
+    agrees = [
+        F.element_at(F.col("a.keys"), j + 1)
+        == F.element_at(F.col("b.keys"), j + 1)
+        for j in range(BANDS)
+    ]
     candidates = (
         corpus_bands.alias("a")
         .join(
             F.broadcast(new_bands.alias("b")),  # increment side is small
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == first_agreeing_band(agrees)),
         )
         .select(
             F.col("a.doc_id").alias("corpus_doc"), F.col("b.doc_id").alias("new_doc")
         )
-        .distinct()
     )
     arrays = profiles.select("doc_id", "shingles")
     sa = arrays.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a"))

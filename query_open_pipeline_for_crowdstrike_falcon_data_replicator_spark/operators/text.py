@@ -3759,8 +3759,12 @@ def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(F.explode(t).alias("tok"))
     bc = bi.groupBy("pair").agg(F.count(F.lit(1)).alias("c_ab"))
     uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # total_uni = sum of the vocab counts — same number as count(uni),
+    # but computed over the vocab-grain aggregate whose exchange the two
+    # PMI joins already share (ReuseExchange), not via a SECOND full
+    # corpus explode
     tot = bc.agg(F.sum("c_ab").alias("total_bi")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("total_uni"))
+        uc.agg(F.sum("c").alias("total_uni"))
     )
     left = F.split(F.col("pair"), " ")[0]
     right = F.split(F.col("pair"), " ")[1]
