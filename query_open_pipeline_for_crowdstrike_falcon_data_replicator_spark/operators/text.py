@@ -4117,7 +4117,13 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.array_sort(_tokens()).alias("srt"))
+    # NULL-text guard (ADVICE r9): the old explode-based tf emitted no
+    # rows for a null text, but size(null srt) would make the run-length
+    # machinery below emit a spurious (term=NULL, tf=-1) row — keep the
+    # no-rows contract explicitly (n_docs still counts every document)
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.array_sort(_tokens()).alias("srt")
+    )
     # run starts: 1-based positions whose token differs from the one
     # before (greatest() keeps the i-1 index legal under ANSI for i=1,
     # where the first disjunct already decides)

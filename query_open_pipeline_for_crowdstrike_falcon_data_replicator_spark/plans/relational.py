@@ -902,16 +902,26 @@ def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket", F.expr(f"c div {bucket_w}"))
     )
-    # three consumers (bprefix + totals broadcast subtrees + the cum
-    # join): the persist lets the fact-table aggregation fill the cache
-    # once instead of running per consumer; racing broadcast builds can
-    # still recompute in the worst case (measured: the downstream
-    # windows dominate regardless, so no count()-materialization job —
-    # all work stays inside the timed action)
+    # two consumers (the bprefix broadcast subtree + the cum join): the
+    # persist lets the fact-table aggregation fill the cache once instead
+    # of running per consumer; racing broadcast builds can still recompute
+    # in the worst case (measured: the downstream windows dominate
+    # regardless, so no count()-materialization job — all work stays
+    # inside the timed action)
     wb = (
         Window.partitionBy("flag")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the per-flag total n = sum of ALL bucket counts rides the SAME
+    # bucket-grain window pass (whole-partition frame, same partitioning
+    # and sort), so the old third grain consumer — a separate per-flag
+    # aggregate joined back by broadcast — is gone: n arrives with prefix
+    # through the one bprefix broadcast
+    wn = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     bprefix = (
         grain.groupBy("flag", "bucket")
@@ -920,6 +930,7 @@ def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag",
             "bucket",
             F.coalesce(F.sum("bc").over(wb), F.lit(0).cast("long")).alias("prefix"),
+            F.sum("bc").over(wn).alias("n"),
         )
     )
     wi = (
@@ -928,17 +939,13 @@ def profile_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = grain.join(F.broadcast(bprefix), ["flag", "bucket"]).select(
-        "flag", "c", (F.sum("cnt").over(wi) + F.col("prefix")).alias("cum")
+        "flag", "c", "n", (F.sum("cnt").over(wi) + F.col("prefix")).alias("cum")
     )
-    totals = grain.groupBy("flag").agg(F.sum("cnt").alias("n"))
     pick = lambda num, den: F.min(  # noqa: E731
         F.when(F.col("cum") >= F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("c"))
     )
     return (
-        # totals is bounded by the flag domain (3 values) — a legitimate
-        # broadcast, unlike the unbounded derived-grain tables
-        cum.join(F.broadcast(totals), "flag")
-        .groupBy("flag", "n")
+        cum.groupBy("flag", "n")
         .agg(
             pick(1, 2).alias("p50_cents"),
             pick(9, 10).alias("p90_cents"),
@@ -1482,48 +1489,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user
     converts a step only with an event strictly after their previous
     step's first qualifying event AND within the 24-hour conversion
-    window (without the window every active user trivially converts).  Three per-user conditional-min
-    aggregations chained by user_id joins — each pass scans only its
-    event type (predicate pushed to the parquet scan), every join is
-    keyed on user_id, and the funnel row is a final tiny aggregate."""
+    window (without the window every active user trivially converts).
+
+    Scale shape: a LINEAR chain where every step table is built and
+    consumed exactly once — view users (one type-pruned scan, map-side-
+    combining min) stay on the preserved side of a left join against the
+    next step's type-pruned events, and the step's first qualifying time
+    is a conditional min in the SAME user-grain aggregate (null when the
+    user never converts), so the per-user firsts AND all three funnel
+    counts fall out of one final global aggregate.  The old form
+    recomputed each step table for its count consumer (~6 fact scans,
+    26 Exchanges); this one pays 3 scans and the joins/aggregates all
+    share the user_id partitioning."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
-    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None, out: str):
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+    def step(prev: DataFrame, etype: str, prev_col: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        qual = (F.col("ts") > F.col(prev_col)) & (
+            F.col("ts") <= F.col(prev_col) + F.expr("INTERVAL 24 HOURS")
+        )
+        keep = [
+            F.min(c).alias(c) for c in prev.columns if c != "user_id"
+        ]  # constants per user — min() just carries them through the regroup
         return (
-            e.join(prev, "user_id")
-            .filter(
-                (F.col("ts") > F.col(prev_col))
-                & (F.col("ts") <= F.col(prev_col) + F.expr("INTERVAL 24 HOURS"))
-            )
+            prev.join(e, "user_id", "left")
             .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
+            .agg(*keep, F.min(F.when(qual, F.col("ts"))).alias(out))
         )
 
-    views = first_after("view", None, None, "t_view")
-    clicks = first_after("click", views, "t_view", "t_click")
-    purchases = first_after("purchase", clicks, "t_click", "t_purchase")
-    # three 1-row aggregates combined by broadcast cross join (the q11
-    # scalar-attach pattern) — no driver-side counts
-    nv = views.agg(F.count(F.lit(1)).alias("n_view_users"))
-    nc = clicks.agg(F.count(F.lit(1)).alias("n_click_users"))
-    np_ = purchases.agg(F.count(F.lit(1)).alias("n_purchase_users"))
-    return (
-        nv.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(np_))
-        .select(
-            "n_view_users",
-            "n_click_users",
-            "n_purchase_users",
-            F.round(
-                F.col("n_click_users") * 1.0 / F.col("n_view_users"), 4
-            ).alias("view_to_click"),
-            F.round(
-                F.col("n_purchase_users") * 1.0 / F.col("n_click_users"), 4
-            ).alias("click_to_purchase"),
-        )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    funnel = step(step(views, "click", "t_view", "t_click"), "purchase", "t_click", "t_purchase")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_view_users"),
+        F.count("t_click").alias("n_click_users"),
+        F.count("t_purchase").alias("n_purchase_users"),
+    ).select(
+        "n_view_users",
+        "n_click_users",
+        "n_purchase_users",
+        F.round(F.col("n_click_users") * 1.0 / F.col("n_view_users"), 4).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase_users") * 1.0 / F.col("n_click_users"), 4
+        ).alias("click_to_purchase"),
     )
 
 

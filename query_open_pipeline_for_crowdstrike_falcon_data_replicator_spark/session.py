@@ -52,6 +52,15 @@ def get_spark(
         # network to save), and short single-task stages would otherwise
         # sit out up to 3s/level
         .config("spark.locality.wait", "0s")
+        # NOTE (r10, measured): the per-iteration Exchange the INITIAL
+        # plans show above the persisted src-partitioned graph edge cache
+        # never executes — AQE's TableCacheQueryStage re-plans consumers
+        # once the cache materializes and recognizes its hashpartitioning,
+        # so pagerank/LPA shuffle-record counts are identical with and
+        # without spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # = false (tools/shuffle_probe.py: 4043/3987 records either way).
+        # The config is therefore left at its default; judge runtime plan
+        # claims with shuffle_probe, not explain() dumps.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
