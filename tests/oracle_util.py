@@ -5,6 +5,7 @@ name, rows sorted by all columns)."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -26,8 +27,11 @@ TABLE_NAMES = (
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file layout (scaled perf corpora)
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -19,8 +19,13 @@ longer dominates — VERDICT r9 item 2):
 - events: user_id/event_id shift per copy; timestamps keep their range
   (K x density — how a busier pipeline actually looks).
 
-DuckDB does the rewrite (pure SQL over parquet, no Spark session), one
-output parquet per table, deterministic for a given (src, K).
+DuckDB does the rewrite (pure SQL over parquet, no Spark session).  Each
+table lands as a DIRECTORY of one parquet file PER COPY PER CHUNK
+(chunked on a stable key mod CHUNKS): the driver's single-file-per-table
+layout makes every scan one task at any size (a 90 MB file is still one
+split under the 128 MB default), which would cap scan parallelism at 1
+and make core-count scaling unmeasurable — the whole point of this
+corpus.  Deterministic for a given (src, K).
 """
 
 from __future__ import annotations
@@ -31,6 +36,18 @@ import sys
 import duckdb
 
 STRIDE = 100_000_000  # far above any key in any test SF
+CHUNKS = 4  # files per copy -> K*CHUNKS-way scan parallelism
+
+CHUNK_KEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "documents": "doc_id",
+}
 
 
 def main() -> None:
@@ -39,16 +56,18 @@ def main() -> None:
     con = duckdb.connect()
 
     def gen(table: str, select_tpl: str) -> None:
-        parts = [
-            "(" + select_tpl.format(S=c * STRIDE, K=c, src=f"{src}/{table}.parquet") + ")"
-            for c in range(k)
-        ]
-        q = " UNION ALL ".join(parts)
-        con.execute(
-            f"COPY ({q}) TO '{out}/{table}.parquet' (FORMAT PARQUET, CODEC 'SNAPPY')"
-        )
-        n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
-        print(f"{table}: {n} rows")
+        d = f"{out}/{table}.parquet"
+        os.makedirs(d, exist_ok=True)
+        key = CHUNK_KEY[table]
+        for c in range(k):
+            sel = select_tpl.format(S=c * STRIDE, K=c, src=f"{src}/{table}.parquet")
+            for j in range(CHUNKS):
+                con.execute(
+                    f"COPY (SELECT * FROM ({sel}) WHERE {key} % {CHUNKS} = {j}) "
+                    f"TO '{d}/c{c}_p{j}.parquet' (FORMAT PARQUET, CODEC 'SNAPPY')"
+                )
+        n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows in {k * CHUNKS} files")
 
     for t in ("nation", "region"):
         con.execute(
