@@ -2091,7 +2091,17 @@ def _lm_model_path(sf_dir: str, fp: str) -> str:
 
 # a 32 MB parquet n-gram table inflates toward the 64 MB broadcast
 # threshold's danger zone in memory; half the threshold is the
-# conservative gate for forcing the spillable join
+# conservative gate for forcing the spillable join.
+#
+# r10 note — the gate was A/B'd at the 20x corpus (fivegrams 21 MB /
+# fourgrams 11 MB on disk): locally, forcing sort-merge there is FASTER
+# (7.1 s vs 8.3-11.1 s; the single-threaded 2M-row broadcast builds
+# dominate on one box) but it trades 2 MB of shuffle for 890 MB — the
+# corpus-scale token stream re-crosses an exchange per gated order,
+# which is exactly the wrong trade at 100 TB, where shipping a <=32 MB
+# model to executors is trivial and re-shuffling the corpus is not.
+# The gate therefore stays at the memory-safety line, not the local
+# wall-clock crossover.
 LM_MERGE_HINT_MIN_BYTES = 32 * 1024 * 1024
 
 
@@ -2189,14 +2199,26 @@ def score_lm(
 
     toks = _ngram_positions(docs, order=order)
 
-    scored = toks.join(uni, "tok", "left").join(big, ["prev", "tok"], "left")
+    scored = toks
     table_name = {3: "trigrams", 4: "fourgrams", 5: "fivegrams"}
+    # SUFFIX-ordered keys, HIGHEST order joined first: every n-gram key
+    # is (tok, prev, prev2, ...), so once the token stream is sorted for
+    # the order-5 merge join, each lower order's required ordering is a
+    # PREFIX of it and EnsureRequirements inserts no further sort — the
+    # stream is sorted ONCE however many orders stack (measured at the
+    # 20x corpus with the merge path forced: the old lowest-first
+    # (prevK.. tok) keys re-sorted the full stream per order, 8.22 s;
+    # suffix keys 5.98 s for the 5-gram scorer, min-of-3).
+    # Left joins against distinct-keyed model tables commute, and at the
+    # oracle SFs every table sits under the merge gate (all-broadcast
+    # plan, stream order untouched), so the scored row order — and hence
+    # the float addition order of the per-doc avg — is byte-identical.
     keys = {
-        3: ["prev2", "prev", "tok"],
-        4: ["prev3", "prev2", "prev", "tok"],
-        5: ["prev4", "prev3", "prev2", "prev", "tok"],
+        3: ["tok", "prev", "prev2"],
+        4: ["tok", "prev", "prev2", "prev3"],
+        5: ["tok", "prev", "prev2", "prev3", "prev4"],
     }
-    for k in range(3, order + 1):
+    for k in range(order, 2, -1):
         # size-gated merge hint: the order>=3 count tables grow
         # combinatorially with the corpus (49M distinct trigrams at the
         # 1M-doc probe) and their COMPRESSED size can sit under the
@@ -2213,6 +2235,10 @@ def score_lm(
         if size is None or size > LM_MERGE_HINT_MIN_BYTES:
             tbl = tbl.hint("merge")
         scored = scored.join(tbl, keys[k], "left")
+    # vocab-bounded uni/big broadcasts LAST: the merge-joined stream
+    # stays narrow through its one sort, and broadcast hash joins
+    # preserve its row order
+    scored = scored.join(uni, "tok", "left").join(big, ["prev", "tok"], "left")
 
     # First-match-wins backoff ladder from the ONE rung-rule source
     # (OOV tokens take the add-one floor with c1=0 inside the shared
