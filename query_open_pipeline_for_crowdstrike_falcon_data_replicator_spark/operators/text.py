@@ -4020,12 +4020,16 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts c; entropy rounded to 4 decimals, flag from the ROUNDED value
     so both engines gate on the identical number.
 
-    The c*ln(c) sum comes from ONE run-length fold over the SORTED char
-    array (struct accumulator: current run char, run length, partial
-    sum) — O(L log L) per row instead of the O(L * alphabet) per-distinct
-    counting scan, and still a pure shuffle-free projection.  Both
-    engines fold the identically-sorted array with the identical update
-    expression, so the sum is bit-identical by construction."""
+    The c*ln(c) sum comes from run lengths over the SORTED char array —
+    run starts via a position filter, run length = gap to the next start
+    (the text_tfidf_keywords pattern) — O(L log L) per row and still a
+    pure shuffle-free projection.  The expensive interpreted fold now
+    touches only the ~alphabet-sized runs array instead of every char
+    (r10: the old whole-array struct-accumulator fold built a 3-field
+    struct PER CHARACTER; per-row kernel 2.46 s -> 1.76 s at the 20x
+    corpus, min-of-4, outputs bit-identical over all 100k docs).  The
+    additions happen in the identical sorted-run order, so the sum —
+    and the DuckDB replay — stay bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
     # materialize the char array once behind a projection boundary so the
     # sort/fold don't re-split the text (the corpus_chunk_overlap
@@ -4045,32 +4049,39 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chars"),
     )
-    n = F.size(F.col("chars"))
-
-    def _run(prev, run, s):
-        return F.struct(prev.alias("prev"), run.alias("run"), s.alias("s"))
-
-    def _closed(acc):
-        # fold the pending run's c*ln(c) into the sum (run=0 only at init)
-        return acc["s"] + F.when(
-            acc["run"] > 0, acc["run"] * F.log(acc["run"].cast("double"))
-        ).otherwise(F.lit(0.0))
-
+    L = F.size("chars")
+    # run starts: 1-based positions whose codepoint differs from the one
+    # before (greatest() keeps the i-1 index legal under ANSI at i=1,
+    # where the first disjunct already decides); empty-array guard keeps
+    # sequence(1, 0) from manufacturing positions
+    starts = F.when(
+        L > 0,
+        F.filter(
+            F.sequence(F.lit(1), L),
+            lambda i: (i == F.lit(1))
+            | (
+                F.element_at(F.col("chars"), i)
+                != F.element_at(F.col("chars"), F.greatest(i - 1, F.lit(1)))
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    staged = base.select("doc_id", "chars", starts.alias("st"))
+    nxt = F.concat(F.slice(F.col("st"), 2, F.size("st")), F.array(F.size("chars") + 1))
+    runs = F.zip_with(F.col("st"), nxt, lambda s, nx: (nx - s).cast("long"))
+    # the fold runs over the ~alphabet-sized runs array, adding each
+    # run's c*ln(c) in sorted order — the exact addition sequence of the
+    # old per-char fold and of the oracle's distinct-char replay
     clogc = F.aggregate(
-        F.col("chars"),
-        _run(F.lit(-1), F.lit(0).cast("long"), F.lit(0.0)),
-        lambda acc, c: F.when(
-            c == acc["prev"], _run(acc["prev"], acc["run"] + 1, acc["s"])
-        ).otherwise(_run(c, F.lit(1).cast("long"), _closed(acc))),
-        _closed,
+        runs, F.lit(0.0), lambda acc, c: acc + c * F.log(c.cast("double"))
     )
+    n = F.size(F.col("chars"))
     entropy = F.round((F.log(n.cast("double")) - clogc / n) / F.log(F.lit(2.0)), 4)
     # the flag derives from the ALIASED entropy column behind a second
     # projection: inlining the fold expression into both output columns
     # (the previous one-select form) made every row pay the O(L) run
     # fold twice — CollapseProject declines to inline a non-cheap alias
     # referenced more than once, so this stays a single evaluation
-    return base.select(
+    return staged.select(
         "doc_id", n.alias("len_chars"), entropy.alias("entropy")
     ).select(
         "doc_id",
